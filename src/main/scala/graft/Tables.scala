@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders (TESTDATA.md): one parquet file per table under a
+  * scale-factor dir. Parquet is self-describing, so no inference scan runs;
+  * Catalyst pushes filters + column pruning into these scans. On a real
+  * cluster these paths would be partitioned table roots (date-partitioned
+  * for `events`) — the reader API is identical, and partition pruning
+  * replaces the reference's Postgres btree indexes
+  * (reference: postgres/init.sql:80-84).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the
+    * nanos as a LONG (legacy conf) and truncate to microseconds with
+    * integer DIV — identical to DuckDB's nanos→micros truncation, so the
+    * oracle sees the same values.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000L")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** One engine query: a Spark DataFrame builder plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL over the same parquet tables. Oracle
+  * conventions that keep the driver's hash-compare byte-stable:
+  *   - every output deterministically ORDER BY'd in BOTH dialects;
+  *   - every double aggregate wrapped in round(x, 4) (or coarser for large
+  *     sums) in BOTH dialects, absorbing float summation-order differences;
+  *   - DuckDB integer sums cast to BIGINT (DuckDB widens to HUGEINT, Spark
+  *     keeps LONG);
+  *   - column names aliased identically in both dialects.
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = true)

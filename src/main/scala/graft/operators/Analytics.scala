@@ -1,0 +1,382 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** Reference-parity batch analytics surface.
+  *
+  * The reference (kmrhemant21/nginx-analytics) is an nginx-log analytics
+  * pipeline; the `events` fixture table is the structural stand-in for the
+  * log stream (ts ≙ timestamp, user_id ≙ remote_addr, event_type ≙
+  * endpoint, value ≙ request_time_seconds, props ≙ raw JSON payload) —
+  * see SURVEY.md §5.6.
+  *
+  * Each query cites the reference operator rows from SURVEY.md §2 it
+  * re-hosts. All plans are declarative DataFrame chains: Catalyst pushes
+  * filters/pruning into the parquet scan, does partial+final hash
+  * aggregation (map-side combine), and broadcasts small join sides —
+  * the properties that make these shapes survive a 100 TB scale-up.
+  *
+  * Time windows are fixed literals: fixture data is deterministic
+  * (seed 42, 2024-01-01 .. 2024-01-30 at every scale factor). In the
+  * library API the window bounds are parameters; these entries bind them
+  * for the DuckDB oracle.
+  */
+object Analytics {
+
+  /** Anomaly-detection window parameters (reference:
+    * predictions/anomaly_detection.py:36-49 uses NOW()-7d history and the
+    * current micro-batch as "now"; here: last fixture day as "current",
+    * prior 7 days as history).
+    */
+  private val CurrentStart = "2024-01-30 00:00:00"
+  private val HistStart    = "2024-01-23 00:00:00"
+
+  // --- q1: TPC-H-Q1-style scan+aggregate (A1/A3 analogue on lineitem) ---
+  // Wide-row scan feeding a low-cardinality hash aggregate: partial agg
+  // happens map-side, so the shuffle carries ~#groups rows, not #input.
+  private def q1LineitemAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // --- Traffic rollups (A1, A3-inner, P13; reference ingestor + anomaly aggs) ---
+
+  /** Requests per hour per event_type with avg measure — the flagship
+    * rollup (SURVEY.md §7.2). Reference: A3 inner
+    * (predictions/anomaly_detection.py:40-46) + A1 (:25-29).
+    */
+  def hourlyTraffic(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("requests"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Per-key traffic stats over the full range — reference A1
+    * (predictions/anomaly_detection.py:25-29): groupBy(remote_addr)
+    * .agg(count, avg).
+    */
+  def trafficStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("request_count"),
+        round(avg(col("value")), 4).as("avg_request_time"))
+      .orderBy(col("user_id"))
+
+  /** Two-level time-bucketed aggregate — reference A3, the SQL the
+    * reference pushes into Postgres (predictions/anomaly_detection.py:36-49):
+    * hourly per-key counts, then per-key mean/stddev of those counts.
+    * Re-hosted natively: two hash aggregations; the second reuses the
+    * shuffle-by-user_id partitioning of the first (no extra exchange for
+    * the user_id grouping after (user_id, hour)).
+    * Postgres STDDEV == stddev_samp == Spark/DuckDB default.
+    */
+  def histBaseline(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .filter(col("ts") >= lit(HistStart) && col("ts") < lit(CurrentStart))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("request_count"))
+    hourly
+      .groupBy(col("user_id"))
+      .agg(
+        round(avg(col("request_count")), 4).as("avg_requests"),
+        round(stddev_samp(col("request_count")), 4).as("stddev_requests"))
+      .orderBy(col("user_id"))
+  }
+
+  // --- z-score anomaly detection (A6 = J1 + P7-P11) ---
+
+  /** Unrounded history stats for composition into the z-score join. */
+  private def histStatsRaw(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") >= lit(HistStart) && col("ts") < lit(CurrentStart))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("request_count"))
+      .groupBy(col("user_id"))
+      .agg(
+        avg(col("request_count")).as("avg_requests"),
+        stddev_samp(col("request_count")).as("stddev_requests"))
+
+  /** Current-window hourly counts per key (the "micro-batch" side). */
+  private def currentCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") >= lit(CurrentStart))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("request_count"))
+
+  /** Full z-score classifier — reference
+    * predictions/anomaly_detection.py:56-75 (left join J1 keeps
+    * never-seen keys with NULL history → "new IP" rule; z-score column
+    * algebra P7-P10). Both join sides are post-aggregation (≤ #keys
+    * rows): Catalyst broadcasts the smaller side — no sort-merge shuffle.
+    * Threshold |z|>3 or new key with >100 requests/bucket, reason labels
+    * as in the reference (:64-74).
+    */
+  def zscoreAnomaly(s: SparkSession, d: String): DataFrame = {
+    val cur  = currentCounts(s, d)
+    val hist = histStatsRaw(s, d)
+    val z = when(
+      col("stddev_requests").isNotNull && col("stddev_requests") > 0,
+      (col("request_count") - col("avg_requests")) / col("stddev_requests"))
+      .otherwise(lit(0.0))
+    cur.join(hist, Seq("user_id"), "left")
+      .withColumn("z_score", z)
+      .withColumn("is_anomaly",
+        abs(col("z_score")) > 3 ||
+          (col("avg_requests").isNull && col("request_count") > 100))
+      .withColumn("anomaly_reason",
+        when(col("z_score") > 3, lit("High traffic volume"))
+          .when(col("z_score") < -3, lit("Unusually low traffic"))
+          .when(col("avg_requests").isNull && col("request_count") > 100,
+            lit("New IP with high traffic"))
+          .otherwise(lit("Normal")))
+      .select(
+        col("user_id"), col("hour"), col("request_count"),
+        round(col("avg_requests"), 4).as("avg_requests"),
+        round(col("stddev_requests"), 4).as("stddev_requests"),
+        round(col("z_score"), 4).as("z_score"),
+        col("is_anomaly"), col("anomaly_reason"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  /** Anomalous keys only (reference filter :75 `is_anomaly == True`). */
+  private def anomalousKeys(s: SparkSession, d: String): DataFrame =
+    zscoreAnomaly(s, d).filter(col("is_anomaly")).select(col("user_id")).distinct()
+
+  /** Raw rows restricted to anomalous keys — reference J2
+    * (predictions/anomaly_detection.py:80-85). The reference uses an
+    * inner join on a deduped projection; the idiomatic Spark form is a
+    * LEFT SEMI join (no row duplication, no right-side columns carried),
+    * and the semi side is post-aggregation-small → broadcast semi join.
+    */
+  def anomalousRows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") >= lit(CurrentStart))
+      .join(anomalousKeys(s, d), Seq("user_id"), "left_semi")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+
+  /** Anomalous rows enriched with anomaly metadata — reference J3
+    * (predictions/anomaly_detection.py:89-94): sample ⋈ (z_score,
+    * is_anomaly, reason) on the key; broadcast-eligible inner join.
+    */
+  def anomalyEnriched(s: SparkSession, d: String): DataFrame = {
+    val meta = zscoreAnomaly(s, d)
+      .filter(col("is_anomaly"))
+      .select(col("user_id"), col("hour"),
+        col("z_score"), col("anomaly_reason"))
+    Tables.events(s, d)
+      .filter(col("ts") >= lit(CurrentStart))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .join(meta, Seq("user_id", "hour"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("z_score"), col("anomaly_reason"))
+      .orderBy(col("event_id"))
+  }
+
+  // --- ML feature extraction (A4, P13, P14, P7) ---
+
+  /** Feature-extraction scan — reference A4, the training-features SQL
+    * pushed into Postgres (predictions/response_time_prediction.py:71-87):
+    * casts + hour-of-day + CASE default + null/positive-label filters +
+    * row cap. The reference's LIMIT 100000 has no ORDER BY (output
+    * nondeterministic); the engine version is ORDER BY-stable
+    * (SURVEY.md §7.4 risk 2). Filters are pushed to the parquet scan.
+    */
+  def featureExtraction(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") >= lit(HistStart) &&
+        col("value").isNotNull && col("value") > 0 &&
+        col("event_type") =!= "")
+      .select(
+        col("event_id"),
+        when(col("event_type").isNull || col("event_type") === "",
+          lit("UNKNOWN")).otherwise(col("event_type")).as("category"),
+        hour(col("ts")).cast("int").as("hour_of_day"),
+        get_json_object(col("props"), "$.k").cast("long").as("payload_k"),
+        round(col("value"), 4).as("label"))
+      .orderBy(col("event_id"))
+      .limit(100000)
+
+  // --- Dashboard-style queries (§2.6 gap-fill: sorts, limits, ranks) ---
+
+  /** Top-k categories by traffic (ORDER BY count DESC LIMIT k) —
+    * TopK = partial top-k per partition then merge; no full sort of the
+    * aggregate at scale.
+    */
+  def topEventTypes(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(3)
+
+  /** Time-range + predicate scan — the access path the reference serves
+    * with Postgres btree indexes (postgres/init.sql:80-84); here partition
+    * pruning + parquet min/max skipping + pushed filters do the same job.
+    */
+  def timeRangeScan(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+        col("ts") < lit("2024-01-12 00:00:00") &&
+        col("event_type") === "error")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** JSON payload extraction + aggregate — reference P2/from_json surface
+    * generalized to `get_json_object` over the props payload
+    * (SURVEY.md §7.1 step 6).
+    */
+  def jsonExtractAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** CASE/when classification breakdown — reference P7
+    * (anomaly_reason CASE, country-default CASE).
+    */
+  def valueClassBreakdown(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("value_class",
+        when(col("value") < 50, lit("low"))
+          .when(col("value") < 150, lit("mid"))
+          .otherwise(lit("high")))
+      .groupBy(col("event_type"), col("value_class"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"), col("value_class"))
+
+  /** Ranked top-N per key (analytic window function) — absent from the
+    * reference (SURVEY.md §2.6) but core dashboard surface; row_number
+    * over (partition by key order by measure) with deterministic
+    * tie-break.
+    */
+  def windowTopPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Sessionization via lag() — gap > 30 min opens a new session; counts
+    * sessions per key. The Window shuffle partitions by user_id —
+    * exactly one exchange, reused by the downstream groupBy(user_id).
+    */
+  def sessionStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Traffic forecast — the reference's declared-but-unimplemented
+    * `traffic_forecasts` table (postgres/init.sql:71-77, SURVEY.md §0.1(6))
+    * implemented as a trailing 3-hour moving average per category,
+    * predicting the next hour.
+    */
+  def trafficForecast(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-2, 0)
+    hourly
+      .select(col("event_type"),
+        (col("hour") + expr("INTERVAL 1 HOUR")).as("forecast_timestamp"),
+        round(avg(col("cnt")).over(w), 4).as("predicted_requests"))
+      .orderBy(col("event_type"), col("forecast_timestamp"))
+  }
+
+  // --- TPC-H-style star joins (J1-J3 generalized; broadcast dims) ---
+
+  /** Fact ⋈ small dims with explicit broadcast — revenue by region.
+    * nation/region/supplier are broadcast (dims ≪ fact): zero shuffle of
+    * the lineitem side; aggregation is partial+final.
+    */
+  def revenueByRegion(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+
+  /** customer ⋈ orders ⋈ nation with count(distinct) — broadcast dims,
+    * distinct aggregate (expand+two-phase in Catalyst).
+    */
+  def customerRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"), col("n_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"), col("n_name"))
+
+  /** Set operations (absent from reference, SURVEY.md §2.6): keys seen in
+    * the current window but absent from history = EXCEPT (anti-join
+    * under the hood), plus an INTERSECT sanity branch via union of
+    * labeled branches.
+    */
+  def setOpsNewUsers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val high = ev.filter(col("value") >= 180).select(col("user_id")).distinct()
+    val err  = ev.filter(col("event_type") === "error").select(col("user_id")).distinct()
+    val both    = high.intersect(err).withColumn("set_op", lit("high_and_error"))
+    val onlyHi  = high.except(err).withColumn("set_op", lit("high_only"))
+    both.union(onlyHi).orderBy(col("set_op"), col("user_id"))
+  }
+
+  // --- registry ---
+
+  val defs: Map[String, QueryDef] = Map(
+    "q1_lineitem_agg"    -> QueryDef(q1LineitemAgg, Some(OracleSql.q1LineitemAgg)),
+    "q_hourly_traffic"   -> QueryDef(hourlyTraffic, Some(OracleSql.hourlyTraffic)),
+    "q_traffic_stats"    -> QueryDef(trafficStats, Some(OracleSql.trafficStats)),
+    "q_hist_baseline"    -> QueryDef(histBaseline, Some(OracleSql.histBaseline)),
+    "q_zscore_anomaly"   -> QueryDef(zscoreAnomaly, Some(OracleSql.zscoreAnomaly)),
+    "q_anomalous_rows"   -> QueryDef(anomalousRows, Some(OracleSql.anomalousRows)),
+    "q_anomaly_enriched" -> QueryDef(anomalyEnriched, Some(OracleSql.anomalyEnriched)),
+    "q_feature_extraction" -> QueryDef(featureExtraction, Some(OracleSql.featureExtraction)),
+    "q_top_event_types"  -> QueryDef(topEventTypes, Some(OracleSql.topEventTypes)),
+    "q_time_range_scan"  -> QueryDef(timeRangeScan, Some(OracleSql.timeRangeScan)),
+    "q_json_extract_agg" -> QueryDef(jsonExtractAgg, Some(OracleSql.jsonExtractAgg)),
+    "q_value_class"      -> QueryDef(valueClassBreakdown, Some(OracleSql.valueClassBreakdown)),
+    "q_window_top_per_user" -> QueryDef(windowTopPerUser, Some(OracleSql.windowTopPerUser)),
+    "q_session_stats"    -> QueryDef(sessionStats, Some(OracleSql.sessionStats)),
+    "q_traffic_forecast" -> QueryDef(trafficForecast, Some(OracleSql.trafficForecast)),
+    "q_revenue_by_region" -> QueryDef(revenueByRegion, Some(OracleSql.revenueByRegion)),
+    "q_customer_revenue" -> QueryDef(customerRevenue, Some(OracleSql.customerRevenue)),
+    "q_set_ops"          -> QueryDef(setOpsNewUsers, Some(OracleSql.setOps)))
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+/** DuckDB oracle SQL for [[Analytics]] — each string is the ANSI/DuckDB
+  * equivalent of the Spark builder with the SAME column aliases, the SAME
+  * deterministic ORDER BY, and the SAME rounding of double aggregates
+  * (see QueryDef scaladoc for the conventions). DuckDB-specific notes:
+  * integer SUM widens to HUGEINT → cast back to BIGINT; row_number()
+  * yields BIGINT → cast to INT; `->>` is DuckDB JSON extraction.
+  */
+object OracleSql {
+
+  val q1LineitemAgg: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val hourlyTraffic: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS requests,
+      |  round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val trafficStats: String =
+    """SELECT user_id,
+      |  count(*) AS request_count,
+      |  round(avg(value), 4) AS avg_request_time
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val histBaseline: String =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS request_count
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-23 00:00:00' AND ts < TIMESTAMP '2024-01-30 00:00:00'
+      |  GROUP BY 1, 2)
+      |SELECT user_id,
+      |  round(avg(request_count), 4) AS avg_requests,
+      |  round(stddev_samp(request_count), 4) AS stddev_requests
+      |FROM hourly
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  private val zscoreCte: String =
+    """WITH hist AS (
+      |  SELECT user_id,
+      |    avg(request_count) AS avg_requests,
+      |    stddev_samp(request_count) AS stddev_requests
+      |  FROM (
+      |    SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS request_count
+      |    FROM events
+      |    WHERE ts >= TIMESTAMP '2024-01-23 00:00:00' AND ts < TIMESTAMP '2024-01-30 00:00:00'
+      |    GROUP BY 1, 2)
+      |  GROUP BY user_id),
+      |cur AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS request_count
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT cur.user_id, cur.hour, cur.request_count,
+      |    hist.avg_requests, hist.stddev_requests,
+      |    CASE WHEN hist.stddev_requests IS NOT NULL AND hist.stddev_requests > 0
+      |         THEN (cur.request_count - hist.avg_requests) / hist.stddev_requests
+      |         ELSE 0.0 END AS z_score,
+      |    (abs(CASE WHEN hist.stddev_requests IS NOT NULL AND hist.stddev_requests > 0
+      |              THEN (cur.request_count - hist.avg_requests) / hist.stddev_requests
+      |              ELSE 0.0 END) > 3
+      |     OR (hist.avg_requests IS NULL AND cur.request_count > 100)) AS is_anomaly,
+      |    CASE WHEN (CASE WHEN hist.stddev_requests IS NOT NULL AND hist.stddev_requests > 0
+      |                    THEN (cur.request_count - hist.avg_requests) / hist.stddev_requests
+      |                    ELSE 0.0 END) > 3 THEN 'High traffic volume'
+      |         WHEN (CASE WHEN hist.stddev_requests IS NOT NULL AND hist.stddev_requests > 0
+      |                    THEN (cur.request_count - hist.avg_requests) / hist.stddev_requests
+      |                    ELSE 0.0 END) < -3 THEN 'Unusually low traffic'
+      |         WHEN hist.avg_requests IS NULL AND cur.request_count > 100
+      |              THEN 'New IP with high traffic'
+      |         ELSE 'Normal' END AS anomaly_reason
+      |  FROM cur LEFT JOIN hist ON cur.user_id = hist.user_id)""".stripMargin
+
+  val zscoreAnomaly: String =
+    zscoreCte +
+      """
+        |SELECT user_id, hour, request_count,
+        |  round(avg_requests, 4) AS avg_requests,
+        |  round(stddev_requests, 4) AS stddev_requests,
+        |  round(z_score, 4) AS z_score,
+        |  is_anomaly, anomaly_reason
+        |FROM scored
+        |ORDER BY user_id, hour""".stripMargin
+
+  val anomalousRows: String =
+    zscoreCte +
+      """
+        |SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |  AND user_id IN (SELECT user_id FROM scored WHERE is_anomaly)
+        |ORDER BY event_id""".stripMargin
+
+  val anomalyEnriched: String =
+    zscoreCte +
+      """
+        |SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+        |  round(s.z_score, 4) AS z_score, s.anomaly_reason
+        |FROM events e
+        |JOIN scored s
+        |  ON e.user_id = s.user_id AND date_trunc('hour', e.ts) = s.hour
+        |WHERE e.ts >= TIMESTAMP '2024-01-30 00:00:00' AND s.is_anomaly
+        |ORDER BY e.event_id""".stripMargin
+
+  val featureExtraction: String =
+    """SELECT event_id,
+      |  CASE WHEN event_type IS NULL OR event_type = '' THEN 'UNKNOWN'
+      |       ELSE event_type END AS category,
+      |  CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
+      |  CAST(props ->> 'k' AS BIGINT) AS payload_k,
+      |  round(value, 4) AS label
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-23 00:00:00'
+      |  AND value IS NOT NULL AND value > 0 AND event_type <> ''
+      |ORDER BY event_id
+      |LIMIT 100000""".stripMargin
+
+  val topEventTypes: String =
+    """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY cnt DESC, event_type
+      |LIMIT 3""".stripMargin
+
+  val timeRangeScan: String =
+    """SELECT event_id, ts, user_id, value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |  AND event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+
+  val jsonExtractAgg: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(CAST(props ->> 'k' AS BIGINT)) AS n_k,
+      |  round(avg(CAST(props ->> 'k' AS BIGINT)), 4) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val valueClassBreakdown: String =
+    """SELECT event_type,
+      |  CASE WHEN value < 50 THEN 'low'
+      |       WHEN value < 150 THEN 'mid'
+      |       ELSE 'high' END AS value_class,
+      |  count(*) AS cnt
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val windowTopPerUser: String =
+    """SELECT user_id, rn, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id) AS INT) AS rn
+      |  FROM events)
+      |WHERE rn <= 2
+      |ORDER BY user_id, rn""".stripMargin
+
+  val sessionStats: String =
+    """WITH lagged AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) AS ts_us,
+      |    epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_us
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM lagged
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val trafficForecast: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  hour + INTERVAL 1 HOUR AS forecast_timestamp,
+      |  round(avg(cnt) OVER (PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS predicted_requests
+      |FROM hourly
+      |ORDER BY event_type, forecast_timestamp""".stripMargin
+
+  val revenueByRegion: String =
+    """SELECT r_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  val customerRevenue: String =
+    """SELECT c_mktsegment, n_name,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val setOps: String =
+    """WITH high AS (SELECT DISTINCT user_id FROM events WHERE value >= 180),
+      |err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+      |both_ AS (SELECT user_id FROM high INTERSECT SELECT user_id FROM err),
+      |only_hi AS (SELECT user_id FROM high EXCEPT SELECT user_id FROM err)
+      |SELECT user_id, 'high_and_error' AS set_op FROM both_
+      |UNION ALL
+      |SELECT user_id, 'high_only' AS set_op FROM only_hi
+      |ORDER BY set_op, user_id""".stripMargin
+}
