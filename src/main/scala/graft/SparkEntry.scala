@@ -17,7 +17,10 @@ object SparkEntry {
     * registry owns a distinct prefix.
     */
   private def registries: Seq[Map[String, QueryDef]] = Seq(
-    operators.Analytics.defs)
+    operators.Analytics.defs,
+    operators.TextAnalysis.defs,
+    operators.Dedup.defs,
+    operators.Similarity.defs)
 
   private lazy val all: Map[String, QueryDef] = {
     val merged = registries.flatten.toMap

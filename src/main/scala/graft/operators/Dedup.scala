@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Deduplication operators for an LLM-training-data pipeline, over the
+  * `documents` table: exact (hash groupBy), MinHash+LSH banding, SimHash,
+  * and exact n-gram Jaccard (the verification primitive the fuzzy
+  * methods candidate-generate for).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup is one hash-partitioned aggregate on the content key —
+  *     shuffle carries (key → min id), not documents;
+  *   - MinHash/LSH never compares all pairs: candidates come from
+  *     equality joins on band keys (shuffle on band hash, bucket sizes
+  *     bounded by band width), then only candidates pay the exact-Jaccard
+  *     verification;
+  *   - exact n-gram Jaccard is *blocked* on (lang, n_chars) equality —
+  *     an equality join on the shingle, never a cross product. The
+  *     unblocked version is intentionally absent: at scale you always
+  *     candidate-generate first (MinHash) and verify second;
+  *   - everything is hash-based (xxhash64, built-in, codegen'd) — no
+  *     UDFs, no driver-side state.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (minimum) doc_id per identical text +
+    * multiplicity. The content key at real scale would be xxhash64(text)
+    * (shuffling 8-byte keys, not documents); here the text itself is the
+    * group key so the oracle can replicate it.
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  /** Exact distinct counts over events — the precise counterpart of
+    * [[approxDistinct]].
+    */
+  def exactDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(date_trunc("day", col("ts"))).as("n_days"))
+
+  /** HLL++ approximate distinct (built-in `approx_count_distinct`,
+    * mergeable partial sketches — constant memory per partition, one
+    * tiny shuffle). No oracle: DuckDB's HLL differs; driver records a
+    * rows-only check, the ScalaTest spec bounds the relative error
+    * against [[exactDistinct]].
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("event_id")).as("approx_events"),
+        count(lit(1)).as("n_rows"))
+
+  // --- shingling (shared by MinHash and exact Jaccard) ---
+
+  /** Distinct character-3-gram shingles, one row per (doc, shingle).
+    * Built with sequence/transform/explode — codegen'd, no UDF.
+    */
+  private def charShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
+          .as("g"))
+      .distinct()
+
+  /** MinHash + LSH banded dedup.
+    *
+    * Pipeline: distinct shingles → H=12 minhash values per doc
+    * (min over xxhash64(shingle, seed)) → 4 bands × 3 rows → equality
+    * self-join on (band, band-signature) → candidate pairs → exact
+    * Jaccard verification (intersection of shingle sets over candidates
+    * only) → per-doc canonical id (min over verified neighbors).
+    *
+    * Output is per-document (doc_id, kept_doc_id, is_duplicate,
+    * n_candidates) — rows-only check (hash seeds are engine-specific;
+    * the ScalaTest spec asserts planted duplicates collapse).
+    */
+  def minhashDedup(s: SparkSession, d: String): DataFrame = {
+    val H = 12
+    val bands = 4
+    val rowsPerBand = H / bands
+
+    val sh = charShingles(Tables.documents(s, d)).select(col("doc_id"), col("g"))
+
+    // H minhash aggregates in ONE pass over the shingle table (no
+    // per-hash re-scan): min(xxhash64(g, seed_h)) for h = 0..H-1.
+    val sigCols: Seq[Column] =
+      (0 until H).map(h => min(xxhash64(col("g"), lit(h))).as(s"mh$h"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+    // band key = xxhash64 of the band's rows; explode to (doc, band, key)
+    val bandKey: Seq[Column] = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(h => col(s"mh$h"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("key")).as(s"bk$b")
+    }
+    val banded = sigs.select(col("doc_id") +: bandKey: _*)
+      .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"bk$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact-Jaccard verification, candidates only
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("g"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("g"))
+    val interCnt = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val verified = interCnt
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+
+    // canonical id: min over verified neighbors (one hop) ∪ self
+    val neighborMin = verified.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"))
+      .union(verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr")))
+      .groupBy(col("doc_id")).agg(min(col("nbr")).as("min_nbr"))
+    val nCand = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(neighborMin, Seq("doc_id"), "left")
+      .join(nCand, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("kept_doc_id"),
+        (least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))) =!= col("doc_id"))
+          .as("is_duplicate"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash: 16-bit signature over word tokens (sign of per-bit vote
+    * sums of xxhash64(token) bits); docs sharing a signature are
+    * near-dup candidates. Pure higher-order-function algebra — the
+    * per-bit vote is an aggregate over the token array inside codegen,
+    * not an explode. Rows-only check (hash is engine-specific).
+    */
+  def simhashDedup(s: SparkSession, d: String): DataFrame = {
+    val bits = 16
+    val tokens = expr("filter(split(text, ' '), t -> t != '')")
+    val bitCols = (0 until bits).map { b =>
+      // vote_b = sum over tokens of (bit b of xxhash64(token) ? +1 : -1)
+      expr(s"""aggregate(filter(split(text, ' '), t -> t != ''),
+                CAST(0 AS BIGINT),
+                (acc, t) -> acc + CASE WHEN (xxhash64(t) & ${1L << b}L) != 0
+                                       THEN 1 ELSE -1 END)""").as(s"v$b")
+    }
+    val sig = (0 until bits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val withSig = Tables.documents(s, d)
+      .select(col("doc_id") +: size(tokens).as("n_tokens") +: bitCols: _*)
+      .select(col("doc_id"), col("n_tokens"), sig.as("simhash"))
+    val groupSize = withSig.groupBy(col("simhash")).agg(count(lit(1)).as("n_same_sig"))
+    withSig.join(groupSize, Seq("simhash"))
+      .select(col("doc_id"), col("simhash"), col("n_tokens"), col("n_same_sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact n-gram Jaccard similarity, blocked on (lang, n_chars): the
+    * DuckDB-checkable exact baseline for the fuzzy methods. Join is on
+    * shingle equality within blocks — never a cross product.
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = charShingles(Tables.documents(s, d))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars"), col("g"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("n_chars"), col("g"))
+    val inter = a.join(b, Seq("lang", "n_chars", "g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_dedup_exact"     -> QueryDef(dedupExact, Some(DedupOracles.dedupExact)),
+    "q_exact_distinct"  -> QueryDef(exactDistinct, Some(DedupOracles.exactDistinct)),
+    "q_approx_distinct" -> QueryDef(approxDistinct, None),
+    "q_minhash_dedup"   -> QueryDef(minhashDedup, None),
+    "q_simhash_dedup"   -> QueryDef(simhashDedup, None),
+    "q_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(DedupOracles.ngramJaccard)))
+}
+
+/** DuckDB oracles for the SQL-expressible [[Dedup]] queries. */
+object DedupOracles {
+
+  val dedupExact: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY doc_id""".stripMargin
+
+  val exactDistinct: String =
+    """SELECT count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT event_type) AS n_types,
+      |  count(DISTINCT date_trunc('day', ts)) AS n_days
+      |FROM events""".stripMargin
+
+  val ngramJaccard: String =
+    """WITH pos AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |    unnest(generate_series(1, length(text) - 2)) AS i
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, lang, n_chars, substr(text, CAST(i AS INT), 3) AS g
+      |  FROM pos),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM grams a JOIN grams b
+      |    ON a.g = b.g AND a.lang = b.lang AND a.n_chars = b.n_chars
+      |       AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, dim 64).
+  *
+  * Cosine is computed with codegen'd higher-order functions
+  * (zip_with → aggregate) in DOUBLE precision — float accumulation
+  * drifts ~1e-7, enough to flip a round(4) hash compare, so both engine
+  * and oracle compute in double.
+  *
+  * Scale story:
+  *   - [[bruteTopK]] is query-set × corpus (k·N comparisons, broadcast
+  *     query side, no shuffle of the corpus) — the exact baseline;
+  *   - [[nearDupPairs]] is all-pairs and exists as the oracle-checkable
+  *     exact reference at fixture scale — at 100 TB you run
+  *     [[lshNearDup]] instead, whose join is equality on LSH bucket keys;
+  *   - [[lshNearDup]] buckets by random-hyperplane signs (deterministic
+  *     weight matrix, seed fixed) → candidates from a bucket equality
+  *     join → exact cosine verification on candidates only.
+  */
+object Similarity {
+
+  /** embeddings with the vector cast to array<double> once. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: fixed query set (vec_id < 5) against the
+    * whole corpus. The query side is broadcast (k rows), so the corpus
+    * is scanned exactly once with no shuffle; ranking is a per-query
+    * window (partition count = |queries|).
+    */
+  def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact all-pairs near-duplicate detection (cosine ≥ 0.3). All-pairs
+    * is intentional here: it is the exact, oracle-checkable reference
+    * that [[lshNearDup]] approximates at scale.
+    */
+  def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val a = vecs(s, d).select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = vecs(s, d).select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weights (no RNG — a fixed
+    * integer mix, reproducible across runs/partitions): w(b, j) ∈ [-1, 1).
+    */
+  private def weight(b: Int, j: Int): Double = {
+    val x = b.toLong * 2654435761L + j.toLong * 40503L + 9176L
+    val m = ((x % 2000L) + 2000L) % 2000L
+    m.toDouble / 1000.0 - 1.0
+  }
+
+  /** LSH-bucketed near-dup: 12-bit random-hyperplane signature →
+    * equality self-join on the signature → exact cosine verification of
+    * candidates. The only shuffle is the groupBy/join on the 12-bit
+    * bucket key; bucket collision probability rises with cosine
+    * similarity (sign-LSH), so true near-dups co-bucket with high
+    * probability while the cross product never materializes. Rows-only
+    * check; the ScalaTest spec asserts recall against [[nearDupPairs]].
+    */
+  def lshNearDup(s: SparkSession, d: String): DataFrame = {
+    val bits = 12
+    val v = vecs(s, d)
+    val sig: Column = (0 until bits).map { b =>
+      val wArr = array((0 until 64).map(j => lit(weight(b, j))): _*)
+      when(dot(col("v"), wArr) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val bucketed = v.withColumn("bucket", sig)
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"), col("bucket"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK)),
+    "q_embedding_neardup" -> QueryDef(nearDupPairs, Some(SimilarityOracles.nearDupPairs)),
+    "q_embedding_lsh"     -> QueryDef(lshNearDup, None))
+}
+
+/** DuckDB oracles — cosine via explicit DOUBLE list arithmetic
+  * (list_cosine_similarity accumulates in float32 → ~1e-7 drift →
+  * round(4) hash flips; see Similarity scaladoc).
+  */
+object SimilarityOracles {
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1] * x[2]))
+      | / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
+      |     * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))""".stripMargin
+
+  val bruteTopK: String =
+    s"""WITH scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+       |    $cosSql AS cos
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 5),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
+       |FROM ranked
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  val nearDupPairs: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round($cosSql, 4) AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE $cosSql >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

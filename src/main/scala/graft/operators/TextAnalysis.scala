@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for an LLM-training-data pipeline, over the
+  * `documents` fixture table: token counting, quality scoring, language
+  * identification (marker heuristic), and positional fingerprinting.
+  *
+  * All are narrow per-row projections + one hash aggregate — fully
+  * codegen'd scalar expressions, no shuffle except the final aggregate
+  * (token counts) or none at all (per-doc outputs). At 100 TB these run
+  * at scan speed; nothing is collected to the driver.
+  *
+  * Every query here is SQL-expressible, so each carries a DuckDB oracle
+  * built from the same string algebra (occurrence counting via
+  * length-difference, not regex — Java and RE2 regex dialects differ,
+  * plain `replace` does not).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: len(text) - len(text without spaces) + 1.
+    * Avoids split()+size (allocates an array per row) — pure length
+    * arithmetic stays in whole-stage codegen.
+    */
+  private val nTokens =
+    expr("length(text) - length(replace(text, ' ', '')) + 1")
+
+  /** Total token/char volume per source — the "how big is this corpus
+    * slice" rollup every training-data pipeline starts with.
+    */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokens).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(nTokens), 4).as("avg_tokens_per_doc"))
+      .orderBy(col("source"))
+
+  /** Per-document quality features: token count, average token length,
+    * stopword ratio, and a CASE quality gate — the length/punct/stopword
+    * heuristics of C4/Gopher-style corpus filters.
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    // occurrences of ' the ' in ' '||text||' ' via length difference
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def occurrences(p: String) =
+      ((length(padded) - length(expr(s"replace(concat(' ', text, ' '), '$p', '')"))) / p.length)
+        .cast("int")
+    val stopCnt = occurrences(" the ") + occurrences(" a ") + occurrences(" and ")
+    Tables.documents(s, d)
+      .withColumn("n_tokens", nTokens.cast("int"))
+      .withColumn("avg_token_len",
+        round((length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4))
+      .withColumn("stopword_ratio", round(stopCnt.cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
+        when(col("n_tokens") < 10, lit("too_short"))
+          .when(col("avg_token_len") < 2 || col("avg_token_len") > 12, lit("odd_tokens"))
+          .otherwise(lit("ok")))
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("stopword_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-based language ID: count language-specific stopword hits,
+    * argmax with a fixed precedence tie-break. (A real n-gram LM is a
+    * model artifact; the heuristic is the deterministic, SQL-checkable
+    * core of the operator — scoring is per-row scalar algebra.)
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def occ(p: String) =
+      ((length(concat(lit(" "), col("text"), lit(" "))) -
+        length(expr(s"replace(concat(' ', text, ' '), '$p', '')"))) / p.length).cast("int")
+    val sEn = (occ(" the ") + occ(" and ") + occ(" a ")).as("score_en")
+    val sEs = (occ(" el ") + occ(" la ") + occ(" y ")).as("score_es")
+    val sDe = (occ(" der ") + occ(" und ") + occ(" die ")).as("score_de")
+    val sFr = (occ(" le ") + occ(" et ") + occ(" la ")).as("score_fr")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), sEn, sEs, sDe, sFr)
+      .withColumn("predicted_lang",
+        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
+          col("score_en") >= col("score_fr") && col("score_en") > 0, lit("en"))
+          .when(col("score_es") >= col("score_de") && col("score_es") >= col("score_fr") &&
+            col("score_es") > 0, lit("es"))
+          .when(col("score_de") >= col("score_fr") && col("score_de") > 0, lit("de"))
+          .when(col("score_fr") > 0, lit("fr"))
+          .otherwise(lit("unknown")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Positional rolling fingerprint: sum_i ascii(text[i]) * ((i mod 31)+1)
+    * — a deterministic, locality-sensitive-ish document fingerprint
+    * computed entirely inside codegen (sequence/transform/aggregate
+    * higher-order functions, no UDF, no explode shuffle).
+    */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("""aggregate(
+                  transform(sequence(1, length(text)),
+                            i -> CAST(ascii(substring(text, i, 1)) * ((i % 31) + 1) AS BIGINT)),
+                  CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("fingerprint"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_token_count"  -> QueryDef(tokenCount, Some(TextOracles.tokenCount)),
+    "q_text_quality" -> QueryDef(textQuality, Some(TextOracles.textQuality)),
+    "q_lang_id"      -> QueryDef(langId, Some(TextOracles.langId)),
+    "q_doc_fingerprint" -> QueryDef(docFingerprint, Some(TextOracles.docFingerprint)))
+}
+
+/** DuckDB oracles for [[TextAnalysis]] — same length-difference string
+  * algebra, same aliases/rounding/ORDER BY.
+  */
+object TextOracles {
+
+  private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+  val tokenCount: String =
+    s"""SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum($nTokensSql) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  round(avg($nTokensSql), 4) AS avg_tokens_per_doc
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  private def occSql(p: String): String =
+    s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$p', ''))) / ${p.length} AS INT)"
+
+  val textQuality: String =
+    s"""WITH feat AS (
+       |  SELECT doc_id,
+       |    CAST($nTokensSql AS INT) AS n_tokens,
+       |    round(CAST(length(text) - ($nTokensSql - 1) AS DOUBLE) / $nTokensSql, 4) AS avg_token_len,
+       |    round(CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" and ")} AS DOUBLE)
+       |          / $nTokensSql, 4) AS stopword_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+       |  CASE WHEN n_tokens < 10 THEN 'too_short'
+       |       WHEN avg_token_len < 2 OR avg_token_len > 12 THEN 'odd_tokens'
+       |       ELSE 'ok' END AS quality
+       |FROM feat
+       |ORDER BY doc_id""".stripMargin
+
+  val langId: String =
+    s"""WITH scores AS (
+       |  SELECT doc_id, lang,
+       |    ${occSql(" the ")} + ${occSql(" and ")} + ${occSql(" a ")} AS score_en,
+       |    ${occSql(" el ")} + ${occSql(" la ")} + ${occSql(" y ")} AS score_es,
+       |    ${occSql(" der ")} + ${occSql(" und ")} + ${occSql(" die ")} AS score_de,
+       |    ${occSql(" le ")} + ${occSql(" et ")} + ${occSql(" la ")} AS score_fr
+       |  FROM documents)
+       |SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+       |  CASE WHEN score_en >= score_es AND score_en >= score_de
+       |            AND score_en >= score_fr AND score_en > 0 THEN 'en'
+       |       WHEN score_es >= score_de AND score_es >= score_fr
+       |            AND score_es > 0 THEN 'es'
+       |       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+       |       WHEN score_fr > 0 THEN 'fr'
+       |       ELSE 'unknown' END AS predicted_lang
+       |FROM scores
+       |ORDER BY doc_id""".stripMargin
+
+  val docFingerprint: String =
+    """WITH pos AS (
+      |  SELECT doc_id, n_chars, text,
+      |    unnest(generate_series(1, length(text))) AS i
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(sum(ascii(substr(text, CAST(i AS INT), 1)) * ((i % 31) + 1)) AS BIGINT) AS fingerprint,
+      |  CAST(min(n_chars) AS BIGINT) AS n_chars
+      |FROM pos
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+}
