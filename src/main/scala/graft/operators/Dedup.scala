@@ -143,28 +143,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash: 16-bit signature over word tokens (sign of per-bit vote
-    * sums of xxhash64(token) bits); docs sharing a signature are
-    * near-dup candidates. Pure higher-order-function algebra — the
-    * per-bit vote is an aggregate over the token array inside codegen,
-    * not an explode. Rows-only check (hash is engine-specific).
+  /** SimHash: 64-bit signature over word tokens via the native one-pass
+    * [[graft.functions.SimHash]] expression (whole-stage codegen; each
+    * token hashed exactly once). Docs sharing a signature are near-dup
+    * candidates. Rows-only check (hash is engine-specific); the
+    * ScalaTest spec asserts signature stability and near-dup behavior.
     */
   def simhashDedup(s: SparkSession, d: String): DataFrame = {
-    val bits = 16
+    graft.functions.TextHashFunctions.register(s)
     val tokens = expr("filter(split(text, ' '), t -> t != '')")
-    val bitCols = (0 until bits).map { b =>
-      // vote_b = sum over tokens of (bit b of xxhash64(token) ? +1 : -1)
-      expr(s"""aggregate(filter(split(text, ' '), t -> t != ''),
-                CAST(0 AS BIGINT),
-                (acc, t) -> acc + CASE WHEN (xxhash64(t) & ${1L << b}L) != 0
-                                       THEN 1 ELSE -1 END)""").as(s"v$b")
-    }
-    val sig = (0 until bits)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
     val withSig = Tables.documents(s, d)
-      .select(col("doc_id") +: size(tokens).as("n_tokens") +: bitCols: _*)
-      .select(col("doc_id"), col("n_tokens"), sig.as("simhash"))
+      .select(col("doc_id"), size(tokens).as("n_tokens"),
+        graft.functions.TextHashFunctions.simhash(tokens).as("simhash"))
     val groupSize = withSig.groupBy(col("simhash")).agg(count(lit(1)).as("n_same_sig"))
     withSig.join(groupSize, Seq("simhash"))
       .select(col("doc_id"), col("simhash"), col("n_tokens"), col("n_same_sig"))
@@ -176,7 +166,12 @@ object Dedup {
     * shingle equality within blocks — never a cross product.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // Join/shuffle on xxhash64(shingle), not the shingle string: 8-byte
+    // fixed-width keys instead of variable-length UTF8 — same
+    // intersection counts (a 64-bit collision *within a block* would be
+    // needed to differ; with ~2M distinct shingles that is ~1e-10).
     val sh = charShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"), xxhash64(col("g")).as("g"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars"), col("g"))
     val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("n_chars"), col("g"))

@@ -4,13 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (ARRAY<FLOAT>, dim 64).
   *
-  * Cosine is computed with codegen'd higher-order functions
-  * (zip_with → aggregate) in DOUBLE precision — float accumulation
-  * drifts ~1e-7, enough to flip a round(4) hash compare, so both engine
-  * and oracle compute in double.
+  * Cosine runs as a native fused Catalyst expression
+  * ([[graft.functions.CosineSimilarity]], whole-stage codegen) in DOUBLE
+  * precision — float accumulation drifts ~1e-7, enough to flip a
+  * round(4) hash compare, so both engine and oracle compute in double.
   *
   * Scale story:
   *   - [[bruteTopK]] is query-set × corpus (k·N comparisons, broadcast
@@ -24,17 +25,20 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
-  /** embeddings with the vector cast to array<double> once. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** embeddings with the vector cast to array<double> once; registers
+    * the native vector expressions on the session. */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+  }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // Native codegen'd expressions (graft.functions) — the HOF
+  // (zip_with/aggregate) formulation is CodegenFallback and was ~25x
+  // slower on the all-pairs join.
+  private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  private def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
   /** Brute-force cosine top-k: fixed query set (vec_id < 5) against the
     * whole corpus. The query side is broadcast (k rows), so the corpus
