@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Analytics.defs,
     operators.TextAnalysis.defs,
     operators.Dedup.defs,
-    operators.Similarity.defs)
+    operators.Similarity.defs,
+    operators.Multimodal.defs)
 
   private lazy val all: Map[String, QueryDef] = {
     val merged = registries.flatten.toMap

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.parse.LogParse
+
+/** Structured Streaming surface: sources (S4), watermarked tumbling
+  * windows (A5), foreachBatch sinks (K1-K5, U2), and the streaming
+  * anomaly pipeline — the reference's three jobs re-hosted on one
+  * factored parse chain.
+  *
+  * Design kept from the reference because it is also the idiomatic one:
+  * batch logic (aggregation, z-score algebra) lives in pure
+  * DataFrame => DataFrame functions and is *reused inside foreachBatch*
+  * (reference: ingestor/main.py:84-97, predictions/anomaly_detection.py:17-114).
+  * Dropped from the reference: the no-op identity grouped-map
+  * (anomaly_detection.py:181-185, a crash-level bug — SURVEY.md §0.1(3));
+  * per-batch recomputation of the 7-day baseline (the baseline here is a
+  * DataFrame the caller refreshes on its own cadence and is persisted,
+  * not re-aggregated every minute — SURVEY.md §7.4 risk 5).
+  */
+object StreamPipelines {
+
+  /** S4: Kafka source, exactly the reference's options
+    * (ingestor/main.py:57-63 — latest offsets, tolerate data loss).
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** File-drop JSON-lines source — the deterministic test/dev stand-in
+    * for S1/S4 (each dropped file is a micro-batch of raw log lines).
+    * The single `value` column matches the Kafka wire shape so
+    * [[LogParse.ingestChain]] serves both.
+    */
+  def fileLinesSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir)
+
+  /** The ingest pipeline: source → parse/derive chain → sink
+    * (reference: ingestor/main.py end-to-end). `sink` is any foreachBatch
+    * body — JDBC for parity, parquet for the engine's own storage.
+    */
+  def ingest(
+      raw: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery =
+    LogParse.ingestChain(raw)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(sink)
+      .start()
+
+  /** A5 made real: per-key event-time tumbling-window counts with a
+    * late-data watermark. The reference wires watermark+window to an
+    * identity pass-through; this is the aggregation it implies.
+    * State scales with (#keys × windows-in-watermark), not stream length.
+    */
+  def windowedTraffic(
+      parsed: DataFrame,
+      keyCol: String,
+      windowLen: String = "1 minute",
+      watermark: String = "1 minute"): DataFrame =
+    parsed
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("request_count"),
+        avg(col("request_time_seconds")).as("avg_request_time"))
+
+  /** z-score classifier over per-key batch counts vs a historical
+    * baseline — the reference's foreachBatch body
+    * (predictions/anomaly_detection.py:56-75) as a pure batch function.
+    * `hist` must bear (key, avg_requests, stddev_requests); it is small
+    * (post-aggregation) → broadcast left join, no shuffle of the batch.
+    */
+  def zscoreClassify(batchCounts: DataFrame, hist: DataFrame, keyCol: String): DataFrame = {
+    val z = when(
+      col("stddev_requests").isNotNull && col("stddev_requests") > 0,
+      (col("request_count") - col("avg_requests")) / col("stddev_requests"))
+      .otherwise(lit(0.0))
+    batchCounts.join(broadcast(hist), Seq(keyCol), "left")
+      .withColumn("z_score", z)
+      .withColumn("is_anomaly",
+        abs(col("z_score")) > 3 ||
+          (col("avg_requests").isNull && col("request_count") > 100))
+      .withColumn("anomaly_reason",
+        when(col("z_score") > 3, lit("High traffic volume"))
+          .when(col("z_score") < -3, lit("Unusually low traffic"))
+          .when(col("avg_requests").isNull && col("request_count") > 100,
+            lit("New IP with high traffic"))
+          .otherwise(lit("Normal")))
+  }
+
+  /** The streaming anomaly pipeline (reference:
+    * predictions/anomaly_detection.py): parsed stream → 1-minute
+    * trigger → foreachBatch{ per-key counts → z-score vs baseline →
+    * sink anomalous rows }. The baseline DataFrame is computed ONCE by
+    * the caller (and should be persisted) — not re-aggregated per batch.
+    */
+  def anomalyPipeline(
+      parsed: DataFrame,
+      histBaseline: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    parsed.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val counts = batch.groupBy(col("remote_addr"))
+            .agg(count(lit(1)).as("request_count"),
+              avg(col("request_time_seconds")).as("avg_request_time"))
+          val scored = zscoreClassify(
+            counts.select(col("remote_addr"), col("request_count")),
+            histBaseline, "remote_addr")
+          sink(scored.filter(col("is_anomaly")), id)
+        }
+      }
+      .start()
+
+  /** K1-K3: foreachBatch JDBC append sink (the reference's only sink
+    * shape). Empty-batch short-circuit via df.isEmpty — NOT
+    * rdd.isEmpty, which forces RDD conversion (reference bug class,
+    * SURVEY.md §4.2).
+    */
+  def jdbcAppendSink(url: String, table: String,
+      props: Map[String, String] = Map.empty): (DataFrame, Long) => Unit =
+    (df, _) =>
+      if (!df.isEmpty) {
+        val w = df.write.format("jdbc")
+          .option("url", url).option("dbtable", table)
+        props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+          .mode(SaveMode.Append).save()
+      }
+
+  /** Parquet append sink — the engine's own at-rest format (columnar,
+    * date-partitionable; replaces the reference's Postgres row tables
+    * per SURVEY.md §1.4).
+    */
+  def parquetAppendSink(path: String): (DataFrame, Long) => Unit =
+    (df, _) => if (!df.isEmpty) df.write.mode(SaveMode.Append).parquet(path)
+}

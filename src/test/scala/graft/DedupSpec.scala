@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.{TextHashFunctions, SimHash}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct within 10% of exact") {
+    val exact = Dedup.exactDistinct(spark, sf).collect().head
+    val approx = Dedup.approxDistinct(spark, sf).collect().head
+    val exactUsers = exact.getAs[Long]("n_users").toDouble
+    val approxUsers = approx.getAs[Long]("approx_users").toDouble
+    assert(math.abs(approxUsers - exactUsers) / exactUsers < 0.1)
+  }
+
+  test("minhash collapses planted near-duplicate documents") {
+    // Two near-identical docs (one word changed) + unrelated docs,
+    // written to a temp parquet dir shaped like the documents table.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "en", "s", 68L),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu", "en", "s", 67L),
+      (2L, "completely different text about query engines and shuffle joins okay", "en", "s", 68L),
+      (3L, "yet another unrelated document mentioning windows and watermarks here", "en", "s", 69L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.minhashDedup(spark, dir)
+      .select("doc_id", "kept_doc_id", "is_duplicate")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+
+    val byId = out.toMap
+    assert(byId(1L) == ((0L, true)), s"doc 1 should collapse onto doc 0: ${out.toSeq}")
+    assert(byId(2L) == ((2L, false)))
+    assert(byId(3L) == ((3L, false)))
+  }
+
+  test("simhash: identical token sets get identical signatures; disjoint ones differ") {
+    TextHashFunctions.register(spark)
+    val df = Seq(
+      "spark shuffle join window",
+      "spark shuffle join window",
+      "entirely different words here altogether")
+      .toDF("text")
+      .select(TextHashFunctions.simhash(split(col("text"), " ")).as("sig"))
+    val sigs = df.as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash of near-identical docs has small hamming distance") {
+    TextHashFunctions.register(spark)
+    val words = (1 to 50).map(i => s"word$i").mkString(" ")
+    val df = Seq(words, words + " extraone").toDF("text")
+      .select(TextHashFunctions.simhash(split(col("text"), " ")).as("sig"))
+    val Array(a, b) = df.as[Long].collect()
+    val hamming = java.lang.Long.bitCount(a ^ b)
+    assert(hamming <= 8, s"hamming=$hamming")
+  }
+}

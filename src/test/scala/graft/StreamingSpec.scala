@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamPipelines
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def logLine(ts: String, addr: String, rt: String = "0.050"): String =
+    s"""{"time_iso8601": "$ts", "remote_addr": "$addr",
+       | "request": "GET /api/users/1 HTTP/1.1", "request_uri": "/api/users/1",
+       | "status": "200", "request_time": "$rt",
+       | "http_user_agent": "curl/8"}""".stripMargin.replace("\n", "")
+
+  test("ingest pipeline: memory stream -> parse chain -> foreachBatch sink") {
+    val mem = MemoryStream[String](spark)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cp = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    val q = StreamPipelines.ingest(
+      mem.toDF(),
+      (df: DataFrame, _: Long) => sunk.synchronized { sunk += df.count() },
+      cp)
+    mem.addData(
+      logLine("2025-07-25T10:00:01+00:00", "1.1.1.1"),
+      logLine("2025-07-25T10:00:02+00:00", "2.2.2.2"),
+      "garbage not json")
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.sum == 2, s"expected 2 parsed rows, got $sunk")
+  }
+
+  test("watermarked tumbling window counts per key; late row dropped") {
+    val mem = MemoryStream[String](spark)
+    val parsed = graft.parse.LogParse.ingestChain(mem.toDF())
+    val windowed = StreamPipelines.windowedTraffic(parsed, "remote_addr",
+      windowLen = "1 minute", watermark = "1 minute")
+    val q = windowed.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("win_out")
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .start()
+    // batch 1: two events in minute 10:00, one in 10:01
+    mem.addData(
+      logLine("2025-07-25T10:00:10+00:00", "a"),
+      logLine("2025-07-25T10:00:50+00:00", "a"),
+      logLine("2025-07-25T10:01:10+00:00", "a"))
+    q.processAllAvailable()
+    // batch 2: advance watermark far ahead, then a too-late row
+    mem.addData(logLine("2025-07-25T10:10:00+00:00", "b"))
+    q.processAllAvailable()
+    mem.addData(logLine("2025-07-25T10:00:30+00:00", "late")) // < watermark
+    q.processAllAvailable()
+    mem.addData(logLine("2025-07-25T10:30:00+00:00", "closer")) // close everything
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select(col("window.start").cast("string"), col("remote_addr"), col("request_count"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows.contains(("2025-07-25 10:00:00", "a", 2L)))
+    assert(rows.contains(("2025-07-25 10:01:00", "a", 1L)))
+    assert(!rows.exists(_._2 == "late"), s"late row leaked: $rows")
+  }
+
+  test("zscore classifier flags spike vs baseline and new key with high traffic") {
+    val counts = Seq(("spiky", 500L), ("normal", 10L), ("newcomer", 150L))
+      .toDF("remote_addr", "request_count")
+    val hist = Seq(("spiky", 10.0, 2.0), ("normal", 10.0, 2.0))
+      .toDF("remote_addr", "avg_requests", "stddev_requests")
+    val out = StreamPipelines.zscoreClassify(counts, hist, "remote_addr")
+      .select("remote_addr", "is_anomaly", "anomaly_reason")
+      .as[(String, Boolean, String)].collect()
+      .map { case (k, v, r) => k -> ((v, r)) }.toMap
+    assert(out("spiky") == ((true, "High traffic volume")))
+    assert(out("normal") == ((false, "Normal")))
+    assert(out("newcomer") == ((true, "New IP with high traffic")))
+  }
+}
