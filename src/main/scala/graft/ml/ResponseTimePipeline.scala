@@ -96,6 +96,31 @@ object ResponseTimePipeline {
         col("predicted_time"), col(LabelCol).as("actual_time"),
         current_timestamp().as("prediction_timestamp"))
 
+  /** M7: periodic retrain daemon (reference: background thread with
+    * sleep(3600) overwriting the saved model,
+    * predictions/response_time_prediction.py:265-274). Returns the
+    * thread so callers (and tests) can manage its lifecycle; `periodMs`
+    * is injectable for testing. Each cycle re-reads features, retrains,
+    * and overwrites the persisted model.
+    */
+  def retrainLoop(path: String, features: () => DataFrame,
+      periodMs: Long = 3600000L, cycles: Long = Long.MaxValue): Thread = {
+    val t = new Thread(() => {
+      var i = 0L
+      while (i < cycles && !Thread.currentThread().isInterrupted) {
+        try {
+          train(features()).foreach(_.write.overwrite().save(path))
+        } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+        i += 1
+        if (i < cycles) try Thread.sleep(periodMs)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      }
+    }, "graft-retrain")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
   def rmse(predictions: DataFrame): Double =
     new RegressionEvaluator()
       .setLabelCol("actual_time")

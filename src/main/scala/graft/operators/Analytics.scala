@@ -358,6 +358,25 @@ object Analytics {
     both.union(onlyHi).orderBy(col("set_op"), col("user_id"))
   }
 
+  /** S6: the SQL query surface (the reference's documented
+    * Hive-external-table-over-parquet path, README.md:7-11): tables
+    * registered as views, query written in the ANSI subset both Spark
+    * and DuckDB parse — the oracle runs the IDENTICAL string.
+    */
+  val SqlDashboardText: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  count(*) AS n_events,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+      |  round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  def sqlInterface(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql(SqlDashboardText)
+  }
+
   // --- registry ---
 
   val defs: Map[String, QueryDef] = Map(
@@ -378,5 +397,6 @@ object Analytics {
     "q_traffic_forecast" -> QueryDef(trafficForecast, Some(OracleSql.trafficForecast)),
     "q_revenue_by_region" -> QueryDef(revenueByRegion, Some(OracleSql.revenueByRegion)),
     "q_customer_revenue" -> QueryDef(customerRevenue, Some(OracleSql.customerRevenue)),
-    "q_set_ops"          -> QueryDef(setOpsNewUsers, Some(OracleSql.setOps)))
+    "q_set_ops"          -> QueryDef(setOpsNewUsers, Some(OracleSql.setOps)),
+    "q_sql_dashboard"    -> QueryDef(sqlInterface, Some(SqlDashboardText)))
 }

@@ -150,4 +150,44 @@ object StreamPipelines {
     */
   def parquetAppendSink(path: String): (DataFrame, Long) => Unit =
     (df, _) => if (!df.isEmpty) df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S3: Kafka sink — JSON-serialize every column into the Kafka value
+    * (reference: producer/main.py:71 json.dumps + send). Works for both
+    * `write` and `writeStream` callers via the returned value column.
+    */
+  def toKafkaValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  def kafkaStreamSink(df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    toKafkaValue(df).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** Custom keyed state (the capability slot the reference fills with
+    * foreachBatch-only processing — SURVEY.md §2.8): running per-key
+    * totals via mapGroupsWithState. State is one (count, sum) pair per
+    * key — bounded by key cardinality, not stream length.
+    */
+  def runningTrafficTotals(
+      parsed: DataFrame): org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import parsed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    parsed
+      .select(col("remote_addr"),
+        coalesce(col("request_time_seconds"), lit(0.0)).as("rt"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (String, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (key, n, s)
+      }
+  }
 }

@@ -51,6 +51,15 @@ class MlSpec extends SparkSpec {
     assert(m2.nonEmpty)
   }
 
+  test("retrain loop overwrites the persisted model each cycle") {
+    val path = java.nio.file.Files.createTempDirectory("graft-model3").toString + "/m"
+    val t = ResponseTimePipeline.retrainLoop(path, () => feats, periodMs = 10, cycles = 1)
+    t.join(120000)
+    assert(!t.isAlive)
+    val m = org.apache.spark.ml.PipelineModel.load(path)
+    assert(ResponseTimePipeline.rmse(ResponseTimePipeline.predict(m, feats)) < 0.05)
+  }
+
   test("feature projection applies UNKNOWN-country default and filters") {
     val parsed = Seq(
       ("users", "GET", null.asInstanceOf[String], "512", 200, 0.1, "2025-07-25T10:00:00+00:00"),

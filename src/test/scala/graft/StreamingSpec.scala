@@ -65,6 +65,28 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._2 == "late"), s"late row leaked: $rows")
   }
 
+  test("mapGroupsWithState keeps running per-key totals across batches") {
+    val mem = MemoryStream[String](spark)
+    val parsed = graft.parse.LogParse.ingestChain(mem.toDF())
+    val q = StreamPipelines.runningTrafficTotals(parsed)
+      .toDF("remote_addr", "n", "total_rt")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("state_out")
+      .start()
+    mem.addData(logLine("2025-07-25T10:00:01+00:00", "x", "0.100"))
+    q.processAllAvailable()
+    mem.addData(logLine("2025-07-25T10:00:02+00:00", "x", "0.300"))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("state_out")
+      .filter(col("remote_addr") === "x")
+      .orderBy(col("n").desc)
+      .select("n", "total_rt").as[(Long, Double)].collect().head
+    assert(last._1 == 2L && math.abs(last._2 - 0.4) < 1e-9)
+  }
+
   test("zscore classifier flags spike vs baseline and new key with high traffic") {
     val counts = Seq(("spiky", 500L), ("normal", 10L), ("newcomer", 150L))
       .toDF("remote_addr", "request_count")
