@@ -111,10 +111,52 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** IVF (inverted-file) top-k: KMeans coarse quantizer (fixed seed) →
+    * every vector assigned to its nearest centroid → queries search only
+    * their `nprobe` nearest cells. The cross join is query × cell-subset
+    * instead of query × corpus: at 100 TB the corpus is bucketed by
+    * cell id (one shuffle at index-build time, amortized over queries)
+    * and each query touches nprobe/k of the data. Rows-only check; the
+    * spec asserts recall against [[bruteTopK]].
+    */
+  def ivfTopK(s: SparkSession, d: String, k: Int = 8, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.clustering.KMeans
+    val v = vecs(s, d).withColumn("fv", array_to_vector(col("v")))
+    val km = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(v)
+    val assigned = model.transform(v).select(col("vec_id"), col("v"), col("cell"))
+
+    // centroids as a small DataFrame (k rows) — broadcast everywhere
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val cdf = s.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
+
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // nprobe nearest cells per query (k × |q| tiny cross join)
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cdist", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK)),
     "q_embedding_neardup" -> QueryDef(nearDupPairs, Some(SimilarityOracles.nearDupPairs)),
-    "q_embedding_lsh"     -> QueryDef(lshNearDup, None))
+    "q_embedding_lsh"     -> QueryDef(lshNearDup, None),
+    "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), None))
 }
 
 /** DuckDB oracles — cosine via explicit DOUBLE list arithmetic

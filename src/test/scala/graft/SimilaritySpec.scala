@@ -47,6 +47,15 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), s"planted pair not found; got $pairs")
   }
 
+  test("IVF topk achieves high recall vs brute force on the fixture") {
+    val exact = graft.operators.Similarity.bruteTopK(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.operators.Similarity.ivfTopK(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall exact=$exact ivf=$ivf")
+  }
+
   test("brute-force topk ranks the planted duplicate first") {
     val dim = 64
     def vec(seed: Long, jitter: Double): Array[Float] =
