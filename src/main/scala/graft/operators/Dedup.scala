@@ -111,17 +111,15 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // exact-Jaccard verification, candidates only
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("g"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("g"))
-    val interCnt = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-    val verified = interCnt
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= 0.5)
+    // exact-Jaccard verification, candidates only: join the candidate
+    // pairs back to their texts, one-pass set-Jaccard per pair (native
+    // expression) — cost ∝ #candidates.
+    graft.functions.NgramJaccardFunctions.register(s)
+    val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val verified = cand
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .filter(graft.functions.NgramJaccardFunctions.jaccard3(col("text_a"), col("text_b")) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
 
     // canonical id: min over verified neighbors (one hop) ∪ self
@@ -162,26 +160,27 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity, blocked on (lang, n_chars): the
-    * DuckDB-checkable exact baseline for the fuzzy methods. Join is on
-    * shingle equality within blocks — never a cross product.
+    * DuckDB-checkable exact baseline for the fuzzy methods.
+    *
+    * Shape: equality join of documents on the blocking key (bounded
+    * block sizes → bounded pair counts, never a cross product), then
+    * per-pair one-pass verification via the native
+    * [[graft.functions.NgramJaccard]] expression. Cost scales with the
+    * number of candidate pairs, not with the corpus shingle volume —
+    * the property that carries to 100 TB, where the blocking key is
+    * replaced by MinHash band keys ([[minhashDedup]]).
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Join/shuffle on xxhash64(shingle), not the shingle string: 8-byte
-    // fixed-width keys instead of variable-length UTF8 — same
-    // intersection counts (a 64-bit collision *within a block* would be
-    // needed to differ; with ~2M distinct shingles that is ~1e-10).
-    val sh = charShingles(Tables.documents(s, d))
-      .select(col("doc_id"), col("lang"), col("n_chars"), xxhash64(col("g")).as("g"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars"), col("g"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("n_chars"), col("g"))
-    val inter = a.join(b, Seq("lang", "n_chars", "g"))
+    graft.functions.NgramJaccardFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars"),
+      col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("n_chars"),
+      col("text").as("text_b"))
+    a.join(b, Seq("lang", "n_chars"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .withColumn("jaccard",
+        round(graft.functions.NgramJaccardFunctions.jaccard3(col("text_a"), col("text_b")), 4))
       .filter(col("jaccard") >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
