@@ -1,0 +1,43 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Columnar at-rest storage for log/event tables.
+  *
+  * The reference stores rows in Postgres and serves time/endpoint/IP
+  * access paths with btree indexes (postgres/init.sql:80-84). The
+  * engine inverts that (SURVEY.md §1.4): parquet at rest,
+  * date-partitioned so Catalyst partition pruning replaces the
+  * timestamp index, with parquet row-group min/max skipping standing in
+  * for the rest. At 100 TB this layout is the difference between
+  * scanning a day and scanning a year.
+  *
+  * Bucketing: [[writeBucketed]] persists a table pre-hashed on a join
+  * key; equi-joins between tables bucketed on the same key by the same
+  * count execute with NO shuffle exchange (verified in LayoutSpec).
+  */
+object LogStore {
+
+  /** Append `df` date-partitioned by its `tsCol` (day granularity). */
+  def writePartitioned(df: DataFrame, path: String, tsCol: String = "timestamp"): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Append)
+      .partitionBy("event_date")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Persist as a bucketed+sorted managed table (in-session catalog).
+    * Joins/aggregations on `bucketCol` against co-bucketed tables need
+    * no exchange.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}
