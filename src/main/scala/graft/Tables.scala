@@ -30,8 +30,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Restore time-range pushdown through the conversion (see
-    // graft.plans.NanosPushdown). Assignment is idempotent.
-    s.experimental.extraOptimizations = Seq(graft.plans.NanosPushdown)
+    // graft.plans.NanosPushdown). Append-if-absent so caller-installed
+    // rules survive.
+    if (!s.experimental.extraOptimizations.contains(graft.plans.NanosPushdown))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.NanosPushdown
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000L")))

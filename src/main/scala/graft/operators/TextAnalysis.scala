@@ -65,6 +65,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-ish subword token counting: alpha runs, digit runs, and single
+    * non-alphanumeric marks — the regex shape byte-pair tokenizers
+    * reduce to before merges. Pattern restricted to the dialect-safe
+    * subset (identical semantics in Java regex and RE2/DuckDB).
+    */
+  def bpeTokenCount(s: SparkSession, d: String): DataFrame = {
+    val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    Tables.documents(s, d)
+      .select(col("source"),
+        regexp_count(col("text"), lit(pat)).as("toks"),
+        nTokens.as("ws_toks"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("toks")).as("n_bpe_tokens"),
+        sum(col("ws_toks")).as("n_ws_tokens"),
+        round(avg(col("toks")), 4).as("avg_bpe_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Marker-based language ID: count language-specific stopword hits,
     * argmax with a fixed precedence tie-break. (A real n-gram LM is a
     * model artifact; the heuristic is the deterministic, SQL-checkable
@@ -108,6 +127,7 @@ object TextAnalysis {
 
   val defs: Map[String, QueryDef] = Map(
     "q_token_count"  -> QueryDef(tokenCount, Some(TextOracles.tokenCount)),
+    "q_bpe_token_count" -> QueryDef(bpeTokenCount, Some(TextOracles.bpeTokenCount)),
     "q_text_quality" -> QueryDef(textQuality, Some(TextOracles.textQuality)),
     "q_lang_id"      -> QueryDef(langId, Some(TextOracles.langId)),
     "q_doc_fingerprint" -> QueryDef(docFingerprint, Some(TextOracles.docFingerprint)))
@@ -126,6 +146,15 @@ object TextOracles {
        |  CAST(sum($nTokensSql) AS BIGINT) AS n_tokens,
        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
        |  round(avg($nTokensSql), 4) AS avg_tokens_per_doc
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  val bpeTokenCount: String =
+    s"""SELECT source,
+       |  CAST(sum(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum($nTokensSql) AS BIGINT) AS n_ws_tokens,
+       |  round(avg(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))), 4) AS avg_bpe_tokens
        |FROM documents
        |GROUP BY source
        |ORDER BY source""".stripMargin
