@@ -358,6 +358,23 @@ object Analytics {
     both.union(onlyHi).orderBy(col("set_op"), col("user_id"))
   }
 
+  /** Latency percentiles per category — the p50/p95/p99 dashboard core
+    * of log analytics (absent from the reference's query set, implied by
+    * its Superset serving layer). Exact interpolated percentiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`); at 100 TB swap in
+    * `approx_percentile` (mergeable sketch, no per-group sort buffer) —
+    * kept exact here because exactness is what the oracle can check.
+    */
+  def latencyPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** S6: the SQL query surface (the reference's documented
     * Hive-external-table-over-parquet path, README.md:7-11): tables
     * registered as views, query written in the ANSI subset both Spark
@@ -398,5 +415,6 @@ object Analytics {
     "q_revenue_by_region" -> QueryDef(revenueByRegion, Some(OracleSql.revenueByRegion)),
     "q_customer_revenue" -> QueryDef(customerRevenue, Some(OracleSql.customerRevenue)),
     "q_set_ops"          -> QueryDef(setOpsNewUsers, Some(OracleSql.setOps)),
-    "q_sql_dashboard"    -> QueryDef(sqlInterface, Some(SqlDashboardText)))
+    "q_sql_dashboard"    -> QueryDef(sqlInterface, Some(SqlDashboardText)),
+    "q_latency_percentiles" -> QueryDef(latencyPercentiles, Some(OracleSql.latencyPercentiles)))
 }

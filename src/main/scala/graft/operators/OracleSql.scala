@@ -219,6 +219,16 @@ object OracleSql {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  val latencyPercentiles: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95,
+      |  round(quantile_cont(value, 0.99), 4) AS p99,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val setOps: String =
     """WITH high AS (SELECT DISTINCT user_id FROM events WHERE value >= 180),
       |err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
