@@ -34,6 +34,25 @@ object Analytics {
   private val CurrentStart = "2024-01-30 00:00:00"
   private val HistStart    = "2024-01-23 00:00:00"
 
+  // --- exact fixed-decimal aggregation -------------------------------
+  // The measure/money columns carry exactly 2 decimals. Summing them as
+  // doubles is order-dependent in the last ulp, and at sf0.1 several
+  // round(4) group averages landed exactly on rounding boundaries where
+  // Spark and DuckDB disagree (Spark rounds the shortest decimal string
+  // of the double, DuckDB rounds the binary value). So: aggregate
+  // round(x*scale) AS LONG — exact, order-independent, identical in both
+  // engines — then divide the exact integer by an exact double scale and
+  // DO NOT round: integer→double conversion and IEEE division are
+  // bit-deterministic, so both engines emit the identical double and no
+  // rounding boundary exists. Scale 100 for 2-decimal columns, 10000
+  // for products of two of them (sums stay < 2^53 through sf1).
+  private def asScaled(c: Column, scale: Int): Column =
+    round(c * scale, 0).cast("long")
+  private def exactSum(c: Column, scale: Int): Column =
+    sum(asScaled(c, scale)) / lit(scale.toDouble)
+  private def exactAvg(c: Column, scale: Int): Column =
+    sum(asScaled(c, scale)) / (count(lit(1)) * lit(scale.toDouble))
+
   // --- q1: TPC-H-Q1-style scan+aggregate (A1/A3 analogue on lineitem) ---
   // Wide-row scan feeding a low-cardinality hash aggregate: partial agg
   // happens map-side, so the shuffle carries ~#groups rows, not #input.
@@ -41,10 +60,10 @@ object Analytics {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        exactSum(col("l_quantity"), 100).as("sum_qty"),
+        exactSum(col("l_extendedprice"), 100).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("sum_disc_price"),
+        exactAvg(col("l_discount"), 100).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -59,7 +78,7 @@ object Analytics {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(
         count(lit(1)).as("requests"),
-        round(avg(col("value")), 4).as("avg_value"))
+        exactAvg(col("value"), 100).as("avg_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Per-key traffic stats over the full range — reference A1
@@ -71,7 +90,7 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("request_count"),
-        round(avg(col("value")), 4).as("avg_request_time"))
+        exactAvg(col("value"), 100).as("avg_request_time"))
       .orderBy(col("user_id"))
 
   /** Two-level time-bucketed aggregate — reference A3, the SQL the
@@ -118,29 +137,16 @@ object Analytics {
   /** Full z-score classifier — reference
     * predictions/anomaly_detection.py:56-75 (left join J1 keeps
     * never-seen keys with NULL history → "new IP" rule; z-score column
-    * algebra P7-P10). Both join sides are post-aggregation (≤ #keys
-    * rows): Catalyst broadcasts the smaller side — no sort-merge shuffle.
+    * algebra P7-P10). The algebra is single-sourced in
+    * [[graft.streaming.StreamPipelines.zscoreClassify]] (the same
+    * function the streaming pipeline runs per micro-batch); hist is
+    * post-aggregation-small → broadcast, no sort-merge shuffle.
     * Threshold |z|>3 or new key with >100 requests/bucket, reason labels
     * as in the reference (:64-74).
     */
-  def zscoreAnomaly(s: SparkSession, d: String): DataFrame = {
-    val cur  = currentCounts(s, d)
-    val hist = histStatsRaw(s, d)
-    val z = when(
-      col("stddev_requests").isNotNull && col("stddev_requests") > 0,
-      (col("request_count") - col("avg_requests")) / col("stddev_requests"))
-      .otherwise(lit(0.0))
-    cur.join(hist, Seq("user_id"), "left")
-      .withColumn("z_score", z)
-      .withColumn("is_anomaly",
-        abs(col("z_score")) > 3 ||
-          (col("avg_requests").isNull && col("request_count") > 100))
-      .withColumn("anomaly_reason",
-        when(col("z_score") > 3, lit("High traffic volume"))
-          .when(col("z_score") < -3, lit("Unusually low traffic"))
-          .when(col("avg_requests").isNull && col("request_count") > 100,
-            lit("New IP with high traffic"))
-          .otherwise(lit("Normal")))
+  def zscoreAnomaly(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamPipelines
+      .zscoreClassify(currentCounts(s, d), histStatsRaw(s, d), "user_id")
       .select(
         col("user_id"), col("hour"), col("request_count"),
         round(col("avg_requests"), 4).as("avg_requests"),
@@ -148,7 +154,6 @@ object Analytics {
         round(col("z_score"), 4).as("z_score"),
         col("is_anomaly"), col("anomaly_reason"))
       .orderBy(col("user_id"), col("hour"))
-  }
 
   /** Anomalous keys only (reference filter :75 `is_anomaly == True`). */
   private def anomalousKeys(s: SparkSession, d: String): DataFrame =
@@ -219,7 +224,7 @@ object Analytics {
   def topEventTypes(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("cnt"), exactSum(col("value"), 100).as("total_value"))
       .orderBy(col("cnt").desc, col("event_type"))
       .limit(3)
 
@@ -327,7 +332,7 @@ object Analytics {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"))
 
@@ -341,7 +346,7 @@ object Analytics {
       .groupBy(col("c_mktsegment"), col("n_name"))
       .agg(
         countDistinct(col("o_orderkey")).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        exactSum(col("o_totalprice"), 100).as("revenue"))
       .orderBy(col("c_mktsegment"), col("n_name"))
 
   /** Set operations (absent from reference, SURVEY.md §2.6): keys seen in
@@ -384,7 +389,7 @@ object Analytics {
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
       |  count(*) AS n_events,
       |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
-      |  round(avg(value), 4) AS avg_value
+      |  sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100e0) AS avg_value
       |FROM events
       |GROUP BY 1
       |ORDER BY 1""".stripMargin

@@ -11,10 +11,10 @@ object OracleSql {
 
   val q1LineitemAgg: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100e0 AS sum_qty,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100e0 AS sum_base_price,
+      |  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000e0 AS sum_disc_price,
+      |  sum(CAST(round(l_discount * 100) AS BIGINT)) / (count(*) * 100e0) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -23,7 +23,7 @@ object OracleSql {
   val hourlyTraffic: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |  count(*) AS requests,
-      |  round(avg(value), 4) AS avg_value
+      |  sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100e0) AS avg_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
@@ -31,7 +31,7 @@ object OracleSql {
   val trafficStats: String =
     """SELECT user_id,
       |  count(*) AS request_count,
-      |  round(avg(value), 4) AS avg_request_time
+      |  sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100e0) AS avg_request_time
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
@@ -131,7 +131,8 @@ object OracleSql {
       |LIMIT 100000""".stripMargin
 
   val topEventTypes: String =
-    """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+    """SELECT event_type, count(*) AS cnt,
+      |  sum(CAST(round(value * 100) AS BIGINT)) / 100e0 AS total_value
       |FROM events
       |GROUP BY event_type
       |ORDER BY cnt DESC, event_type
@@ -200,7 +201,7 @@ object OracleSql {
 
   val revenueByRegion: String =
     """SELECT r_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000e0 AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -212,7 +213,7 @@ object OracleSql {
   val customerRevenue: String =
     """SELECT c_mktsegment, n_name,
       |  count(DISTINCT o_orderkey) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS revenue
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100e0 AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
