@@ -363,6 +363,38 @@ object Analytics {
     both.union(onlyHi).orderBy(col("set_op"), col("user_id"))
   }
 
+  /** Interval (range) self-join: pairs of events from the same user
+    * within 5 minutes — correlated-request detection. The equi-key
+    * (user_id) bounds the join; the range predicate rides along inside
+    * the sort-merge join, so cost is per-user-group, not quadratic.
+    * (A pure range join with no equi-key would get time-bin bucketing
+    * as the equality key — same blocking pattern as the dedup family.)
+    */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val a = ev.select(col("user_id"), col("event_id").as("event_a"), col("ts").as("ts_a"))
+    val b = ev.select(col("user_id"), col("event_id").as("event_b"), col("ts").as("ts_b"))
+    a.join(b, Seq("user_id"))
+      .where(col("event_a") < col("event_b") &&
+        col("ts_b") >= col("ts_a") &&
+        unix_micros(col("ts_b")) - unix_micros(col("ts_a")) <= 300L * 1000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_close_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ROLLUP aggregation (absent from the reference, SURVEY.md §2.5
+    * "no grouping sets"): traffic by (event_type, day) with subtotal and
+    * grand-total rows. NULL ordering pinned explicitly — Spark defaults
+    * NULLS FIRST, DuckDB NULLS LAST.
+    */
+  def rollupTraffic(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), exactAvg(col("value"), 100).as("avg_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
   /** Latency percentiles per category — the p50/p95/p99 dashboard core
     * of log analytics (absent from the reference's query set, implied by
     * its Superset serving layer). Exact interpolated percentiles
@@ -421,5 +453,7 @@ object Analytics {
     "q_customer_revenue" -> QueryDef(customerRevenue, Some(OracleSql.customerRevenue)),
     "q_set_ops"          -> QueryDef(setOpsNewUsers, Some(OracleSql.setOps)),
     "q_sql_dashboard"    -> QueryDef(sqlInterface, Some(SqlDashboardText)),
-    "q_latency_percentiles" -> QueryDef(latencyPercentiles, Some(OracleSql.latencyPercentiles)))
+    "q_latency_percentiles" -> QueryDef(latencyPercentiles, Some(OracleSql.latencyPercentiles)),
+    "q_interval_join"    -> QueryDef(intervalJoin, Some(OracleSql.intervalJoin)),
+    "q_rollup_traffic"   -> QueryDef(rollupTraffic, Some(OracleSql.rollupTraffic)))
 }

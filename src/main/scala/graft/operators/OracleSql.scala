@@ -220,6 +220,25 @@ object OracleSql {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  val intervalJoin: String =
+    """SELECT a.user_id,
+      |  count(*) AS n_close_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_id < b.event_id
+      | AND b.ts >= a.ts
+      | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  val rollupTraffic: String =
+    """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  count(*) AS n,
+      |  sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100e0) AS avg_value
+      |FROM events
+      |GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
+      |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
   val latencyPercentiles: String =
     """SELECT event_type,
       |  round(quantile_cont(value, 0.5), 4) AS p50,
