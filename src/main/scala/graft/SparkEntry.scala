@@ -21,7 +21,8 @@ object SparkEntry {
     operators.TextAnalysis.defs,
     operators.Dedup.defs,
     operators.Similarity.defs,
-    operators.Multimodal.defs)
+    operators.Multimodal.defs,
+    operators.TypedSessions.defs)
 
   private lazy val all: Map[String, QueryDef] = {
     val merged = registries.flatten.toMap

@@ -23,6 +23,17 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(empty.isEmpty, s"empty results at sf0.001: $empty")
   }
 
+  test("typed sessionization agrees with the window-function formulation") {
+    import org.apache.spark.sql.functions._
+    val fromWindows = operators.Analytics.sessionStats(spark, sf)
+      .select("user_id", "n_sessions").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromTyped = operators.TypedSessions.sessionize(spark, sf)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromTyped == fromWindows)
+  }
+
   test("query outputs are deterministic across runs") {
     for ((name, fn) <- SparkEntry.queries if name != "q_approx_distinct") {
       val a = fn(spark, sf).collect().toSeq
