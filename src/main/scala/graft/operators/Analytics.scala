@@ -412,6 +412,22 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** The scale path for [[latencyPercentiles]]: approx_percentile is a
+    * mergeable sketch — constant memory per partition, no per-group
+    * value buffer. No oracle (DuckDB's t-digest differs); the spec
+    * bounds its error against the exact version.
+    */
+  def latencyPercentilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        col("pcts")(0).as("p50"), col("pcts")(1).as("p95"), col("pcts")(2).as("p99"),
+        col("n"))
+      .orderBy(col("event_type"))
+
   /** S6: the SQL query surface (the reference's documented
     * Hive-external-table-over-parquet path, README.md:7-11): tables
     * registered as views, query written in the ANSI subset both Spark
@@ -455,5 +471,6 @@ object Analytics {
     "q_sql_dashboard"    -> QueryDef(sqlInterface, Some(SqlDashboardText)),
     "q_latency_percentiles" -> QueryDef(latencyPercentiles, Some(OracleSql.latencyPercentiles)),
     "q_interval_join"    -> QueryDef(intervalJoin, Some(OracleSql.intervalJoin)),
-    "q_rollup_traffic"   -> QueryDef(rollupTraffic, Some(OracleSql.rollupTraffic)))
+    "q_rollup_traffic"   -> QueryDef(rollupTraffic, Some(OracleSql.rollupTraffic)),
+    "q_latency_percentiles_approx" -> QueryDef(latencyPercentilesApprox, None))
 }
