@@ -87,6 +87,44 @@ class StreamingSpec extends SparkSpec {
     assert(last._1 == 2L && math.abs(last._2 - 0.4) < 1e-9)
   }
 
+  test("anomaly pipeline end-to-end: stream batch vs baseline -> sink gets the spike") {
+    val mem = MemoryStream[String](spark)
+    val parsed = graft.parse.LogParse.ingestChain(mem.toDF())
+    val hist = Seq(("9.9.9.9", 2.0, 0.5), ("8.8.8.8", 50.0, 10.0))
+      .toDF("remote_addr", "avg_requests", "stddev_requests")
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val cp = java.nio.file.Files.createTempDirectory("graft-anom-cp").toString
+    val q = StreamPipelines.anomalyPipeline(parsed, hist,
+      (df, _) => sunk.synchronized {
+        sunk ++= df.select("remote_addr", "anomaly_reason")
+          .as[(String, String)].collect()
+      },
+      cp, trigger = Trigger.ProcessingTime("0 seconds"))
+    // 9.9.9.9 spikes (8 reqs vs 2±0.5 → z=12); 8.8.8.8 stays normal (45 vs 50±10)
+    val lines =
+      (1 to 8).map(i => logLine(f"2025-07-25T10:00:$i%02d+00:00", "9.9.9.9")) ++
+        (1 to 45).map(i => logLine(f"2025-07-25T10:01:${i % 60}%02d+00:00", "8.8.8.8"))
+    mem.addData(lines: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.toSet == Set(("9.9.9.9", "High traffic volume")), sunk.toString)
+  }
+
+  test("kafka value serialization round-trips through the parse chain") {
+    val original = Seq(
+      logLine("2025-07-25T10:00:01+00:00", "7.7.7.7", "0.123"))
+      .toDF("value")
+    val parsedOnce = graft.parse.LogParse.ingestChain(original)
+    // serialize all 38+derived columns to a Kafka value, re-parse the wire format
+    val wire = StreamPipelines.toKafkaValue(parsedOnce)
+    val reparsed = graft.parse.LogParse.ingestChain(wire)
+    val a = parsedOnce.select("remote_addr", "request_time_seconds", "endpoint")
+      .as[(String, Double, String)].collect().toSeq
+    val b = reparsed.select("remote_addr", "request_time_seconds", "endpoint")
+      .as[(String, Double, String)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("zscore classifier flags spike vs baseline and new key with high traffic") {
     val counts = Seq(("spiky", 500L), ("normal", 10L), ("newcomer", 150L))
       .toDF("remote_addr", "request_count")
