@@ -29,6 +29,26 @@ object LogStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact one date partition: streaming appends leave one small file
+    * per micro-batch per partition, and at 100 TB the file count — not
+    * the byte count — kills scan planning. Rewrites the partition into
+    * ~`targetRows`-row files (row-count proxy for target file size) via
+    * an atomic-enough overwrite of just that partition directory.
+    */
+  def compactPartition(spark: SparkSession, path: String, date: String,
+      targetRows: Long = 1000000L): Unit = {
+    val part = spark.read.parquet(s"$path/event_date=$date")
+    val n = part.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    val tmp = s"$path/.compact_tmp_event_date=$date"
+    part.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/event_date=$date")
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Persist as a bucketed+sorted managed table (in-session catalog).
     * Joins/aggregations on `bucketCol` against co-bucketed tables need
     * no exchange.

@@ -26,6 +26,23 @@ class LayoutSpec extends SparkSpec {
     assert(n > 0 && n < all, s"$n vs $all")
   }
 
+  test("partition compaction merges micro-batch files, preserving rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/logs"
+    val df = Tables.events(spark, sf).withColumnRenamed("ts", "timestamp")
+      .filter(col("timestamp") >= "2024-01-15 00:00:00" &&
+        col("timestamp") < "2024-01-16 00:00:00")
+    // simulate 5 micro-batch appends → ≥5 files in the partition
+    (1 to 5).foreach(_ => LogStore.writePartitioned(df, dir))
+    def partFiles() = new java.io.File(s"$dir/event_date=2024-01-15")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = partFiles()
+    val rowsBefore = LogStore.read(spark, dir).count()
+    assert(before >= 5)
+    LogStore.compactPartition(spark, dir, "2024-01-15")
+    assert(partFiles() == 1)
+    assert(LogStore.read(spark, dir).count() == rowsBefore)
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     val ev = Tables.events(spark, sf)
     LogStore.writeBucketed(ev.select("event_id", "user_id", "value"), "ev_a", "user_id")
