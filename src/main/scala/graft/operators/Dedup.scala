@@ -71,21 +71,25 @@ object Dedup {
           .as("g"))
       .distinct()
 
-  /** MinHash + LSH banded dedup.
-    *
-    * Pipeline: distinct shingles → H=12 minhash values per doc
-    * (min over xxhash64(shingle, seed)) → 4 bands × 3 rows → equality
-    * self-join on (band, band-signature) → candidate pairs → exact
-    * Jaccard verification (intersection of shingle sets over candidates
-    * only) → per-doc canonical id (min over verified neighbors).
-    *
-    * Output is per-document (doc_id, kept_doc_id, is_duplicate,
-    * n_candidates) — rows-only check (hash seeds are engine-specific;
-    * the ScalaTest spec asserts planted duplicates collapse).
+  // --- MinHash + LSH banded dedup -------------------------------------
+  // Pipeline: distinct shingles → 16 minhash values per doc (min over
+  // xxhash64(shingle, seed), all in one aggregation pass) → 8 bands ×
+  // 2 rows → equality self-join on (band, band-signature) → candidate
+  // pairs → exact Jaccard verification on candidates only → per-doc
+  // canonical id (min over verified neighbors). Output is per-document
+  // (doc_id, kept_doc_id, is_duplicate, n_candidates) — rows-only check
+  // (hash seeds are engine-specific); the specs assert planted
+  // duplicates collapse AND measured candidate recall vs the exact
+  // Jaccard baseline.
+
+  /** LSH candidate pairs only (exposed for the recall spec). Banding
+    * 16 hashes into 8 bands × 2 rows gives candidate probability
+    * 1-(1-j²)⁸ ≈ 0.90 at Jaccard 0.5 (the dedup threshold) — the prior
+    * 4×3 banding had only ≈ 0.41 there.
     */
-  def minhashDedup(s: SparkSession, d: String): DataFrame = {
-    val H = 12
-    val bands = 4
+  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val H = 16
+    val bands = 8
     val rowsPerBand = H / bands
 
     val sh = charShingles(Tables.documents(s, d)).select(col("doc_id"), col("g"))
@@ -105,11 +109,15 @@ object Dedup {
       .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"bk$b")): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val cand = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minhashDedup(s: SparkSession, d: String): DataFrame = {
+    val cand = minhashCandidatePairs(s, d)
 
     // exact-Jaccard verification, candidates only: join the candidate
     // pairs back to their texts, one-pass set-Jaccard per pair (native

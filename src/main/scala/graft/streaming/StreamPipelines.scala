@@ -46,19 +46,33 @@ object StreamPipelines {
   /** The ingest pipeline: source → parse/derive chain → sink
     * (reference: ingestor/main.py end-to-end). `sink` is any foreachBatch
     * body — JDBC for parity, parquet for the engine's own storage.
+    *
+    * `dedupeWindow`: the reference's checkpoint+append-sink combination
+    * is at-least-once — replays duplicate rows into raw_logs
+    * (SURVEY.md §4.1). Setting a window enables watermarked
+    * `dropDuplicates` on request_id: each id is delivered once as long
+    * as its duplicates arrive within the window; state is bounded by
+    * (ids per window), dropped as the watermark passes.
     */
   def ingest(
       raw: DataFrame,
       sink: (DataFrame, Long) => Unit,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery =
-    LogParse.ingestChain(raw)
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
+      dedupeWindow: Option[String] = None): StreamingQuery = {
+    val parsed = LogParse.ingestChain(raw)
+    val deduped = dedupeWindow.fold(parsed) { w =>
+      parsed.withWatermark("timestamp", w)
+        .dropDuplicates("request_id", "timestamp")
+    }
+    deduped
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch(sink)
       .start()
+  }
 
   /** A5 made real: per-key event-time tumbling-window counts with a
     * late-data watermark. The reference wires watermark+window to an

@@ -36,6 +36,21 @@ class DedupSpec extends SparkSpec {
     assert(byId(3L) == ((3L, false)))
   }
 
+  test("minhash candidate recall >= 0.8 against exact Jaccard >= 0.5 pairs") {
+    // sf0.01's documents table has real near-dup pairs (char-3 Jaccard
+    // up to ~0.65); banding 8x2 predicts >= 1-(1-0.25)^8 ≈ 0.90
+    // candidate probability at j=0.5.
+    val d = "/root/testdata/sf0.01"
+    val exactPairs = Dedup.ngramJaccard(spark, d)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assume(exactPairs.nonEmpty)
+    val cand = Dedup.minhashCandidatePairs(spark, d)
+      .as[(Long, Long)].collect().toSet
+    val recall = (exactPairs intersect cand).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall=$recall over ${exactPairs.size} exact pairs")
+  }
+
   test("simhash: identical token sets get identical signatures; disjoint ones differ") {
     TextHashFunctions.register(spark)
     val df = Seq(

@@ -87,6 +87,29 @@ class StreamingSpec extends SparkSpec {
     assert(last._1 == 2L && math.abs(last._2 - 0.4) < 1e-9)
   }
 
+  test("ingest with dedupe window drops replayed duplicate request_ids") {
+    val mem = MemoryStream[String](spark)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cp = java.nio.file.Files.createTempDirectory("graft-dedup-cp").toString
+    def line(id: String) =
+      s"""{"time_iso8601": "2025-07-25T10:00:01+00:00", "remote_addr": "1.1.1.1",
+         | "request": "GET /a/b HTTP/1.1", "request_uri": "/a/b", "status": "200",
+         | "request_time": "0.05", "http_user_agent": "t",
+         | "request_id": "$id"}""".stripMargin.replace("\n", "")
+    val q = StreamPipelines.ingest(
+      mem.toDF(),
+      (df, _) => sunk.synchronized {
+        sunk ++= df.select("request_id").as[String].collect()
+      },
+      cp, dedupeWindow = Some("10 minutes"))
+    mem.addData(line("r1"), line("r1"), line("r2"))
+    q.processAllAvailable()
+    mem.addData(line("r1"), line("r3")) // replayed duplicate in a later batch
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.sorted == Seq("r1", "r2", "r3"), sunk.toString)
+  }
+
   test("anomaly pipeline end-to-end: stream batch vs baseline -> sink gets the spike") {
     val mem = MemoryStream[String](spark)
     val parsed = graft.parse.LogParse.ingestChain(mem.toDF())
