@@ -180,6 +180,32 @@ object StreamPipelines {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** Stream-stream interval join: every request joined to the 5xx
+    * errors its client produced within the next `window` — the
+    * streaming counterpart of [[graft.operators.Analytics.intervalJoin]].
+    * Both sides carry watermarks and the join condition bounds event
+    * time on both ends, so each side's state buffer is trimmed to the
+    * window as watermarks advance (unbounded state otherwise).
+    */
+  def requestsWithSubsequentErrors(
+      requests: DataFrame, errors: DataFrame,
+      window: String = "5 minutes"): DataFrame = {
+    val reqs = requests
+      .select(col("request_id"), col("remote_addr"), col("timestamp"))
+      .withWatermark("timestamp", window)
+    val errs = errors
+      .filter(col("status_code") >= 500)
+      .select(col("remote_addr").as("err_addr"),
+        col("timestamp").as("err_ts"), col("status_code").as("err_status"))
+      .withWatermark("err_ts", window)
+    reqs.join(errs,
+      col("remote_addr") === col("err_addr") &&
+        col("err_ts") >= col("timestamp") &&
+        col("err_ts") <= col("timestamp") + expr(s"INTERVAL $window"))
+      .select(col("request_id"), col("remote_addr"), col("timestamp"),
+        col("err_ts"), col("err_status"))
+  }
+
   /** Custom keyed state (the capability slot the reference fills with
     * foreachBatch-only processing — SURVEY.md §2.8): running per-key
     * totals via mapGroupsWithState. State is one (count, sum) pair per

@@ -148,6 +148,32 @@ class StreamingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("stream-stream interval join pairs requests with subsequent errors") {
+    def lineWith(ts: String, addr: String, status: String, id: String) =
+      s"""{"time_iso8601": "$ts", "remote_addr": "$addr",
+         | "request": "GET /a/b HTTP/1.1", "request_uri": "/a/b",
+         | "status": "$status", "request_time": "0.05",
+         | "http_user_agent": "t", "request_id": "$id"}""".stripMargin.replace("\n", "")
+    val reqMem = MemoryStream[String](spark)
+    val errMem = MemoryStream[String](spark)
+    val joined = StreamPipelines.requestsWithSubsequentErrors(
+      graft.parse.LogParse.ingestChain(reqMem.toDF()),
+      graft.parse.LogParse.ingestChain(errMem.toDF()))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    reqMem.addData(
+      lineWith("2025-07-25T10:00:00+00:00", "1.1.1.1", "200", "ok-then-err"),
+      lineWith("2025-07-25T10:00:00+00:00", "2.2.2.2", "200", "ok-quiet"))
+    errMem.addData(
+      lineWith("2025-07-25T10:02:00+00:00", "1.1.1.1", "503", "err1"),
+      lineWith("2025-07-25T10:20:00+00:00", "1.1.1.1", "503", "err-too-late"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join")
+      .select("request_id", "err_status").as[(String, Int)].collect().toSet
+    assert(got == Set(("ok-then-err", 503)), got.toString)
+  }
+
   test("zscore classifier flags spike vs baseline and new key with high traffic") {
     val counts = Seq(("spiky", 500L), ("normal", 10L), ("newcomer", 150L))
       .toDF("remote_addr", "request_count")
