@@ -49,6 +49,34 @@ object LogStore {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  /** Z-order-clustered write: range-partition + sort by the Morton
+    * value of two key columns, so parquet file/row-group min/max stats
+    * become selective on BOTH columns — the multi-column replacement
+    * for the reference's separate endpoint and remote_addr btrees.
+    * Non-long keys are hashed into the 32-bit key domain first.
+    */
+  def writeClustered(df: DataFrame, path: String, keyA: String, keyB: String,
+      files: Int = 16): Unit = {
+    graft.functions.ZOrderFunctions.register(df.sparkSession)
+    // Numeric keys keep their raw order (file min/max on the column
+    // stays correlated with the clustering); strings are hashed into
+    // the 32-bit domain — identical values still co-locate, so
+    // low-cardinality string stats stay narrow per file.
+    def key32(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType =>
+          greatest(least(col(c).cast("long"), lit((1L << 32) - 1)), lit(0L))
+        case _ => pmod(xxhash64(col(c)), lit(1L << 32))
+      }
+    val z = graft.functions.ZOrderFunctions.zorder(key32(keyA), key32(keyB))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Persist as a bucketed+sorted managed table (in-session catalog).
     * Joins/aggregations on `bucketCol` against co-bucketed tables need
     * no exchange.
