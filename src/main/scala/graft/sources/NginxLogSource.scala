@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.util
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.model.NginxLog
+
+/** DataSource V2 connector for raw nginx JSON-lines logs
+  * (`spark.read.format("graft.sources.NginxLogSource").load(dir)`).
+  *
+  * Why a custom source instead of `spark.read.json`: the generic JSON
+  * reader materializes every field of every record before Catalyst can
+  * prune. This source receives the required columns and pushable
+  * filters from Catalyst (SupportsPushDownRequiredColumns /
+  * SupportsPushDownFilters) and applies both *inside* the per-partition
+  * reader — only requested fields are extracted from each JSON object,
+  * and records failing pushed equality/not-null filters are dropped
+  * before an InternalRow is built. At 100 TB of 38-field log lines,
+  * parsing 3 fields instead of 38 is the scan bottleneck.
+  *
+  * Scope: batch read, one input partition per file (a production
+  * version would split by byte ranges). Malformed lines are skipped —
+  * the producer-side validity gate (reference: producer/main.py:76-77).
+  */
+class NginxLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NginxLog.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NginxLogTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class NginxLogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"nginxlog:$path"
+  override def schema(): StructType = NginxLog.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NginxLogScanBuilder(path)
+}
+
+class NginxLogScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = NginxLog.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // fully handle string equality and not-null on top-level fields;
+    // everything else stays a Spark-side residual
+    val (handled, residual) = filters.partition {
+      case EqualTo(_, _: String) => true
+      case IsNotNull(_) => true
+      case _ => false
+    }
+    pushed = handled
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new NginxLogScan(path, required, pushed)
+}
+
+class NginxLogScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"NginxLogScan path=$path, fields=[${required.fieldNames.mkString(",")}], " +
+      s"pushedFilters=[${pushed.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isDirectory)
+        dir.listFiles().filter(f => f.isFile && !f.getName.startsWith(".")
+          && !f.getName.startsWith("_")).map(_.getAbsolutePath)
+      else Array(path)
+    files.sorted.map(f => NginxLogPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NginxLogReaderFactory(required.fieldNames, pushed)
+}
+
+case class NginxLogPartition(file: String) extends InputPartition
+
+class NginxLogReaderFactory(fields: Array[String], pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NginxLogReader(partition.asInstanceOf[NginxLogPartition].file, fields, pushed)
+}
+
+class NginxLogReader(file: String, fields: Array[String], pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines = scala.io.Source.fromFile(file, "UTF-8")
+  private val it = lines.getLines()
+  private var row: InternalRow = _
+
+  private def passes(get: String => String): Boolean =
+    pushed.forall {
+      case EqualTo(a, v: String) => get(a) == v
+      case IsNotNull(a) => get(a) != null
+      case _ => true
+    }
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val line = it.next()
+      try {
+        val node = mapper.readTree(line)
+        if (node != null && node.isObject) {
+          def get(f: String): String = {
+            val v = node.get(f)
+            if (v == null || v.isNull) null else v.asText()
+          }
+          if (passes(get)) {
+            val values = new Array[Any](fields.length)
+            var i = 0
+            while (i < fields.length) {
+              val s = get(fields(i))
+              values(i) = if (s == null) null else UTF8String.fromString(s)
+              i += 1
+            }
+            row = new GenericInternalRow(values)
+            return true
+          }
+        }
+      } catch { case _: Exception => () } // malformed line → skip
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
+}
