@@ -130,21 +130,34 @@ object Dedup {
       .filter(graft.functions.NgramJaccardFunctions.jaccard3(col("text_a"), col("text_b")) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
 
-    // canonical id: min over verified neighbors (one hop) ∪ self
-    val neighborMin = verified.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"))
-      .union(verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr")))
-      .groupBy(col("doc_id")).agg(min(col("nbr")).as("min_nbr"))
+    // canonical id: synchronous min-label propagation over the
+    // verified-duplicate graph — one hop per iteration, so 5 rounds
+    // collapses components of diameter ≤ 5 (near-dup clusters are
+    // tiny-diameter in practice). At cluster scale each iteration would
+    // be checkpointed to cut lineage; the frames here are
+    // (#duplicate docs)-sized, far smaller than the corpus.
+    val undirected = verified.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(verified.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to 5) {
+      val nbrLabel = undirected
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nbr_label")).as("min_nbr_label"))
+      labels = labels
+        .join(nbrLabel.select(col("src").as("doc_id"), col("min_nbr_label")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
+    }
     val nCand = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
 
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(neighborMin, Seq("doc_id"), "left")
+    labels
       .join(nCand, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("kept_doc_id"),
-        (least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))) =!= col("doc_id"))
-          .as("is_duplicate"),
+        col("label").as("kept_doc_id"),
+        (col("label") =!= col("doc_id")).as("is_duplicate"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
       .orderBy(col("doc_id"))
   }

@@ -36,6 +36,36 @@ class DedupSpec extends SparkSpec {
     assert(byId(3L) == ((3L, false)))
   }
 
+  test("minhash collapses a similarity CHAIN to one canonical id") {
+    // A~B and B~C are near-dups (>= 0.5 char-3 Jaccard) but A~C is not:
+    // label propagation must still send all three to min(doc_id).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+    val a = base.mkString(" ")
+    val b = (base.take(9) ++ Seq("xxx", "yyy", "zzz")).mkString(" ")
+    val c = (base.take(6) ++ Seq("ppp", "qqq", "rrr", "xxx", "yyy", "zzz")).mkString(" ")
+    val docs = Seq(
+      (0L, a, "en", "s", a.length.toLong),
+      (1L, b, "en", "s", b.length.toLong),
+      (2L, c, "en", "s", c.length.toLong),
+      (3L, "entirely different text about watermark state stores", "en", "s", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // precondition: the chain shape is as intended
+    graft.functions.NgramJaccardFunctions.register(spark)
+    def j(x: String, y: String): Double = Seq((x, y)).toDF("a", "b")
+      .select(graft.functions.NgramJaccardFunctions.jaccard3(col("a"), col("b")))
+      .as[Double].collect().head
+    assert(j(a, b) >= 0.5 && j(b, c) >= 0.5 && j(a, c) < 0.5,
+      s"${j(a, b)} ${j(b, c)} ${j(a, c)}")
+
+    val kept = Dedup.minhashDedup(spark, dir)
+      .select("doc_id", "kept_doc_id").as[(Long, Long)].collect().toMap
+    assert(kept(0L) == 0L && kept(1L) == 0L && kept(2L) == 0L && kept(3L) == 3L,
+      kept.toString)
+  }
+
   test("minhash candidate recall >= 0.8 against exact Jaccard >= 0.5 pairs") {
     // sf0.01's documents table has real near-dup pairs (char-3 Jaccard
     // up to ~0.65); banding 8x2 predicts >= 1-(1-0.25)^8 ≈ 0.90
