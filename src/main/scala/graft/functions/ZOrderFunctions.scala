@@ -22,8 +22,8 @@ case class ZOrderValue(left: Expression, right: Expression)
   override def prettyName: String = "graft_zorder"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    java.lang.Long.valueOf(
-      ZOrderValue.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+    java.lang.Long.valueOf(ZOrderValue.interleave(
+      a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue()))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {

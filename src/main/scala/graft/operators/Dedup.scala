@@ -133,11 +133,14 @@ object Dedup {
     // canonical id: synchronous min-label propagation over the
     // verified-duplicate graph — one hop per iteration, so 5 rounds
     // collapses components of diameter ≤ 5 (near-dup clusters are
-    // tiny-diameter in practice). At cluster scale each iteration would
-    // be checkpointed to cut lineage; the frames here are
-    // (#duplicate docs)-sized, far smaller than the corpus.
+    // tiny-diameter in practice). Each iteration references `labels`
+    // twice, so without lineage truncation the plan doubles per round
+    // (2^5 copies of the whole candidate+verify subtree) —
+    // localCheckpoint materializes each round and keeps the final plan
+    // linear; same pattern at cluster scale, with reliable checkpoints.
     val undirected = verified.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(verified.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to 5) {
@@ -148,6 +151,7 @@ object Dedup {
         .join(nbrLabel.select(col("src").as("doc_id"), col("min_nbr_label")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
     }
     val nCand = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))

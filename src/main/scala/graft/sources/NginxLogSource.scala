@@ -35,23 +35,30 @@ class NginxLogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     NginxLog.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new NginxLogTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft.sources.NginxLogSource requires a path: .load(<dir-or-file>)")
+    // honor a user-supplied schema (supportsExternalMetadata): any
+    // subset/ordering of string fields extracted by name
+    new NginxLogTable(path, Option(schema).getOrElse(NginxLog.schema))
+  }
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class NginxLogTable(path: String) extends Table with SupportsRead {
+class NginxLogTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
   override def name(): String = s"nginxlog:$path"
-  override def schema(): StructType = NginxLog.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NginxLogScanBuilder(path)
+    new NginxLogScanBuilder(path, tableSchema)
 }
 
-class NginxLogScanBuilder(path: String) extends ScanBuilder
+class NginxLogScanBuilder(path: String, tableSchema: StructType) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
-  private var required: StructType = NginxLog.schema
+  private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -82,11 +89,18 @@ class NginxLogScan(path: String, required: StructType, pushed: Array[Filter])
       s"pushedFilters=[${pushed.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
+    // hadoop FileSystem listing: works for file:// and any configured
+    // scheme reachable with the session hadoop conf on the driver
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
     val files =
-      if (dir.isDirectory)
-        dir.listFiles().filter(f => f.isFile && !f.getName.startsWith(".")
-          && !f.getName.startsWith("_")).map(_.getAbsolutePath)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+          .map(_.getPath.toString)
       else Array(path)
     files.sorted.map(f => NginxLogPartition(f): InputPartition)
   }
@@ -106,7 +120,12 @@ class NginxLogReaderFactory(fields: Array[String], pushed: Array[Filter])
 class NginxLogReader(file: String, fields: Array[String], pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(file, "UTF-8")
+  // executor side: default hadoop conf (custom conf would be shipped
+  // via a serialized broadcast in a production source)
+  private val fsPath = new org.apache.hadoop.fs.Path(file)
+  private val stream = fsPath.getFileSystem(
+    new org.apache.hadoop.conf.Configuration()).open(fsPath)
+  private val lines = scala.io.Source.fromInputStream(stream, "UTF-8")
   private val it = lines.getLines()
   private var row: InternalRow = _
 

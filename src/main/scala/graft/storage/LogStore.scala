@@ -53,21 +53,45 @@ object LogStore {
     * value of two key columns, so parquet file/row-group min/max stats
     * become selective on BOTH columns — the multi-column replacement
     * for the reference's separate endpoint and remote_addr btrees.
-    * Non-long keys are hashed into the 32-bit key domain first.
+    * (Spark's scan still opens every file; the payoff is row-group
+    * stats skipping inside the reader and file pruning in stats-aware
+    * readers — LayoutSpec measures the stats-narrowing directly from
+    * the parquet footers.)
+    *
+    * Numeric keys are range-rescaled into the 32-bit domain using their
+    * actual min/max (one write-time aggregate) — raw order preserved,
+    * so per-file min/max of the column stays correlated with the
+    * clustering whatever the domain (epoch micros, snowflake ids).
+    * Strings are hashed: identical values co-locate, keeping
+    * low-cardinality string stats narrow per file.
     */
   def writeClustered(df: DataFrame, path: String, keyA: String, keyB: String,
       files: Int = 16): Unit = {
     graft.functions.ZOrderFunctions.register(df.sparkSession)
-    // Numeric keys keep their raw order (file min/max on the column
-    // stays correlated with the clustering); strings are hashed into
-    // the 32-bit domain — identical values still co-locate, so
-    // low-cardinality string stats stay narrow per file.
+    val numeric = Seq(keyA, keyB).filter(c => df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    })
+    val bounds: Map[String, (Long, Long)] =
+      if (numeric.isEmpty) Map.empty
+      else {
+        val aggs = numeric.flatMap(c =>
+          Seq(min(col(c)).cast("long").as(s"min_$c"), max(col(c)).cast("long").as(s"max_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+        numeric.map(c =>
+          c -> ((r.getAs[Long](s"min_$c"), r.getAs[Long](s"max_$c")))).toMap
+      }
+    val maxKey = (1L << 32) - 1
     def key32(c: String): org.apache.spark.sql.Column =
-      df.schema(c).dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType =>
-          greatest(least(col(c).cast("long"), lit((1L << 32) - 1)), lit(0L))
-        case _ => pmod(xxhash64(col(c)), lit(1L << 32))
+      bounds.get(c) match {
+        case Some((lo, hi)) if hi > lo =>
+          // order-preserving rescale into [0, 2^32): double arithmetic
+          // is fine — this is a clustering key, not data
+          ((col(c).cast("double") - lit(lo.toDouble)) / lit((hi - lo).toDouble)
+            * lit(maxKey.toDouble)).cast("long")
+        case Some(_) => lit(0L)
+        case None => pmod(xxhash64(col(c)), lit(1L << 32))
       }
     val z = graft.functions.ZOrderFunctions.zorder(key32(keyA), key32(keyB))
     df.withColumn("__z", z)

@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.storage.LogStore
 
@@ -50,26 +51,78 @@ class LayoutSpec extends SparkSpec {
     assert(interleave(0L, 1L) == 2L)      // b → odd bits
     assert(interleave(3L, 3L) == 15L)     // 0b11,0b11 → 0b1111
     assert(interleave(0xffffffffL, 0L) == 0x5555555555555555L)
-    // locality: z of (x, y) and (x, y+1) share high bits more often
-    // than random pairs — weak sanity via prefix agreement on a sample
-    val close = (0 until 64).count { i =>
-      java.lang.Long.numberOfLeadingZeros(interleave(i, 10) ^ interleave(i, 11)) >= 56
+    // prefix property: if x's and y's agree on their top k of 32 bits,
+    // the z-values agree on the top 2k of 64 — the defining locality
+    // guarantee of bit interleaving (fails for a scrambled interleave)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200; k <- Seq(4, 8, 16)) {
+      val (x1, y1) = (rnd.nextLong() & 0xffffffffL, rnd.nextLong() & 0xffffffffL)
+      val keep = 32 - k
+      val mask = -1L << keep
+      val x2 = (x1 & mask) | (rnd.nextLong() & ~mask & 0xffffffffL)
+      val y2 = (y1 & mask) | (rnd.nextLong() & ~mask & 0xffffffffL)
+      val zx = interleave(x1, y1) ^ interleave(x2, y2)
+      assert(java.lang.Long.numberOfLeadingZeros(zx | 1L) >= 2 * k,
+        s"k=$k x1=$x1 y1=$y1 x2=$x2 y2=$y2")
     }
-    assert(close > 48, s"$close")
   }
 
-  test("z-order clustered layout reads fewer files for a key predicate") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/ev"
+  /** Per-file (min,max) of a long column, straight from parquet footers. */
+  private def fileRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+        try {
+          val ranges = reader.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .map { c =>
+                val st = c.getStatistics
+                (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              }
+          }
+          (ranges.map(_._1).min, ranges.map(_._2).max)
+        } finally reader.close()
+      }
+  }
+
+  test("z-order clustering narrows per-file min/max stats on the key") {
+    // Spark's scan opens every file regardless; what clustering delivers
+    // is NARROW per-file min/max ranges, which stats-aware readers (and
+    // Spark's own row-group skipping) prune with. Measure it from the
+    // footers: clustered files must cover a small fraction of the key
+    // domain on average; an unclustered (round-robin) write covers
+    // nearly all of it.
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
       .select("event_id", "user_id", "event_type", "value")
-    LogStore.writeClustered(ev, dir, "user_id", "event_type", files = 16)
-    val q = LogStore.read(spark, dir).filter(col("user_id") === 7)
-    val n = q.count()
-    assert(n == ev.filter(col("user_id") === 7).count() && n > 0)
-    // scan metric: clustered layout must touch a minority of the files
-    val scan = q.queryExecution.executedPlan.collectLeaves().head
-    val filesRead = scan.metrics("numFiles").value
-    assert(filesRead <= 4, s"filesRead=$filesRead of 16")
+    val domain = 150.0 // user_id 0..149 at sf0.01
+
+    val cdir = java.nio.file.Files.createTempDirectory("graft-zc").toString + "/ev"
+    LogStore.writeClustered(ev, cdir, "user_id", "event_type", files = 16)
+    val clustered = fileRanges(cdir, "user_id")
+    val avgClustered = clustered.map { case (lo, hi) => (hi - lo + 1) / domain }.sum / clustered.size
+
+    val udir = java.nio.file.Files.createTempDirectory("graft-zu").toString + "/ev"
+    ev.repartition(16).write.mode("overwrite").parquet(udir)
+    val shuffled = fileRanges(udir, "user_id")
+    val avgShuffled = shuffled.map { case (lo, hi) => (hi - lo + 1) / domain }.sum / shuffled.size
+
+    // 16 files ≈ 4 z-bits split over 2 dimensions ≈ 2 bits/dim → ~0.25
+    // ideal coverage per file; hashing the string dimension spends some
+    // of that budget unevenly, so allow up to 0.5 — still ≥2x narrower
+    // than the unclustered ≥0.9
+    assert(clustered.size >= 8, s"${clustered.size} files")
+    assert(avgClustered < 0.5, f"clustered files cover $avgClustered%.2f of key domain")
+    assert(avgShuffled > 0.9, f"shuffled files cover $avgShuffled%.2f of key domain")
+    // and rows are preserved
+    assert(LogStore.read(spark, cdir).count() == ev.count())
   }
 
   test("co-bucketed tables join without a shuffle exchange") {
