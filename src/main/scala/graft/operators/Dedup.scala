@@ -72,56 +72,69 @@ object Dedup {
       .distinct()
 
   // --- MinHash + LSH banded dedup -------------------------------------
-  // Pipeline: distinct shingles → 16 minhash values per doc (min over
-  // xxhash64(shingle, seed), all in one aggregation pass) → 8 bands ×
-  // 2 rows → equality self-join on (band, band-signature) → candidate
-  // pairs → exact Jaccard verification on candidates only → per-doc
-  // canonical id (min over verified neighbors). Output is per-document
-  // (doc_id, kept_doc_id, is_duplicate, n_candidates) — rows-only check
-  // (hash seeds are engine-specific); the specs assert planted
-  // duplicates collapse AND measured candidate recall vs the exact
-  // Jaccard baseline.
+  //
+  // The fixture corpus (and any real crawl) contains GIANT near-dup
+  // clusters — at sf0.1 ~35% of ALL doc pairs exceed the 0.5 Jaccard
+  // threshold (template-generated variants). Any design that
+  // materializes candidate *pairs* is therefore quadratic in cluster
+  // size and dies at scale (an earlier pair-based formulation timed out
+  // sf0.1 verification). This one never builds doc-doc pairs:
+  //
+  //   shingles → 16 minhashes/doc (one aggregation pass) → 8 bands ×
+  //   2 rows → per-bucket STAR EDGES (bucket-min doc → each other
+  //   member; ≤ docs × bands edges, linear) → per-edge exact char-3
+  //   Jaccard verification (native expression) → min-label propagation
+  //   over verified edges → per-doc canonical id.
+  //
+  // Star connectivity equals clique connectivity through the bucket
+  // minimum, so cluster recall is preserved; the precision tradeoff is
+  // that a member whose similarity to the bucket-min is sub-threshold
+  // is cut even if it is similar to another member — acceptable in
+  // dense-dup corpora where cluster members are mutually similar, and
+  // the chain spec pins the multi-hop behavior that survives.
 
-  /** LSH candidate pairs only (exposed for the recall spec). Banding
-    * 16 hashes into 8 bands × 2 rows gives candidate probability
-    * 1-(1-j²)⁸ ≈ 0.90 at Jaccard 0.5 (the dedup threshold) — the prior
-    * 4×3 banding had only ≈ 0.41 there.
-    */
-  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** (doc, band, bucket-key) assignments — the LSH index. */
+  private def minhashBuckets(s: SparkSession, d: String): DataFrame = {
     val H = 16
     val bands = 8
     val rowsPerBand = H / bands
-
     val sh = charShingles(Tables.documents(s, d)).select(col("doc_id"), col("g"))
-
-    // H minhash aggregates in ONE pass over the shingle table (no
-    // per-hash re-scan): min(xxhash64(g, seed_h)) for h = 0..H-1.
     val sigCols: Seq[Column] =
       (0 until H).map(h => min(xxhash64(col("g"), lit(h))).as(s"mh$h"))
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-
-    // band key = xxhash64 of the band's rows; explode to (doc, band, key)
     val bandKey: Seq[Column] = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(h => col(s"mh$h"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("key")).as(s"bk$b")
     }
-    val banded = sigs.select(col("doc_id") +: bandKey: _*)
+    sigs.select(col("doc_id") +: bandKey: _*)
       .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"bk$b")): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
 
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** Star candidate edges: (bucket-min doc, member) per bucket, deduped.
+    * Linear in docs x bands — never a within-bucket cross product.
+    */
+  private def starEdges(banded: DataFrame): DataFrame = {
+    val mins = banded.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("bmin"))
+    banded.join(mins, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
   }
 
-  def minhashDedup(s: SparkSession, d: String): DataFrame = {
-    val cand = minhashCandidatePairs(s, d)
+  def minhashCandidateEdges(s: SparkSession, d: String): DataFrame =
+    starEdges(minhashBuckets(s, d))
 
-    // exact-Jaccard verification, candidates only: join the candidate
-    // pairs back to their texts, one-pass set-Jaccard per pair (native
-    // expression) — cost ∝ #candidates.
+  def minhashDedup(s: SparkSession, d: String): DataFrame = {
+    // one bucket index serves both the star edges and the degree
+    // rollup — materialized once (the shingle+signature aggregation is
+    // the expensive part)
+    val banded = minhashBuckets(s, d).localCheckpoint(true)
+    val cand = starEdges(banded)
+
+    // exact-Jaccard verification, star edges only: cost and shuffle are
+    // O(docs x bands), independent of cluster sizes.
     graft.functions.NgramJaccardFunctions.register(s)
     val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val verified = cand
@@ -130,20 +143,19 @@ object Dedup {
       .filter(graft.functions.NgramJaccardFunctions.jaccard3(col("text_a"), col("text_b")) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
 
-    // canonical id: synchronous min-label propagation over the
-    // verified-duplicate graph — one hop per iteration, so 5 rounds
-    // collapses components of diameter ≤ 5 (near-dup clusters are
-    // tiny-diameter in practice). Each iteration references `labels`
-    // twice, so without lineage truncation the plan doubles per round
-    // (2^5 copies of the whole candidate+verify subtree) —
-    // localCheckpoint materializes each round and keeps the final plan
-    // linear; same pattern at cluster scale, with reliable checkpoints.
+    // canonical id: synchronous min-label propagation over the verified
+    // star edges — one hop per iteration; 3 rounds collapses components
+    // of diameter <= 3 (star edges keep real clusters at diameter ~2;
+    // each extra round is a full job, so rounds are deliberately few).
+    // localCheckpoint each round: the loop references `labels` twice
+    // per iteration, and without lineage truncation the plan doubles
+    // per round.
     val undirected = verified.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(verified.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to 5) {
+    for (_ <- 1 to 3) {
       val nbrLabel = undirected
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nbr_label")).as("min_nbr_label"))
@@ -153,9 +165,12 @@ object Dedup {
           least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
     }
-    val nCand = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+
+    // bucket-mate degree (linear rollup, not a pair count)
+    val bucketSizes = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+    val nCand = banded.join(bucketSizes, Seq("band", "key"))
+      .groupBy(col("doc_id")).agg(sum(col("bsz") - 1).as("n_candidates"))
 
     labels
       .join(nCand, Seq("doc_id"), "left")

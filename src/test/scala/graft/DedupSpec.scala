@@ -66,18 +66,21 @@ class DedupSpec extends SparkSpec {
       kept.toString)
   }
 
-  test("minhash candidate recall >= 0.8 against exact Jaccard >= 0.5 pairs") {
-    // sf0.01's documents table has real near-dup pairs (char-3 Jaccard
-    // up to ~0.65); banding 8x2 predicts >= 1-(1-0.25)^8 ≈ 0.90
-    // candidate probability at j=0.5.
+  test("minhash cluster recall >= 0.8 against exact Jaccard >= 0.5 pairs") {
+    // End-to-end guarantee: documents whose exact char-3 Jaccard is at
+    // or above the dedup threshold should land in the same cluster
+    // (equal kept_doc_id). Banding 8x2 predicts >= 1-(1-0.25)^8 ≈ 0.90
+    // same-bucket probability at j=0.5; star verification keeps
+    // connectivity through the bucket minimum.
     val d = "/root/testdata/sf0.01"
     val exactPairs = Dedup.ngramJaccard(spark, d)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assume(exactPairs.nonEmpty)
-    val cand = Dedup.minhashCandidatePairs(spark, d)
-      .as[(Long, Long)].collect().toSet
-    val recall = (exactPairs intersect cand).size.toDouble / exactPairs.size
+    val kept = Dedup.minhashDedup(spark, d)
+      .select("doc_id", "kept_doc_id").as[(Long, Long)].collect().toMap
+    val recall = exactPairs.count { case (a, b) => kept(a) == kept(b) }
+      .toDouble / exactPairs.size
     assert(recall >= 0.8, s"recall=$recall over ${exactPairs.size} exact pairs")
   }
 
