@@ -123,9 +123,6 @@ object Dedup {
       .distinct()
   }
 
-  def minhashCandidateEdges(s: SparkSession, d: String): DataFrame =
-    starEdges(minhashBuckets(s, d))
-
   def minhashDedup(s: SparkSession, d: String): DataFrame = {
     // one bucket index serves both the star edges and the degree
     // rollup — materialized once (the shingle+signature aggregation is

@@ -40,8 +40,16 @@ class NginxLogSource extends TableProvider {
     require(path != null && path.nonEmpty,
       "graft.sources.NginxLogSource requires a path: .load(<dir-or-file>)")
     // honor a user-supplied schema (supportsExternalMetadata): any
-    // subset/ordering of string fields extracted by name
-    new NginxLogTable(path, Option(schema).getOrElse(NginxLog.schema))
+    // subset/ordering of STRING fields extracted by name — the reader
+    // emits UTF8String cells, so non-string types must be rejected here
+    // rather than corrupt rows downstream
+    val effective = Option(schema).getOrElse(NginxLog.schema)
+    val nonString = effective.fields.filterNot(
+      _.dataType == org.apache.spark.sql.types.StringType)
+    require(nonString.isEmpty,
+      s"NginxLogSource reads string fields only; cast after load. Offending: " +
+        nonString.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    new NginxLogTable(path, effective)
   }
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -105,26 +113,37 @@ class NginxLogScan(path: String, required: StructType, pushed: Array[Filter])
     files.sorted.map(f => NginxLogPartition(f): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new NginxLogReaderFactory(required.fieldNames, pushed)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session hadoop conf to executors as plain entries —
+    // Configuration itself is not serializable and the reader would
+    // otherwise open s3a/hdfs paths without credentials/defaults
+    import scala.jdk.CollectionConverters._
+    val confMap = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration.asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    new NginxLogReaderFactory(required.fieldNames, pushed, confMap)
+  }
 }
 
 case class NginxLogPartition(file: String) extends InputPartition
 
-class NginxLogReaderFactory(fields: Array[String], pushed: Array[Filter])
-    extends PartitionReaderFactory {
+class NginxLogReaderFactory(fields: Array[String], pushed: Array[Filter],
+    confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NginxLogReader(partition.asInstanceOf[NginxLogPartition].file, fields, pushed)
+    new NginxLogReader(partition.asInstanceOf[NginxLogPartition].file, fields,
+      pushed, confMap)
 }
 
-class NginxLogReader(file: String, fields: Array[String], pushed: Array[Filter])
-    extends PartitionReader[InternalRow] {
+class NginxLogReader(file: String, fields: Array[String], pushed: Array[Filter],
+    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  // executor side: default hadoop conf (custom conf would be shipped
-  // via a serialized broadcast in a production source)
   private val fsPath = new org.apache.hadoop.fs.Path(file)
-  private val stream = fsPath.getFileSystem(
-    new org.apache.hadoop.conf.Configuration()).open(fsPath)
+  private val hadoopConf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val stream = fsPath.getFileSystem(hadoopConf).open(fsPath)
   private val lines = scala.io.Source.fromInputStream(stream, "UTF-8")
   private val it = lines.getLines()
   private var row: InternalRow = _

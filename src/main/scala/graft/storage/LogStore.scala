@@ -86,10 +86,11 @@ object LogStore {
     def key32(c: String): org.apache.spark.sql.Column =
       bounds.get(c) match {
         case Some((lo, hi)) if hi > lo =>
-          // order-preserving rescale into [0, 2^32): double arithmetic
-          // is fine — this is a clustering key, not data
-          ((col(c).cast("double") - lit(lo.toDouble)) / lit((hi - lo).toDouble)
-            * lit(maxKey.toDouble)).cast("long")
+          // order-preserving rescale into [0, 2^32): span computed in
+          // double (hi - lo as Long overflows when the domain spans
+          // more than Long.MaxValue, e.g. a Long.MinValue sentinel)
+          ((col(c).cast("double") - lit(lo.toDouble)) /
+            lit(hi.toDouble - lo.toDouble) * lit(maxKey.toDouble)).cast("long")
         case Some(_) => lit(0L)
         case None => pmod(xxhash64(col(c)), lit(1L << 32))
       }
