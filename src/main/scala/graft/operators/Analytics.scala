@@ -447,6 +447,37 @@ object Analytics {
     s.sql(SqlDashboardText)
   }
 
+  /** End-to-end log ingest at scale-factor volume: events rendered to
+    * the nginx JSON wire format (to_json over the 38-field shape), then
+    * the FULL parse chain (validity gate, agent filter, typed
+    * derivations, endpoint regex) and a rollup — the reference's whole
+    * ingestor (ingestor/main.py) as one benched batch query. Rows-only
+    * check (the JSON round-trip's field order is engine-specific); the
+    * parse-chain semantics are pinned by LogParseSpec + the streaming
+    * round-trip spec. For throughput context: the reference's ingest
+    * ceiling is ~16.7 lines/s (Loki poll limit, producer/main.py:42,101).
+    */
+  def logIngest(s: SparkSession, d: String): DataFrame = {
+    val wire = Tables.events(s, d).select(to_json(struct(
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("time_iso8601"),
+      concat(lit("10.0."), (col("user_id") / 256).cast("int"),
+        lit("."), pmod(col("user_id"), lit(256))).as("remote_addr"),
+      concat(lit("GET /api/"), col("event_type"), lit("/"), col("event_id"),
+        lit(" HTTP/1.1")).as("request"),
+      concat(lit("/api/"), col("event_type"), lit("/"), col("event_id")).as("request_uri"),
+      lit("GET").as("request_method"),
+      when(col("value") > 180, lit("500")).otherwise(lit("200")).as("status"),
+      (col("value") / 1000).cast("string").as("request_time"),
+      lit("Mozilla/5.0").as("http_user_agent"),
+      get_json_object(col("props"), "$.k").as("request_length"))).as("value"))
+    graft.parse.LogParse.ingestChain(wire)
+      .groupBy(col("endpoint"), col("status_code"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(expr("CAST(round(request_time_seconds * 100000) AS BIGINT)")) / 100000e0, 5)
+          .as("total_time"))
+      .orderBy(col("endpoint"), col("status_code"))
+  }
+
   // --- registry ---
 
   val defs: Map[String, QueryDef] = Map(
@@ -472,5 +503,6 @@ object Analytics {
     "q_latency_percentiles" -> QueryDef(latencyPercentiles, Some(OracleSql.latencyPercentiles)),
     "q_interval_join"    -> QueryDef(intervalJoin, Some(OracleSql.intervalJoin)),
     "q_rollup_traffic"   -> QueryDef(rollupTraffic, Some(OracleSql.rollupTraffic)),
-    "q_latency_percentiles_approx" -> QueryDef(latencyPercentilesApprox, None))
+    "q_latency_percentiles_approx" -> QueryDef(latencyPercentilesApprox, None),
+    "q_log_ingest"       -> QueryDef(logIngest, None))
 }
