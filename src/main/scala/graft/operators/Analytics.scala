@@ -447,6 +447,23 @@ object Analytics {
     s.sql(SqlDashboardText)
   }
 
+  /** Day-over-day retention: users active on a day AND the next —
+    * cohort analytics over the log stream. Two distincts + a self-join
+    * on (user, day+1); the distinct frames are (users × days)-sized,
+    * far below event volume, and co-partitioned on user_id.
+    */
+  def userRetention(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val next = daily.select(col("user_id").as("uid2"), col("day").as("next_day"))
+    daily.join(next,
+        col("user_id") === col("uid2") && date_add(col("day"), 1) === col("next_day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("retained_users"))
+      .orderBy(col("day"))
+  }
+
   /** End-to-end log ingest at scale-factor volume: events rendered to
     * the nginx JSON wire format (to_json over the 38-field shape), then
     * the FULL parse chain (validity gate, agent filter, typed
@@ -509,5 +526,6 @@ object Analytics {
     "q_interval_join"    -> QueryDef(intervalJoin, Some(OracleSql.intervalJoin)),
     "q_rollup_traffic"   -> QueryDef(rollupTraffic, Some(OracleSql.rollupTraffic)),
     "q_latency_percentiles_approx" -> QueryDef(latencyPercentilesApprox, None),
-    "q_log_ingest"       -> QueryDef(logIngest, None))
+    "q_log_ingest"       -> QueryDef(logIngest, None),
+    "q_user_retention"   -> QueryDef(userRetention, Some(OracleSql.userRetention)))
 }

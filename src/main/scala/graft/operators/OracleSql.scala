@@ -239,6 +239,16 @@ object OracleSql {
       |GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
       |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
 
+  val userRetention: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events)
+      |SELECT a.day, count(*) AS retained_users
+      |FROM daily a JOIN daily b
+      |  ON a.user_id = b.user_id AND b.day = a.day + 1
+      |GROUP BY a.day
+      |ORDER BY a.day""".stripMargin
+
   val latencyPercentiles: String =
     """SELECT event_type,
       |  round(quantile_cont(value, 0.5), 4) AS p50,
