@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * numbers measure steady-state query execution, not first-touch
   * class-loading (which was ~6 s on whichever query happened to run
   * first).
+  *
+  * The JSON line goes to stdout AND to `bench_out.json` in the working
+  * directory — sbt wraps stdout in `[info]`/WARN decoration that broke
+  * the driver's parse in round 1 (BENCH_r01 `parsed: null`); the file
+  * is the machine-readable copy.
+  *
+  * Optional args are query names: `runMain graft.Bench q_log_ingest`
+  * times only those (dev loop); no args = full suite (driver contract).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,7 +33,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qs = SparkEntry.benchQueries
+    val qs =
+      if (args.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.benchQueries.filter { case (n, _) => args.contains(n) }
     qs.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
@@ -44,7 +54,10 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -487,11 +487,9 @@ object Analytics {
       (col("value") / 1000).cast("string").as("request_time"),
       lit("Mozilla/5.0").as("http_user_agent"),
       get_json_object(col("props"), "$.k").as("request_length"))).as("value"))
-      // materialize the wire before parsing: fused, Catalyst evaluates
-      // the render+parse JSON round-trip once per downstream consumer
-      // (filter AND project) — ~4x the split cost; a real pipeline
-      // parses stored lines anyway, so this is also the honest shape
-      .localCheckpoint(true)
+      // render+parse stays fused and pipelined: ComputeOnce inside
+      // parseJson pins the from_json to one evaluation per row, so no
+      // materialization barrier (round 1's localCheckpoint) is needed
     graft.parse.LogParse.ingestChain(wire)
       .groupBy(col("endpoint"), col("status_code"))
       .agg(count(lit(1)).as("n"),

@@ -132,7 +132,7 @@ object Dedup {
 
     // exact-Jaccard verification, star edges only: cost and shuffle are
     // O(docs x bands), independent of cluster sizes.
-    graft.functions.NgramJaccardFunctions.register(s)
+    graft.functions.Registry.ensure(s)
     val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val verified = cand
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
@@ -185,7 +185,7 @@ object Dedup {
     * ScalaTest spec asserts signature stability and near-dup behavior.
     */
   def simhashDedup(s: SparkSession, d: String): DataFrame = {
-    graft.functions.TextHashFunctions.register(s)
+    graft.functions.Registry.ensure(s)
     val tokens = expr("filter(split(text, ' '), t -> t != '')")
     val withSig = Tables.documents(s, d)
       .select(col("doc_id"), size(tokens).as("n_tokens"),
@@ -208,7 +208,7 @@ object Dedup {
     * replaced by MinHash band keys ([[minhashDedup]]).
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    graft.functions.NgramJaccardFunctions.register(s)
+    graft.functions.Registry.ensure(s)
     val docs = Tables.documents(s, d)
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars"),
       col("text").as("text_a"))

@@ -28,7 +28,7 @@ object Similarity {
   /** embeddings with the vector cast to array<double> once; registers
     * the native vector expressions on the session. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
-    VectorFunctions.register(s)
+    graft.functions.Registry.ensure(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
   }

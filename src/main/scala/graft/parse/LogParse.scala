@@ -19,9 +19,18 @@ object LogParse {
     * struct — Spark's PERMISSIVE-mode malformed-record policy) or that
     * lack any of the four required keys
     * (reference: producer/main.py:64-77 validity gate).
+    *
+    * The parse is wrapped in [[graft.plans.ComputeOnce]] so the
+    * validity-gate filter and the flattening project above consume the
+    * parsed struct as an attribute instead of each re-evaluating the
+    * `from_json` (Catalyst clones alias trees through filter pushdown
+    * and project collapse; see ComputeOnce scaladoc). One parse per
+    * row, no materialization.
     */
   def parseJson(raw: Column)(df: DataFrame): DataFrame = {
-    val parsed = df.withColumn("data", from_json(raw.cast("string"), NginxLog.schema))
+    graft.functions.Registry.ensure(df.sparkSession)
+    val parsed = df.withColumn("data",
+      graft.plans.ComputeOnce.computeOnce(from_json(raw.cast("string"), NginxLog.schema)))
     val valid = NginxLog.requiredKeys
       .map(k => col(s"data.$k").isNotNull)
       .reduce(_ && _)
