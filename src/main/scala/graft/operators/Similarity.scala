@@ -111,29 +111,54 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** IVF (inverted-file) top-k: KMeans coarse quantizer (fixed seed) →
-    * every vector assigned to its nearest centroid → queries search only
-    * their `nprobe` nearest cells. The cross join is query × cell-subset
-    * instead of query × corpus: at 100 TB the corpus is bucketed by
-    * cell id (one shuffle at index-build time, amortized over queries)
-    * and each query touches nprobe/k of the data. Rows-only check; the
+  /** IVF index artifact: KMeans coarse quantizer (fixed seed) +
+    * per-vector cell assignments. An IVF index is built once and probed
+    * many times — round 1 re-fit the KMeans inside every query
+    * invocation (9.9 s of the 48 s bench; VERDICT r1 item 3). At 100 TB
+    * the index is a cell-bucketed parquet table plus a k-row centroid
+    * sidecar, built by one batch job and amortized over every query;
+    * the local stand-in is a persisted (MEMORY_AND_DISK) assignment
+    * DataFrame cached per (session, sfDir, k), materialized at build
+    * time so probe queries never pay the fit.
+    */
+  private final case class IvfIndex(
+      centroids: Seq[(Int, Array[Double])], assigned: DataFrame)
+
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), IvfIndex]()
+
+  private def ivfIndex(s: SparkSession, d: String, k: Int): IvfIndex =
+    ivfCache.computeIfAbsent((s, d, k), { _ =>
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.clustering.KMeans
+      val v = vecs(s, d).withColumn("fv", array_to_vector(col("v")))
+      // maxIter 10: the coarse quantizer only needs rough cells — recall
+      // is governed by nprobe, and the spec's recall bound holds at 10
+      // iterations for a third of the default's training cost.
+      val km = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+      val model = km.fit(v)
+      val assigned = model.transform(v).select(col("vec_id"), col("v"), col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.count() // materialize: the build pays the fit+assign, probes don't
+      IvfIndex(
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq,
+        assigned)
+    })
+
+  /** IVF (inverted-file) top-k probe: queries search only their
+    * `nprobe` nearest cells of the prebuilt [[ivfIndex]]. The join is
+    * query × cell-subset instead of query × corpus: each query touches
+    * ~nprobe/k of the data, and the only corpus-wide work (fit +
+    * assignment shuffle) lives in the index build. Rows-only check; the
     * spec asserts recall against [[bruteTopK]].
     */
   def ivfTopK(s: SparkSession, d: String, k: Int = 8, nprobe: Int = 3): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.clustering.KMeans
-    val v = vecs(s, d).withColumn("fv", array_to_vector(col("v")))
-    // maxIter 10: the coarse quantizer only needs rough cells — recall
-    // is governed by nprobe, and the spec's recall bound holds at 10
-    // iterations for a third of the default's training cost.
-    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(v)
-    val assigned = model.transform(v).select(col("vec_id"), col("v"), col("cell"))
+    val idx = ivfIndex(s, d, k)
+    val assigned = idx.assigned
 
     // centroids as a small DataFrame (k rows) — broadcast everywhere
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val cdf = s.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
+    val cdf = s.createDataFrame(idx.centroids).toDF("cell", "centroid")
 
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
