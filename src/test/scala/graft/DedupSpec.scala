@@ -106,4 +106,40 @@ class DedupSpec extends SparkSpec {
     val hamming = java.lang.Long.bitCount(a ^ b)
     assert(hamming <= 8, s"hamming=$hamming")
   }
+
+  test("simhash banding catches a planted 1-3-bit near-dup that exact grouping misses") {
+    TextHashFunctions.register(spark)
+    // search deterministically for a variant whose signature differs
+    // from the base by 1..3 bits — exactly the regime where grouping on
+    // the full 64-bit signature finds nothing but >=1 of the 4 16-bit
+    // bands is untouched (pigeonhole), so banding must catch it
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val variants = (1 to 200).map(v => base + s" extra$v")
+    val sigs = (base +: variants).toDF("text")
+      .select(TextHashFunctions.simhash(split(col("text"), " ")).as("sig"))
+      .as[Long].collect()
+    val baseSig = sigs.head
+    val pick = sigs.zipWithIndex.tail.find { case (s, _) =>
+      val h = java.lang.Long.bitCount(s ^ baseSig); h >= 1 && h <= 3
+    }
+    assert(pick.isDefined, "no 1-3-bit variant found in 200 tries")
+    val (variantSig, idx) = pick.get
+    assert(variantSig != baseSig) // exact-signature grouping would miss this pair
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-simhash").toString
+    val docs = Seq(
+      (0L, base, "en", base.length),
+      (1L, variants(idx - 1), "en", variants(idx - 1).length)) ++
+      (2L to 30L).map { i =>
+        val t = (1 to 40).map(j => s"noise${i}_$j").mkString(" ")
+        (i, t, "en", t.length)
+      }
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Dedup.simhashDedup(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)),
+      s"planted bit-flip pair not found; hamming=${java.lang.Long.bitCount(variantSig ^ baseSig)} pairs=$pairs")
+  }
 }

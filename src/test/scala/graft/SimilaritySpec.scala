@@ -26,25 +26,54 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(first.getDouble(0) - 32.0) < 1e-12)
   }
 
-  test("LSH near-dup finds a planted near-duplicate pair") {
-    // plant two nearly-parallel vectors among noise written as an
-    // embeddings table; sign-LSH must co-bucket them.
+  test("LSH near-dup connects a planted near-dup cluster to its representative") {
+    // plant a 5-member cluster of nearly-parallel vectors among noise;
+    // banded sign-LSH + star edges must link every member to the
+    // cluster representative (the min id) via verified edges.
     val dim = 64
     def vec(seed: Long, jitter: Double): Array[Float] =
       Array.tabulate(dim) { j =>
         val base = math.sin(seed * 7919.0 + j * 13.37)
         (base + jitter * math.cos(j * 3.1)).toFloat
       }
-    val rows =
-      Seq((0L, vec(1, 0.0), 0), (1L, vec(1, 0.02), 0)) ++ // near-parallel pair
-        (2L to 40L).map(i => (i, vec(i * 100 + 7, 0.0), 1))
+    val cluster = (0L to 4L).map(i => (i, vec(1, 0.02 * i), 0))
+    val rows = cluster ++ (5L to 60L).map(i => (i, vec(i * 100 + 7, 0.0), 1))
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
     val pairs = Similarity.lshNearDup(spark, dir)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((0L, 1L)), s"planted pair not found; got $pairs")
+    // union-find connectivity over the verified star edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    (1L to 4L).foreach { m =>
+      assert(find(m) == find(0L), s"cluster member $m not connected to rep; edges=$pairs")
+    }
+  }
+
+  test("LSH near-dup output is a subset of the exact near-dup pairs (precision 1.0)") {
+    val exact = Similarity.nearDupPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDup(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty, "LSH emitted no pairs on the fixture")
+    val bad = lsh -- exact
+    assert(bad.isEmpty, s"LSH emitted pairs missing from the exact set: $bad")
+  }
+
+  test("LSH near-dup plan joins on band keys, never a cross product") {
+    val lsh = Similarity.lshNearDup(spark, sf)
+    val phys = lsh.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"pair-materializing join in LSH plan:\n$phys")
   }
 
   test("IVF topk achieves high recall vs brute force on the fixture") {
