@@ -32,8 +32,18 @@ object LogStore {
   /** Compact one date partition: streaming appends leave one small file
     * per micro-batch per partition, and at 100 TB the file count — not
     * the byte count — kills scan planning. Rewrites the partition into
-    * ~`targetRows`-row files (row-count proxy for target file size) via
-    * an atomic-enough overwrite of just that partition directory.
+    * ~`targetRows`-row files (row-count proxy for target file size).
+    *
+    * Swap protocol: the compacted data is fully written to a hidden tmp
+    * dir first, then swapped in with two directory renames (old→aside,
+    * tmp→live) — each a single metadata op. The partition's data is
+    * never in a deleted state: before the swap the live dir holds the
+    * old files; a crash between the renames leaves the data intact in
+    * the aside dir (recoverable by rename, and the second invocation's
+    * rollback path restores it); after the swap the live dir holds the
+    * compacted files. The old files are deleted only once the compacted
+    * dir is live. Round 1 deleted the live dir before renaming tmp in,
+    * which had a crash window that lost the partition.
     */
   def compactPartition(spark: SparkSession, path: String, date: String,
       targetRows: Long = 1000000L): Unit = {
@@ -45,8 +55,16 @@ object LogStore {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(s"$path/event_date=$date")
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val aside = new org.apache.hadoop.fs.Path(s"$path/.compact_old_event_date=$date")
+    fs.delete(aside, true) // leftover from an earlier crashed swap
+    if (!fs.rename(dst, aside))
+      throw new java.io.IOException(s"compactPartition: cannot move $dst aside")
+    if (!fs.rename(tmpP, dst)) {
+      fs.rename(aside, dst) // roll back: restore the original partition
+      throw new java.io.IOException(s"compactPartition: swap failed for $dst; original restored")
+    }
+    fs.delete(aside, true)
   }
 
   /** Z-order-clustered write: range-partition + sort by the Morton

@@ -44,6 +44,54 @@ class LayoutSpec extends SparkSpec {
     assert(LogStore.read(spark, dir).count() == rowsBefore)
   }
 
+  test("compaction swap keeps the partition readable and recovers from a crashed run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString + "/logs"
+    val df = Tables.events(spark, sf).withColumnRenamed("ts", "timestamp")
+      .filter(col("timestamp") >= "2024-01-15 00:00:00" &&
+        col("timestamp") < "2024-01-16 00:00:00")
+    (1 to 3).foreach(_ => LogStore.writePartitioned(df, dir))
+    val rows = LogStore.read(spark, dir).count()
+
+    // debris of a previous crashed swap: both the tmp and the aside dir
+    // exist alongside the live partition — compaction must clear them
+    // and still complete atomically
+    val live = new java.io.File(s"$dir/event_date=2024-01-15")
+    def plant(name: String): Unit = {
+      val d = new java.io.File(s"$dir/$name")
+      d.mkdirs()
+      java.nio.file.Files.write(d.toPath.resolve("stale.parquet.crc"), Array[Byte](1))
+    }
+    plant(".compact_old_event_date=2024-01-15")
+    plant(".compact_tmp_event_date=2024-01-15")
+
+    // concurrent reader: polls for the whole compaction, asserting the
+    // durability invariant of the two-rename swap — at every instant the
+    // partition's rows exist in at least one of {live, aside, tmp}. (The
+    // live dir itself may blink for the duration of one rename metadata
+    // op; what must never happen is all three missing at once, which is
+    // exactly the data-loss window the round-1 delete-then-rename had.)
+    // The final live re-check makes the four reads race-free: aside is
+    // only deleted after live is restored, so a genuine violation shows
+    // live missing at both ends of the probe.
+    val aside = new java.io.File(s"$dir/.compact_old_event_date=2024-01-15")
+    val tmp = new java.io.File(s"$dir/.compact_tmp_event_date=2024-01-15")
+    @volatile var stop = false
+    @volatile var violated = false
+    val reader = new Thread(() => while (!stop) {
+      val d1 = live.exists(); val a = aside.exists()
+      val t = tmp.exists(); val d2 = live.exists()
+      if (!d1 && !a && !t && !d2) violated = true
+      Thread.`yield`()
+    })
+    reader.start()
+    try LogStore.compactPartition(spark, dir, "2024-01-15")
+    finally { stop = true; reader.join() }
+
+    assert(LogStore.read(spark, dir).count() == rows)
+    assert(!aside.exists() && !tmp.exists())
+    assert(!violated, "all copies of the partition were missing at some instant")
+  }
+
   test("z-order interleaving is correct and locality-preserving") {
     import graft.functions.ZOrderValue.interleave
     assert(interleave(0L, 0L) == 0L)
