@@ -77,13 +77,13 @@ object OracleSql {
       |     OR (hist.avg_requests IS NULL AND cur.request_count > 100)) AS is_anomaly,
       |    CASE WHEN (CASE WHEN hist.stddev_requests IS NOT NULL AND hist.stddev_requests > 0
       |                    THEN (cur.request_count - hist.avg_requests) / hist.stddev_requests
-      |                    ELSE 0.0 END) > 3 THEN 'High traffic volume'
+      |                    ELSE 0.0 END) > 3 THEN 'Unusually high traffic'
       |         WHEN (CASE WHEN hist.stddev_requests IS NOT NULL AND hist.stddev_requests > 0
       |                    THEN (cur.request_count - hist.avg_requests) / hist.stddev_requests
       |                    ELSE 0.0 END) < -3 THEN 'Unusually low traffic'
       |         WHEN hist.avg_requests IS NULL AND cur.request_count > 100
       |              THEN 'New IP with high traffic'
-      |         ELSE 'Normal' END AS anomaly_reason
+      |         ELSE NULL END AS anomaly_reason
       |  FROM cur LEFT JOIN hist ON cur.user_id = hist.user_id)""".stripMargin
 
   val zscoreAnomaly: String =

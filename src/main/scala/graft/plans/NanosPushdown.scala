@@ -48,15 +48,28 @@ object NanosPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** Exact nanos bound for `a DIV 1000 {>=,<} T(=n/1000)`.
+    *
+    * IntegralDivide truncates toward ZERO, not -∞, so for negative `a`
+    * the quotient rounds up: a ∈ [-999, -1] gives a DIV 1000 = 0. TsLit
+    * only matches n >= 0; for n > 0 the naive bound `n` is exact for
+    * every `a` (negative `a` fails both sides), but for the epoch
+    * literal n == 0 the satisfying range extends down to -999 — the
+    * naive rewrite would silently re-classify pre-1970 rows within one
+    * microsecond of the epoch. The `n + 1000` bounds used by the
+    * strict/flipped cases are exact for all `a` since n + 1000 > 0.
+    */
+  private def lowerBound(n: Long): Long = if (n == 0L) -999L else n
+
   private def rewrite(c: Expression): Expression = c transformUp {
-    case GreaterThanOrEqual(NanosToTs(a), TsLit(n)) => GreaterThanOrEqual(a, Literal(n))
+    case GreaterThanOrEqual(NanosToTs(a), TsLit(n)) => GreaterThanOrEqual(a, Literal(lowerBound(n)))
     case GreaterThan(NanosToTs(a), TsLit(n)) => GreaterThanOrEqual(a, Literal(n + 1000L))
-    case LessThan(NanosToTs(a), TsLit(n)) => LessThan(a, Literal(n))
+    case LessThan(NanosToTs(a), TsLit(n)) => LessThan(a, Literal(lowerBound(n)))
     case LessThanOrEqual(NanosToTs(a), TsLit(n)) => LessThan(a, Literal(n + 1000L))
     case GreaterThanOrEqual(TsLit(n), NanosToTs(a)) => LessThan(a, Literal(n + 1000L))
-    case GreaterThan(TsLit(n), NanosToTs(a)) => LessThan(a, Literal(n))
+    case GreaterThan(TsLit(n), NanosToTs(a)) => LessThan(a, Literal(lowerBound(n)))
     case LessThan(TsLit(n), NanosToTs(a)) => GreaterThanOrEqual(a, Literal(n + 1000L))
-    case LessThanOrEqual(TsLit(n), NanosToTs(a)) => GreaterThanOrEqual(a, Literal(n))
+    case LessThanOrEqual(TsLit(n), NanosToTs(a)) => GreaterThanOrEqual(a, Literal(lowerBound(n)))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {

@@ -49,10 +49,12 @@ object StreamPipelines {
     *
     * `dedupeWindow`: the reference's checkpoint+append-sink combination
     * is at-least-once — replays duplicate rows into raw_logs
-    * (SURVEY.md §4.1). Setting a window enables watermarked
-    * `dropDuplicates` on request_id: each id is delivered once as long
-    * as its duplicates arrive within the window; state is bounded by
-    * (ids per window), dropped as the watermark passes.
+    * (SURVEY.md §4.1). Setting a window enables
+    * `dropDuplicatesWithinWatermark` on request_id ALONE: each id is
+    * delivered once as long as its duplicates arrive within the window
+    * — even if a replay carries a perturbed timestamp (round 1 keyed on
+    * (id, timestamp), which only caught byte-identical replays). State
+    * is bounded by (ids per window), dropped as the watermark passes.
     */
   def ingest(
       raw: DataFrame,
@@ -63,7 +65,7 @@ object StreamPipelines {
     val parsed = LogParse.ingestChain(raw)
     val deduped = dedupeWindow.fold(parsed) { w =>
       parsed.withWatermark("timestamp", w)
-        .dropDuplicates("request_id", "timestamp")
+        .dropDuplicatesWithinWatermark("request_id")
     }
     deduped
       .writeStream
@@ -107,11 +109,11 @@ object StreamPipelines {
         abs(col("z_score")) > 3 ||
           (col("avg_requests").isNull && col("request_count") > 100))
       .withColumn("anomaly_reason",
-        when(col("z_score") > 3, lit("High traffic volume"))
+        when(col("z_score") > 3, lit("Unusually high traffic"))
           .when(col("z_score") < -3, lit("Unusually low traffic"))
           .when(col("avg_requests").isNull && col("request_count") > 100,
             lit("New IP with high traffic"))
-          .otherwise(lit("Normal")))
+          .otherwise(lit(null).cast("string")))
   }
 
   /** The streaming anomaly pipeline (reference:

@@ -36,6 +36,33 @@ class NanosPushdownSpec extends SparkSpec {
     }
   }
 
+  test("epoch-boundary rewrite is exact for pre-1970 nanos") {
+    // IntegralDivide truncates toward ZERO: nanos in [-999, -1] land on
+    // micro 0, i.e. they SATISFY ts >= epoch. The naive `a >= T*1000`
+    // rewrite re-classified exactly those rows; lowerBound(0) = -999
+    // keeps them. Expected side models truncation with Java `/` (which
+    // also truncates toward zero) — NOT floorDiv.
+    spark.experimental.extraOptimizations = Seq(graft.plans.NanosPushdown)
+    val nanos = Seq(-2000L, -1001L, -1000L, -999L, -500L, -1L, 0L, 1L,
+      999L, 1000L, 1500L)
+    val df = nanos.toDF("raw")
+      .withColumn("ts", timestamp_micros(expr("raw DIV 1000L")))
+    val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
+    def expect(p: Long => Boolean): Set[Long] =
+      nanos.filter(n => p(n / 1000L)).toSet
+    val cases: Seq[(String, org.apache.spark.sql.Column, Long => Boolean)] = Seq(
+      ("geq", col("ts") >= epoch, _ >= 0L),
+      ("gt", col("ts") > epoch, _ > 0L),
+      ("lt", col("ts") < epoch, _ < 0L),
+      ("leq", col("ts") <= epoch, _ <= 0L),
+      ("gt_rev", epoch > col("ts"), m => 0L > m),
+      ("leq_rev", epoch <= col("ts"), m => 0L <= m))
+    for ((name, cond, p) <- cases) {
+      val got = df.filter(cond).select("raw").as[Long].collect().toSet
+      assert(got == expect(p), s"case $name: got $got expected ${expect(p)}")
+    }
+  }
+
   test("rewritten plan pushes a raw-long range filter to the scan") {
     val plan = operators.Analytics.timeRangeScan(spark, sf)
       .queryExecution.executedPlan.toString
