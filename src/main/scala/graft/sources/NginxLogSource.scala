@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,11 +27,18 @@ import graft.model.NginxLog
   * before an InternalRow is built. At 100 TB of 38-field log lines,
   * parsing 3 fields instead of 38 is the scan bottleneck.
   *
-  * Scope: batch read, one input partition per file (a production
-  * version would split by byte ranges). Malformed lines are skipped —
-  * the producer-side validity gate (reference: producer/main.py:76-77).
+  * Scope: batch read; files are split into ~`splitSize`-byte input
+  * partitions (default 128 MB, a read option) using the standard
+  * line-oriented split protocol (see [[NginxLogReader]]) — a single
+  * 10 GB log file fans out to ~80 tasks instead of one. Malformed
+  * lines are skipped — the producer-side validity gate (reference:
+  * producer/main.py:76-77).
+  *
+  * Registered as `format("nginxlog")` via
+  * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister.
   */
-class NginxLogSource extends TableProvider {
+class NginxLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "nginxlog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     NginxLog.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -61,10 +68,12 @@ class NginxLogTable(path: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NginxLogScanBuilder(path, tableSchema)
+    new NginxLogScanBuilder(path, tableSchema,
+      options.getLong("splitSize", 128L * 1024 * 1024))
 }
 
-class NginxLogScanBuilder(path: String, tableSchema: StructType) extends ScanBuilder
+class NginxLogScanBuilder(path: String, tableSchema: StructType,
+    splitSize: Long) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -85,11 +94,11 @@ class NginxLogScanBuilder(path: String, tableSchema: StructType) extends ScanBui
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new NginxLogScan(path, required, pushed)
+  override def build(): Scan = new NginxLogScan(path, required, pushed, splitSize)
 }
 
-class NginxLogScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+class NginxLogScan(path: String, required: StructType, pushed: Array[Filter],
+    splitSize: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -108,9 +117,21 @@ class NginxLogScan(path: String, required: StructType, pushed: Array[Filter])
         fs.listStatus(p).filter(st => st.isFile &&
           !st.getPath.getName.startsWith(".") &&
           !st.getPath.getName.startsWith("_"))
-          .map(_.getPath.toString)
-      else Array(path)
-    files.sorted.map(f => NginxLogPartition(f): InputPartition)
+          .map(st => st.getPath.toString -> st.getLen)
+      else Array(path -> fs.getFileStatus(p).getLen)
+    // chop each file into ~splitSize byte ranges; ranges are aligned to
+    // line boundaries at read time by the split protocol in the reader,
+    // so the cut points here can be arbitrary
+    files.sortBy(_._1).flatMap { case (f, len) =>
+      if (len <= splitSize) Array(NginxLogPartition(f, 0L, len))
+      else {
+        val n = math.ceil(len.toDouble / splitSize).toInt
+        Array.tabulate(n) { i =>
+          val start = i.toLong * splitSize
+          NginxLogPartition(f, start, math.min(splitSize, len - start))
+        }
+      }
+    }.map(p => p: InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -125,27 +146,48 @@ class NginxLogScan(path: String, required: StructType, pushed: Array[Filter])
   }
 }
 
-case class NginxLogPartition(file: String) extends InputPartition
+case class NginxLogPartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
 class NginxLogReaderFactory(fields: Array[String], pushed: Array[Filter],
     confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NginxLogReader(partition.asInstanceOf[NginxLogPartition].file, fields,
+    new NginxLogReader(partition.asInstanceOf[NginxLogPartition], fields,
       pushed, confMap)
 }
 
-class NginxLogReader(file: String, fields: Array[String], pushed: Array[Filter],
+/** Reads one byte range of one JSON-lines file.
+  *
+  * Split protocol (the TextInputFormat convention, so arbitrary byte
+  * cut points never split or duplicate a record): a split owns every
+  * line that STARTS at an offset in (start, start+length] — plus
+  * offset 0 for the first split. Concretely: a non-first split seeks
+  * to `start` and discards everything up to the first newline (that
+  * prefix belongs to the previous split's last line); it then reads
+  * whole lines while their start offset is <= start+length, so its
+  * final line may extend past the range end — which is exactly the
+  * prefix the next split discards.
+  */
+class NginxLogReader(part: NginxLogPartition, fields: Array[String],
+    pushed: Array[Filter],
     confMap: Map[String, String]) extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val fsPath = new org.apache.hadoop.fs.Path(file)
+  private val fsPath = new org.apache.hadoop.fs.Path(part.file)
   private val hadoopConf = {
     val c = new org.apache.hadoop.conf.Configuration()
     confMap.foreach { case (k, v) => c.set(k, v) }
     c
   }
   private val stream = fsPath.getFileSystem(hadoopConf).open(fsPath)
-  private val lines = scala.io.Source.fromInputStream(stream, "UTF-8")
-  private val it = lines.getLines()
+  private val end = part.start + part.length
+  /** Offset where the next line read will start. */
+  private var pos = part.start
+  private val lineReader = {
+    if (part.start > 0) stream.seek(part.start)
+    new org.apache.hadoop.util.LineReader(stream)
+  }
+  if (part.start > 0) pos += lineReader.readLine(new org.apache.hadoop.io.Text())
+  private val text = new org.apache.hadoop.io.Text()
   private var row: InternalRow = _
 
   private def passes(get: String => String): Boolean =
@@ -156,10 +198,12 @@ class NginxLogReader(file: String, fields: Array[String], pushed: Array[Filter],
     }
 
   override def next(): Boolean = {
-    while (it.hasNext) {
-      val line = it.next()
+    while (pos <= end) {
+      val n = lineReader.readLine(text)
+      if (n == 0) return false // EOF
+      pos += n
       try {
-        val node = mapper.readTree(line)
+        val node = mapper.readTree(text.toString)
         if (node != null && node.isObject) {
           def get(f: String): String = {
             val v = node.get(f)
@@ -183,5 +227,5 @@ class NginxLogReader(file: String, fields: Array[String], pushed: Array[Filter],
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = lines.close()
+  override def close(): Unit = lineReader.close()
 }

@@ -48,6 +48,30 @@ class NginxLogSourceSpec extends SparkSpec {
     assert(q.as[String].collect().toSet == Set("1.1.1.1", "3.3.3.3"))
   }
 
+  test("one large file fans out to byte-range splits with an identical row set") {
+    // 5000 variable-length lines in ONE file; 64 KiB splits cut at
+    // arbitrary byte offsets, so nearly every boundary lands mid-line —
+    // the split protocol must neither lose nor duplicate any record
+    val d = java.nio.file.Files.createTempDirectory("graft-v2split").toString
+    val lines = (0 until 5000).map { i =>
+      val pad = "p" * (i % 97)
+      s"""{"remote_addr": "10.0.${i / 256}.${i % 256}", "request_uri": "/r/$i$pad", "status": "${200 + i % 3}"}"""
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "big.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val split = spark.read.format("nginxlog") // short-name registration
+      .option("splitSize", 64 * 1024)
+      .load(d)
+      .select("request_uri")
+    assert(split.rdd.getNumPartitions > 1, s"expected >1 split partitions")
+    val got = split.as[String].collect().sorted
+    val whole = spark.read.format("nginxlog").load(d)
+      .select("request_uri").as[String].collect().sorted
+    assert(got.length == 5000 && got.sameElements(whole))
+  }
+
   test("the parse chain composes on top of the V2 source") {
     val parsed = graft.parse.LogParse.dropAgents(
       graft.parse.LogParse.extractEndpoint(graft.parse.LogParse.derive(src)))
