@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.Row
 import graft.parse.LogParse
 
@@ -231,5 +231,48 @@ object StreamPipelines {
           state.update((n, s))
           (key, n, s)
       }
+  }
+
+  /** [[runningTrafficTotals]] on the Spark 4 `transformWithState` API —
+    * the successor to mapGroupsWithState the reference's
+    * foreachBatch-era design predates (SURVEY.md §2.8). Same running
+    * (count, sum) per key, but state is a named, schema'd ValueState in
+    * the store itself (RocksDB provider required): composable with
+    * ListState/MapState/timers/TTL, and evolvable without a full
+    * checkpoint rebuild — the properties that matter once state is
+    * hundreds of GB across a fleet.
+    */
+  def runningTrafficTotalsTws(
+      parsed: DataFrame): org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import parsed.sparkSession.implicits._
+    parsed
+      .select(col("remote_addr"),
+        coalesce(col("request_time_seconds"), lit(0.0)).as("rt"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** Keyed running (count, sum) as a [[StatefulProcessor]]. One ValueState
+  * cell per key — bounded by key cardinality, like the
+  * mapGroupsWithState formulation it mirrors.
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[String, (String, Double), (String, Long, Double)] {
+  import org.apache.spark.sql.Encoders
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+      timerValues: TimerValues): Iterator[(String, Long, Double)] = {
+    var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { r => n += 1; s += r._2 }
+    totals.update((n, s))
+    Iterator.single((key, n, s))
   }
 }

@@ -87,6 +87,36 @@ class StreamingSpec extends SparkSpec {
     assert(last._1 == 2L && math.abs(last._2 - 0.4) < 1e-9)
   }
 
+  test("transformWithState keeps running per-key totals across batches") {
+    // twin of the mapGroupsWithState test on the Spark 4 API; requires
+    // the RocksDB state store provider (scoped to this query's session)
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[String](session)
+    val parsed = graft.parse.LogParse.ingestChain(mem.toDF())
+    val q = StreamPipelines.runningTrafficTotalsTws(parsed)
+      .toDF("remote_addr", "n", "total_rt")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("tws_out")
+      .start()
+    mem.addData(logLine("2025-07-25T10:00:01+00:00", "x", "0.100"))
+    q.processAllAvailable()
+    mem.addData(logLine("2025-07-25T10:00:02+00:00", "x", "0.300"),
+      logLine("2025-07-25T10:00:03+00:00", "y", "0.500"))
+    q.processAllAvailable()
+    q.stop()
+    val out = session.table("tws_out")
+      .groupBy(col("remote_addr"))
+      .agg(max(col("n")).as("n"), max(col("total_rt")).as("rt"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, rt) => k -> ((n, rt)) }.toMap
+    assert(out("x")._1 == 2L && math.abs(out("x")._2 - 0.4) < 1e-9, out.toString)
+    assert(out("y")._1 == 1L && math.abs(out("y")._2 - 0.5) < 1e-9, out.toString)
+  }
+
   test("ingest with dedupe window drops replayed duplicate request_ids") {
     val mem = MemoryStream[String](spark)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
