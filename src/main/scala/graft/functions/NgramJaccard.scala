@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -55,10 +56,72 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int = 3)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard similarity of two SORTED ascending ARRAY<LONG> sets (distinct
+  * elements), via a single merge-intersect pass — O(|a|+|b|) long
+  * comparisons, no per-pair set construction.
+  *
+  * This is the high-degree verification primitive: when one document
+  * (e.g. an LSH bucket minimum) appears in many candidate edges,
+  * [[NgramJaccard]] re-builds its string gram set once per edge; here
+  * the gram set is precomputed ONCE per document as
+  * sort_array(collect_set(xxhash64(gram))) and each edge pays only the
+  * merge. Jaccard over 64-bit gram hashes equals string-gram Jaccard
+  * unless xxhash64 collides within a document pair's grams
+  * (p ≈ g²/2⁶⁵ ≈ 1e-13 at g=1000 grams) — negligible, and the dedup
+  * spec cross-checks against the exact string formulation. Two empty
+  * sets score 1.0, matching [[NgramJaccard]]; inputs MUST be sorted
+  * (callers build them with sort_array).
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val xa = x.getLong(i); val yb = y.getLong(j)
+      if (xa == yb) { inter += 1; i += 1; j += 1 }
+      else if (xa < yb) i += 1
+      else j += 1
+    }
+    val uni = na + nb - inter
+    if (uni == 0) 1.0 else inter.toDouble / uni
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val uni = ctx.freshName("uni")
+      val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
+      s"""int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $xa = $a.getLong($i); long $yb = $b.getLong($j);
+         |  if ($xa == $yb) { $inter++; $i++; $j++; }
+         |  else if ($xa < $yb) { $i++; } else { $j++; }
+         |}
+         |int $uni = $na + $nb - $inter;
+         |${ev.value} = ($uni == 0) ? 1.0 : ((double) $inter) / $uni;""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NgramJaccardFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard3", (es: Seq[Expression]) => NgramJaccard(es(0), es(1), 3), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard_sorted", (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1)), "built-in")
+  }
 
   def jaccard3(a: Column, b: Column): Column = call_function("graft_jaccard3", a, b)
+  def jaccardSorted(a: Column, b: Column): Column = call_function("graft_jaccard_sorted", a, b)
 }

@@ -62,8 +62,12 @@ object Dedup {
 
   // --- shingling (shared by MinHash and exact Jaccard) ---
 
-  /** Distinct character-3-gram shingles, one row per (doc, shingle).
-    * Built with sequence/transform/explode — codegen'd, no UDF.
+  /** Character-3-gram shingles, one row per (doc, position) — NOT
+    * deduplicated: the only consumer is [[minhashBuckets]]'s min()
+    * aggregation, which is multiset-insensitive (a repeated shingle
+    * cannot change any min), so a distinct here would be a full shuffle
+    * of the widest intermediate for nothing. Built with
+    * sequence/transform/explode — codegen'd, no UDF.
     * Texts shorter than n yield no rows (explode of an empty array):
     * unguarded, `sequence(1, length-2)` runs DESCENDING for short texts
     * (e.g. [1,0,-1]) and substring(pos<=0) fabricates junk shingles,
@@ -71,11 +75,10 @@ object Dedup {
     * [[graft.functions.NgramJaccard]]'s empty gram set (ADVICE r1).
     */
   private def charShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+    docs.select(col("doc_id"),
         explode(when(length(col("text")) < n, expr("CAST(array() AS ARRAY<STRING>)"))
           .otherwise(expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))")))
           .as("g"))
-      .distinct()
 
   // --- MinHash + LSH banded dedup -------------------------------------
   //
@@ -86,7 +89,7 @@ object Dedup {
   // size and dies at scale (an earlier pair-based formulation timed out
   // sf0.1 verification). This one never builds doc-doc pairs:
   //
-  //   shingles → 16 minhashes/doc (one aggregation pass) → 8 bands ×
+  //   shingles → 32 minhashes/doc (one aggregation pass) → 16 bands ×
   //   2 rows → per-bucket STAR EDGES (bucket-min doc → each other
   //   member; ≤ docs × bands edges, linear) → per-edge exact char-3
   //   Jaccard verification (native expression) → min-label propagation
@@ -99,21 +102,59 @@ object Dedup {
   // dense-dup corpora where cluster members are mutually similar, and
   // the chain spec pins the multi-hop behavior that survives.
 
-  /** (doc, band, bucket-key) assignments — the LSH index. */
-  private def minhashBuckets(s: SparkSession, d: String): DataFrame = {
-    val H = 16
-    val bands = 8
-    val rowsPerBand = H / bands
-    val sh = charShingles(Tables.documents(s, d)).select(col("doc_id"), col("g"))
+  /** Per-document MinHash index: ONE aggregation pass over the shingle
+    * stream producing BOTH the 32 minhash signatures and the document's
+    * sorted distinct gram-hash set, materialized once (localCheckpoint)
+    * and consumed by band-key generation, candidate rollup, and edge
+    * verification — the shingle explode is never recomputed.
+    *
+    * 32 minhashes in 16 bands × 2 rows: per-pair candidate probability
+    * at the 0.5 Jaccard verification threshold is 1-(1-0.25)^16 ≈ 0.99
+    * (vs ≈ 0.90 for the earlier 8 × 2), which is what lifts end-to-end
+    * component recall above 0.9 against exact connected components
+    * (DedupSpec). Bands stay 2 rows wide so buckets remain tight —
+    * star edges link members to the bucket MINIMUM, so recall depends
+    * on bucket-mates actually being similar; wide permissive buckets
+    * (1-row bands) would fail edge verification at the bucket min and
+    * lose the member entirely.
+    *
+    * Hashing is two-level: each shingle STRING is xxhash'd exactly once
+    * (h1); the H minhash functions re-hash that fixed-width long with
+    * the function index (a handful of codegen'd ops each), so doubling
+    * H from 16 to 32 costs less than the old 16 per-string hashes did.
+    *
+    * The repartition by doc_id BEFORE shingling matters: the fixture
+    * table is one small parquet split, so without it the whole
+    * shingle+signature pass (the expensive part of the query) runs as a
+    * single task on one core. The shuffle moves only raw documents
+    * (tiny), buys full parallelism for the explode+hash, and
+    * hash-partitioning on the aggregation key means the groupBy needs
+    * no second shuffle. At 100 TB the scan arrives already split, but
+    * key-partitioning ahead of the per-key aggregation is the same plan
+    * you want there.
+    */
+  private val MinhashH = 32
+  private val MinhashBands = 16
+
+  private def minhashIndex(s: SparkSession, d: String): DataFrame = {
+    val sh = charShingles(Tables.documents(s, d).repartition(col("doc_id")))
+      .select(col("doc_id"), xxhash64(col("g")).as("h1"))
     val sigCols: Seq[Column] =
-      (0 until H).map(h => min(xxhash64(col("g"), lit(h))).as(s"mh$h"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandKey: Seq[Column] = (0 until bands).map { b =>
+      (0 until MinhashH).map(h => min(xxhash64(col("h1"), lit(h))).as(s"mh$h"))
+    val aggCols = sigCols :+ sort_array(collect_set(col("h1"))).as("grams")
+    sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(true)
+  }
+
+  /** (doc, band, bucket-key) assignments derived from [[minhashIndex]]. */
+  private def minhashBanded(index: DataFrame): DataFrame = {
+    val rowsPerBand = MinhashH / MinhashBands
+    val bandKey: Seq[Column] = (0 until MinhashBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(h => col(s"mh$h"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("key")).as(s"bk$b")
     }
-    sigs.select(col("doc_id") +: bandKey: _*)
-      .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"bk$b")): _*)).as("bk"))
+    index.select(col("doc_id") +: bandKey: _*)
+      .select(col("doc_id"), explode(array((0 until MinhashBands).map(b => col(s"bk$b")): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
@@ -130,20 +171,24 @@ object Dedup {
   }
 
   def minhashDedup(s: SparkSession, d: String): DataFrame = {
-    // one bucket index serves both the star edges and the degree
-    // rollup — materialized once (the shingle+signature aggregation is
-    // the expensive part)
-    val banded = minhashBuckets(s, d).localCheckpoint(true)
+    graft.functions.Registry.ensure(s)
+    // one checkpointed per-doc index (signatures + sorted gram hashes)
+    // serves band keys, the degree rollup, AND edge verification
+    val index = minhashIndex(s, d)
+    val banded = minhashBanded(index)
     val cand = starEdges(banded)
 
     // exact-Jaccard verification, star edges only: cost and shuffle are
-    // O(docs x bands), independent of cluster sizes.
-    graft.functions.Registry.ensure(s)
-    val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // O(docs x bands), independent of cluster sizes. Each edge pays one
+    // merge-intersect over the two PRE-BUILT sorted gram-hash arrays
+    // (SortedLongJaccard) — the string formulation re-shingled both
+    // texts per edge, which for high-degree bucket minima rebuilt the
+    // same gram set hundreds of times.
+    val grams = index.select(col("doc_id"), col("grams"))
     val verified = cand
-      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
-      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
-      .filter(graft.functions.NgramJaccardFunctions.jaccard3(col("text_a"), col("text_b")) >= 0.5)
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .filter(graft.functions.NgramJaccardFunctions.jaccardSorted(col("ga"), col("gb")) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
 
     // canonical id: synchronous min-label propagation over the verified

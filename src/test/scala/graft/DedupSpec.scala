@@ -69,7 +69,7 @@ class DedupSpec extends SparkSpec {
   test("minhash cluster recall >= 0.8 against exact Jaccard >= 0.5 pairs") {
     // End-to-end guarantee: documents whose exact char-3 Jaccard is at
     // or above the dedup threshold should land in the same cluster
-    // (equal kept_doc_id). Banding 8x2 predicts >= 1-(1-0.25)^8 ≈ 0.90
+    // (equal kept_doc_id). Banding 16x2 predicts >= 1-(1-0.25)^16 ≈ 0.99
     // same-bucket probability at j=0.5; star verification keeps
     // connectivity through the bucket minimum.
     val d = "/root/testdata/sf0.01"
@@ -82,6 +82,67 @@ class DedupSpec extends SparkSpec {
     val recall = exactPairs.count { case (a, b) => kept(a) == kept(b) }
       .toDouble / exactPairs.size
     assert(recall >= 0.8, s"recall=$recall over ${exactPairs.size} exact pairs")
+  }
+
+  test("minhash canonical ids match exact connected components (precision exact, recall bounded)") {
+    // Ground truth: exact connected components over UNBLOCKED all-pairs
+    // char-3 Jaccard >= 0.5 edges (the ngramJaccard oracle blocks on
+    // (lang, n_chars), which by construction misses cross-length
+    // near-dups — ground truth must not). 500 docs -> 125k candidate
+    // pairs through the native one-pass verifier; test-only cost.
+    val d = "/root/testdata/sf0.01"
+    graft.functions.NgramJaccardFunctions.register(spark)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val exactEdges = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(length(col("text_a")) >= 3 && length(col("text_b")) >= 3)
+      .filter(graft.functions.NgramJaccardFunctions.jaccard3(col("text_a"), col("text_b")) >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exactEdges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(rx max ry) = rx min ry
+    }
+    val exactLabel = docs.select("doc_id").as[Long].collect()
+      .map(i => i -> find(i)).toMap
+
+    val out = Dedup.minhashDedup(spark, d)
+      .select("doc_id", "kept_doc_id").as[(Long, Long)].collect()
+
+    // PRECISION is an invariant, not a bound: every propagation hop in
+    // minhashDedup walks a VERIFIED exact-Jaccard >= 0.5 edge, which is
+    // by definition an edge of the ground-truth graph — so a kept id
+    // outside the doc's exact component is impossible unless the
+    // verification or propagation is broken.
+    out.foreach { case (id, kept) =>
+      assert(exactLabel(kept) == exactLabel(id),
+        s"doc $id kept under $kept, which is outside its exact component " +
+          s"(${exactLabel(id)} vs ${exactLabel(kept)})")
+    }
+
+    // RECALL bounds over true duplicates (exact component min != self):
+    // detection (flagged at all) and exact-label agreement (landed on
+    // the component's true canonical min). 16x2 banding at j=0.5 gives
+    // ≈ 0.99 per-pair bucket probability; the residual misses are
+    // threshold-straddling pairs plus star-edge/3-round propagation
+    // truncation.
+    val dups = out.filter { case (id, _) => exactLabel(id) != id }
+    assume(dups.nonEmpty, "fixture has no exact near-dup components")
+    val detected = dups.count { case (id, kept) => kept != id }
+    val agreed = dups.count { case (id, kept) => kept == exactLabel(id) }
+    val detectRecall = detected.toDouble / dups.length
+    val labelAgree = agreed.toDouble / dups.length
+    assert(detectRecall >= 0.9,
+      s"detection recall $detectRecall over ${dups.length} true dups")
+    assert(labelAgree >= 0.85,
+      s"canonical-label agreement $labelAgree over ${dups.length} true dups")
   }
 
   test("simhash: identical token sets get identical signatures; disjoint ones differ") {
