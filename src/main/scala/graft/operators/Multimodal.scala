@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,7 +21,10 @@ case class MediaRecord(
     height: Int,
     duration_ms: Long)
 
-/** Extracted features per media item. */
+/** Extracted features per media item. `decoded_real` is true when the
+  * payload went through a real codec (ImageIO), false when the
+  * deterministic fallback produced the values.
+  */
 case class MediaFeatures(
     media_id: Long,
     kind: String,
@@ -26,26 +33,62 @@ case class MediaFeatures(
     decoded_width: Int,
     decoded_height: Int,
     n_frames_sampled: Int,
+    decoded_real: Boolean,
     feature: Array[Float])
 
 /** Multimodal-column operators: decode / feature-extract / resize /
   * frame-sample over opaque BINARY columns.
   *
-  * The Spark-side plumbing — schema, partition-parallel batch iteration,
-  * typed output — is real and tested. The codec itself is STUBBED with a
-  * deterministic fake (`StubCodec`): image/audio decoding libraries are
-  * not available in this environment, and a real deployment would swap
-  * `StubCodec` for JNI/javacpp bindings without touching the pipeline.
-  * `mapPartitions` is the Scala analogue of PySpark's `mapInPandas`
-  * batch-UDF shape: one iterator per partition, so per-partition codec
-  * init (the expensive part of real decoders) is paid once, not per row.
+  * Image payloads are decoded FOR REAL via the JDK's `javax.imageio`
+  * (PNG/BMP/GIF/JPEG — no external libraries needed), including the
+  * pixel-level feature extraction (luminance histogram). Audio/video
+  * payloads have no JDK codec, so they fall through to the
+  * clearly-marked deterministic [[StubCodec]] — a real deployment swaps
+  * that one object for JNI/javacpp bindings without touching the
+  * pipeline. `mapPartitions` is the Scala analogue of PySpark's
+  * `mapInPandas` batch-UDF shape: one iterator per partition, so
+  * per-partition codec init (here: disabling ImageIO's temp-file cache;
+  * with native codecs: library/context setup) is paid once, not per row.
   */
 object Multimodal {
 
-  /** STUB: deterministic fake decoder. A real implementation decodes
-    * `bytes` with an image/audio codec; this derives plausible,
-    * deterministic values from the payload so the pipeline around it is
-    * fully exercisable.
+  /** Real image codec over the JDK's ImageIO. Returns None when no
+    * registered reader understands the payload (garbage bytes, or a
+    * format the JDK does not ship) — callers fall back to [[StubCodec]].
+    */
+  object ImageIoCodec {
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+    def decodeDims(img: BufferedImage): (Int, Int) = (img.getWidth, img.getHeight)
+
+    /** Pixel-level feature: `dim`-bin normalized luminance histogram. */
+    def embed(img: BufferedImage, dim: Int = 8): Array[Float] = {
+      val out = new Array[Float](dim)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          out(lum * dim / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < dim) { out(i) /= n; i += 1 }
+      out
+    }
+  }
+
+  /** Deterministic fallback for payloads with no JDK codec (audio,
+    * video) or undecodable bytes. Derives plausible, reproducible values
+    * from the payload so the pipeline stays fully exercisable; a real
+    * deployment replaces this with JNI/javacpp codec bindings.
     */
   object StubCodec {
     def contentHash(bytes: Array[Byte]): Long = {
@@ -71,8 +114,32 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL PNG payload: seeded pixel pattern, encoded with
+    * the JDK's PNG writer. Used by [[syntheticMedia]] so image rows
+    * carry genuinely decodable payloads.
+    */
+  def pngBytes(i: Long): (Array[Byte], Int, Int) = {
+    val w = 8 + (i % 9).toInt
+    val h = 8 + ((i / 3) % 7).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((i * 2654435761L + x * 31L + y * 131L) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    (bos.toByteArray, w, h)
+  }
+
   /** Deterministic synthetic media table (distributed generation via
-    * spark.range — no driver-side data).
+    * spark.range — no driver-side data). Image rows are REAL PNGs with
+    * their true dims in the metadata columns; audio/video payloads are
+    * opaque byte patterns (no JDK codec exists for them).
     */
   def syntheticMedia(spark: SparkSession, n: Long): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -80,22 +147,32 @@ object Multimodal {
       val kind = (i % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      // payload: small deterministic byte pattern per id
-      val bytes = Array.tabulate[Byte](64 + (i % 64).toInt)(j => ((i * 131 + j * 17) % 251).toByte)
-      MediaRecord(i, kind, s"synthetic://$kind/$i", bytes, 0, 0, if (kind == "image") 0L else 1000L + i)
+      if (kind == "image") {
+        val (bytes, w, h) = pngBytes(i)
+        MediaRecord(i, kind, s"synthetic://image/$i", bytes, w, h, 0L)
+      } else {
+        val bytes = Array.tabulate[Byte](64 + (i % 64).toInt)(j => ((i * 131 + j * 17) % 251).toByte)
+        MediaRecord(i, kind, s"synthetic://$kind/$i", bytes, 0, 0, 1000L + i)
+      }
     }
   }
 
   /** decode + feature-extract + frame-sample in one partition-parallel
-    * pass. Frame sampling: every `frameStride`-th frame of the payload's
-    * pretend frame sequence (videos only; images sample 1).
+    * pass. Images go through the real ImageIO codec (dims + luminance
+    * histogram from actual pixels); audio/video and undecodable payloads
+    * fall back to [[StubCodec]]. Frame sampling: every `frameStride`-th
+    * frame of the payload's pretend frame sequence (videos only; images
+    * sample 1).
     */
   def extractFeatures(media: Dataset[MediaRecord], frameStride: Int = 10): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition codec init would go here (paid once per partition)
+      // per-partition codec init: no temp-file cache for byte-array reads
+      ImageIO.setUseCache(false)
       it.map { m =>
-        val (w, h) = StubCodec.decodeDims(m.bytes)
+        val img = if (m.kind == "image") ImageIoCodec.decode(m.bytes) else None
+        val (w, h) = img.map(ImageIoCodec.decodeDims).getOrElse(StubCodec.decodeDims(m.bytes))
+        val feature = img.map(ImageIoCodec.embed(_)).getOrElse(StubCodec.embed(m.bytes))
         val nFrames = if (m.kind == "video") (m.duration_ms / 1000L).toInt.max(1) else 1
         MediaFeatures(
           media_id = m.media_id,
@@ -105,7 +182,8 @@ object Multimodal {
           decoded_width = w,
           decoded_height = h,
           n_frames_sampled = 1 + (nFrames - 1) / frameStride,
-          feature = StubCodec.embed(m.bytes))
+          decoded_real = img.isDefined,
+          feature = feature)
       }
     }
   }
@@ -122,9 +200,10 @@ object Multimodal {
       .drop("scale")
 
   /** Rows-only query entry: synthetic corpus → features → resize plan →
-    * per-kind rollup. Exercises the full multimodal plumbing
-    * (binary payloads, mapPartitions batch shape, typed Encoders,
-    * metadata rollup) with deterministic output.
+    * per-kind rollup. Exercises the full multimodal plumbing: real PNG
+    * decode for images (n_real_decoded counts them), binary payloads,
+    * mapPartitions batch shape, typed Encoders, metadata rollup — with
+    * deterministic output.
     */
   def mediaPipeline(s: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(syntheticMedia(s, 300)).toDF()
@@ -135,7 +214,8 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(col("decoded_width")), 4).as("avg_width"),
         round(avg(col("target_width")), 4).as("avg_target_width"),
-        sum(col("n_frames_sampled")).as("total_frames"))
+        sum(col("n_frames_sampled")).as("total_frames"),
+        sum(col("decoded_real").cast("long")).as("n_real_decoded"))
       .orderBy(col("kind"))
   }
 

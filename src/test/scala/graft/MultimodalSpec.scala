@@ -9,6 +9,37 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.mediaPipeline(spark, sf).collect()
     assert(out.map(_.getAs[String]("kind")).toSeq == Seq("audio", "image", "video"))
     assert(out.map(_.getAs[Long]("n_items")).sum == 300)
+    // every image row decoded through the REAL codec, non-images none
+    val byKind = out.map(r => r.getAs[String]("kind") ->
+      (r.getAs[Long]("n_items"), r.getAs[Long]("n_real_decoded"))).toMap
+    assert(byKind("image")._1 == byKind("image")._2, s"stub fallback hit for images: $byKind")
+    assert(byKind("audio")._2 == 0 && byKind("video")._2 == 0)
+  }
+
+  test("ImageIO decodes a real PNG's true width/height and pixel histogram") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val images = Multimodal.extractFeatures(media).collect().filter(_.kind == "image")
+    assert(images.nonEmpty)
+    // metadata carries the generator's true dims; decode must agree exactly
+    val meta = media.collect().map(m => m.media_id -> (m.width, m.height)).toMap
+    images.foreach { f =>
+      assert(f.decoded_real, s"image ${f.media_id} fell back to the stub codec")
+      assert((f.decoded_width, f.decoded_height) == meta(f.media_id),
+        s"decoded dims ${(f.decoded_width, f.decoded_height)} != generated ${meta(f.media_id)}")
+      // luminance histogram: non-negative bins summing to 1 over real pixels
+      assert(f.feature.forall(_ >= 0f))
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3, s"histogram sum ${f.feature.sum}")
+    }
+  }
+
+  test("undecodable image bytes fall back to the stub codec, loudly flagged") {
+    import spark.implicits._
+    val garbage = Seq(
+      graft.operators.MediaRecord(0L, "image", "synthetic://image/bad",
+        Array.tabulate[Byte](32)(_.toByte), 0, 0, 0L)).toDS()
+    val f = Multimodal.extractFeatures(garbage).collect().head
+    assert(!f.decoded_real)
+    assert(f.decoded_width >= 64) // stub's deterministic fake dims
   }
 
   test("feature extraction is deterministic and correctly shaped") {
@@ -17,7 +48,6 @@ class MultimodalSpec extends SparkSpec {
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(f1.map(_.content_hash).sameElements(f2.map(_.content_hash)))
     assert(f1.forall(_.feature.length == 8))
-    assert(f1.forall(f => f.decoded_width >= 64 && f.decoded_height >= 64))
     // videos sample multiple frames with stride; images exactly one
     assert(f1.filter(_.kind == "image").forall(_.n_frames_sampled == 1))
   }
