@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.Row
 import graft.parse.LogParse
 
@@ -253,7 +253,40 @@ object StreamPipelines {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Per-client endpoint-session profiles on the full transformWithState
+    * state surface: ListState (the hit trail), MapState (endpoint →
+    * count), and an EVENT-TIME TIMER that closes the session and evicts
+    * all of the key's state once the watermark passes last-seen + gap —
+    * the state-lifecycle capabilities (beyond [[RunningTotalsProcessor]]'s
+    * single ValueState) that keep keyed state bounded when the key space
+    * is open-ended (IPs churn forever; sessions must age out).
+    *
+    * Input: (remote_addr, endpoint, timestamp) with an event-time
+    * watermark (applied here). Output: an "update" row per key per batch
+    * with the session-so-far profile, and a final "closed" row emitted
+    * from the timer when the session ages out.
+    */
+  def endpointSessions(
+      events: DataFrame, gapMs: Long = 300000L): org.apache.spark.sql.Dataset[EndpointSessionEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("timestamp", s"$gapMs milliseconds")
+      .select(col("remote_addr"), col("endpoint"), col("timestamp"))
+      .as[(String, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new EndpointSessionsProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
+
+/** One output event of [[StreamPipelines.endpointSessions]]. */
+case class EndpointSessionEvent(
+    kind: String,          // "update" (per batch) | "closed" (timer eviction)
+    remote_addr: String,
+    n_endpoints: Int,
+    n_hits: Int,
+    top_endpoint: String)
 
 /** Keyed running (count, sum) as a [[StatefulProcessor]]. One ValueState
   * cell per key — bounded by key cardinality, like the
@@ -274,5 +307,60 @@ class RunningTotalsProcessor
     rows.foreach { r => n += 1; s += r._2 }
     totals.update((n, s))
     Iterator.single((key, n, s))
+  }
+}
+
+/** Endpoint-session profile per client on the full state surface:
+  * ListState trail + MapState counts + a single re-armed event-time
+  * timer whose expiry EVICTS the key's state (clear of every state
+  * variable) — state stays bounded by *active* keys, not all keys ever
+  * seen. See [[StreamPipelines.endpointSessions]].
+  */
+class EndpointSessionsProcessor(gapMs: Long)
+    extends StatefulProcessor[String, (String, String, java.sql.Timestamp), EndpointSessionEvent] {
+  import org.apache.spark.sql.Encoders
+
+  @transient private var trail: ListState[String] = _
+  @transient private var counts: MapState[String, Long] = _
+  @transient private var openTimer: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    trail = getHandle.getListState[String]("trail", Encoders.STRING, TTLConfig.NONE)
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    openTimer = getHandle.getValueState[Long]("open_timer",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def profile(kind: String, key: String): EndpointSessionEvent = {
+    val entries = counts.iterator().toSeq
+    val top = if (entries.isEmpty) "" else entries.maxBy(e => (e._2, e._1))._1
+    EndpointSessionEvent(kind, key, entries.size, trail.get().size, top)
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, String, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[EndpointSessionEvent] = {
+    var lastSeen = 0L
+    rows.foreach { case (_, endpoint, ts) =>
+      trail.appendValue(endpoint)
+      val cur = if (counts.containsKey(endpoint)) counts.getValue(endpoint) else 0L
+      counts.updateValue(endpoint, cur + 1)
+      lastSeen = math.max(lastSeen, ts.getTime)
+    }
+    // exactly one live timer per key: re-arm to lastSeen + gap
+    if (openTimer.exists()) getHandle.deleteTimer(openTimer.get())
+    val expiry = lastSeen + gapMs
+    getHandle.registerTimer(expiry)
+    openTimer.update(expiry)
+    Iterator.single(profile("update", key))
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[EndpointSessionEvent] = {
+    val closed = profile("closed", key)
+    // eviction: every state variable cleared; a returning key starts fresh
+    trail.clear(); counts.clear(); openTimer.clear()
+    Iterator.single(closed)
   }
 }

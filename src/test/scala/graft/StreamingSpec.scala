@@ -117,6 +117,55 @@ class StreamingSpec extends SparkSpec {
     assert(out("y")._1 == 1L && math.abs(out("y")._2 - 0.5) < 1e-9, out.toString)
   }
 
+  test("transformWithState ListState/MapState session with event-time timer eviction") {
+    // full state-surface exercise: trail (ListState) + per-endpoint
+    // counts (MapState) + one re-armed event-time timer per key whose
+    // expiry emits a "closed" row and CLEARS all state — a returning key
+    // must start from scratch
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)](session)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = StreamPipelines.endpointSessions(
+        mem.toDF().toDF("remote_addr", "endpoint", "timestamp"),
+        gapMs = 5 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+
+    // batch 1: s1 hits /a twice and /b once; s2 appears
+    mem.addData(
+      ("s1", "/a", ts("2025-07-25 10:00:00")),
+      ("s1", "/a", ts("2025-07-25 10:00:05")),
+      ("s1", "/b", ts("2025-07-25 10:00:10")),
+      ("s2", "/z", ts("2025-07-25 10:00:20")))
+    q.processAllAvailable()
+    // batch 2: only s2, far ahead — end-of-batch watermark 10:15 passes
+    // s1's 10:05:10 timer
+    mem.addData(("s2", "/z", ts("2025-07-25 10:20:00")))
+    q.processAllAvailable()
+    // batch 3: s2 again; s1's expired timer fires during this batch
+    mem.addData(("s2", "/z", ts("2025-07-25 10:21:00")))
+    q.processAllAvailable()
+    // batch 4: s1 returns — state must have been evicted
+    mem.addData(("s1", "/c", ts("2025-07-25 10:30:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = session.table("sessions_out")
+      .as[(String, String, Int, Int, String)].collect()
+    val s1Updates = rows.filter(r => r._1 == "update" && r._2 == "s1")
+    assert(s1Updates.exists(r => r._3 == 2 && r._4 == 3 && r._5 == "/a"),
+      s"first-session profile missing: ${rows.toSeq}")
+    val s1Closed = rows.filter(r => r._1 == "closed" && r._2 == "s1")
+    assert(s1Closed.length == 1 && s1Closed.head._4 == 3,
+      s"timer close missing/wrong: ${rows.toSeq}")
+    // post-eviction return starts a FRESH session (1 hit, 1 endpoint)
+    assert(s1Updates.exists(r => r._3 == 1 && r._4 == 1 && r._5 == "/c"),
+      s"state not evicted on timer: ${rows.toSeq}")
+  }
+
   test("ingest with dedupe window drops replayed duplicate request_ids") {
     val mem = MemoryStream[String](spark)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
