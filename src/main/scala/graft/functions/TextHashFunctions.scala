@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over an ARRAY<STRING> of tokens, one fused pass:
   * for each token t, h = xxhash64(t); each of the 64 bit positions
@@ -80,10 +81,135 @@ case class SimHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared char-3-gram machinery for the MinHash index.
+  *
+  * A 3-gram of UTF-16 code units is packed INJECTIVELY into 48 bits
+  * (`c0 | c1<<16 | c2<<32`), so gram identity is collision-free and
+  * Jaccard over the packed values IS exact char-3-gram Jaccard — no
+  * hashed-shingle collision caveat at all. The murmur3 finalizer
+  * (`fmix64`, a bijection) only spreads values: the k-th minhash
+  * function is `fmix64(g + (k+1)·φ)` — for each k a PERMUTATION of gram
+  * space, the exact property the min-wise estimate wants.
+  *
+  * Everything is a single pass over the text per document: this replaced
+  * a sequence/transform/explode pipeline that materialized one row per
+  * (doc, shingle) — millions of rows and an object-hash aggregation —
+  * with a pure per-row map (no rows created, no aggregation, no
+  * shuffle), which is also the shape you want at 100 TB: signature
+  * computation embarrassingly parallel in the scan.
+  */
+object GramHash {
+  final val Golden = 0x9E3779B97F4A7C15L
+
+  def fmix64(v: Long): Long = {
+    var x = v
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33; x
+  }
+
+  /** H minhash values of the text's char-3-gram set; empty for texts
+    * shorter than 3 chars (no grams — ADVICE r1 short-text semantics).
+    */
+  def minhashSigs(s: UTF8String, h: Int): Array[Long] = {
+    val str = s.toString
+    val grams = str.length - 2
+    if (grams <= 0) return new Array[Long](0)
+    val sigs = new Array[Long](h)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    var i = 0
+    while (i < grams) {
+      val g = str.charAt(i).toLong |
+        (str.charAt(i + 1).toLong << 16) | (str.charAt(i + 2).toLong << 32)
+      var seed = g
+      var k = 0
+      while (k < h) {
+        seed += Golden
+        val v = fmix64(seed)
+        if (v < sigs(k)) sigs(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sigs
+  }
+
+  /** Sorted distinct packed 3-gram ids — the exact gram set, ready for
+    * [[SortedLongJaccard]] merge-intersection.
+    */
+  def gramSet(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val grams = str.length - 2
+    if (grams <= 0) return new Array[Long](0)
+    val set = new java.util.HashSet[java.lang.Long](grams * 2)
+    var i = 0
+    while (i < grams) {
+      set.add(str.charAt(i).toLong |
+        (str.charAt(i + 1).toLong << 16) | (str.charAt(i + 2).toLong << 32))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+}
+
+/** text → ARRAY<LONG> of `h` minhash values ([[GramHash.minhashSigs]]),
+  * one fused pass inside whole-stage codegen.
+  */
+case class MinhashSignature(child: Expression, h: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      GramHash.minhashSigs(input.asInstanceOf[UTF8String], h))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.GramHash.minhashSigs($a, $h));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** text → sorted distinct ARRAY<LONG> of packed 3-gram ids
+  * ([[GramHash.gramSet]]).
+  */
+case class GramSet(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_set"
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      GramHash.gramSet(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.GramHash.gramSet($a));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", (es: Seq[Expression]) => SimHash(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sigs", (es: Seq[Expression]) =>
+        MinhashSignature(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_set", (es: Seq[Expression]) => GramSet(es.head), "built-in")
+  }
 
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def minhashSigs(text: Column, h: Int): Column =
+    call_function("graft_minhash_sigs", text, lit(h))
+  def gramSet(text: Column): Column = call_function("graft_gram_set", text)
 }

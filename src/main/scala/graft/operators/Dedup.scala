@@ -60,26 +60,6 @@ object Dedup {
         approx_count_distinct(col("event_id")).as("approx_events"),
         count(lit(1)).as("n_rows"))
 
-  // --- shingling (shared by MinHash and exact Jaccard) ---
-
-  /** Character-3-gram shingles, one row per (doc, position) — NOT
-    * deduplicated: the only consumer is [[minhashBuckets]]'s min()
-    * aggregation, which is multiset-insensitive (a repeated shingle
-    * cannot change any min), so a distinct here would be a full shuffle
-    * of the widest intermediate for nothing. Built with
-    * sequence/transform/explode — codegen'd, no UDF.
-    * Texts shorter than n yield no rows (explode of an empty array):
-    * unguarded, `sequence(1, length-2)` runs DESCENDING for short texts
-    * (e.g. [1,0,-1]) and substring(pos<=0) fabricates junk shingles,
-    * diverging from both the DuckDB generate_series oracle and
-    * [[graft.functions.NgramJaccard]]'s empty gram set (ADVICE r1).
-    */
-  private def charShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-        explode(when(length(col("text")) < n, expr("CAST(array() AS ARRAY<STRING>)"))
-          .otherwise(expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))")))
-          .as("g"))
-
   // --- MinHash + LSH banded dedup -------------------------------------
   //
   // The fixture corpus (and any real crawl) contains GIANT near-dup
@@ -89,11 +69,12 @@ object Dedup {
   // size and dies at scale (an earlier pair-based formulation timed out
   // sf0.1 verification). This one never builds doc-doc pairs:
   //
-  //   shingles → 32 minhashes/doc (one aggregation pass) → 16 bands ×
-  //   2 rows → per-bucket STAR EDGES (bucket-min doc → each other
-  //   member; ≤ docs × bands edges, linear) → per-edge exact char-3
-  //   Jaccard verification (native expression) → min-label propagation
-  //   over verified edges → per-doc canonical id.
+  //   32 minhashes + gram set per doc (one fused native pass, no
+  //   shingle rows) → 16 bands × 2 rows → per-bucket STAR EDGES
+  //   (bucket-min doc → each other member; ≤ docs × bands edges,
+  //   linear) → per-edge exact char-3 Jaccard verification
+  //   (merge-intersect of the prebuilt sorted gram sets) → min-label
+  //   propagation over verified edges → per-doc canonical id.
   //
   // Star connectivity equals clique connectivity through the bucket
   // minimum, so cluster recall is preserved; the precision tradeoff is
@@ -102,11 +83,19 @@ object Dedup {
   // dense-dup corpora where cluster members are mutually similar, and
   // the chain spec pins the multi-hop behavior that survives.
 
-  /** Per-document MinHash index: ONE aggregation pass over the shingle
-    * stream producing BOTH the 32 minhash signatures and the document's
-    * sorted distinct gram-hash set, materialized once (localCheckpoint)
-    * and consumed by band-key generation, candidate rollup, and edge
-    * verification — the shingle explode is never recomputed.
+  /** Per-document MinHash index: ONE fused native pass per document
+    * ([[graft.functions.MinhashSignature]] / [[graft.functions.GramSet]])
+    * producing the 32 minhash signatures and the sorted distinct packed
+    * 3-gram set, materialized once (localCheckpoint) and consumed by
+    * band-key generation, candidate rollup, and edge verification.
+    *
+    * This is a pure per-row map — no shingle rows are ever created. The
+    * earlier pipeline exploded one row per (doc, shingle) — millions of
+    * rows through an object-hash aggregation, the dominant cost of the
+    * whole query — where this computes the same index inside the scan's
+    * whole-stage codegen. Gram ids are injective 48-bit packings of the
+    * 3 UTF-16 units, so the verification Jaccard is EXACT char-3-gram
+    * Jaccard (no hashed-shingle collision caveat; see [[graft.functions.GramHash]]).
     *
     * 32 minhashes in 16 bands × 2 rows: per-pair candidate probability
     * at the 0.5 Jaccard verification threshold is 1-(1-0.25)^16 ≈ 0.99
@@ -118,39 +107,36 @@ object Dedup {
     * (1-row bands) would fail edge verification at the bucket min and
     * lose the member entirely.
     *
-    * Hashing is two-level: each shingle STRING is xxhash'd exactly once
-    * (h1); the H minhash functions re-hash that fixed-width long with
-    * the function index (a handful of codegen'd ops each), so doubling
-    * H from 16 to 32 costs less than the old 16 per-string hashes did.
-    *
-    * The repartition by doc_id BEFORE shingling matters: the fixture
-    * table is one small parquet split, so without it the whole
-    * shingle+signature pass (the expensive part of the query) runs as a
-    * single task on one core. The shuffle moves only raw documents
-    * (tiny), buys full parallelism for the explode+hash, and
-    * hash-partitioning on the aggregation key means the groupBy needs
-    * no second shuffle. At 100 TB the scan arrives already split, but
-    * key-partitioning ahead of the per-key aggregation is the same plan
-    * you want there.
+    * Texts shorter than 3 chars have no grams, hence no buckets and no
+    * edges (ADVICE r1 semantics) — filtered here; they keep their own
+    * canonical id through the label initialization in [[minhashDedup]].
+    * The repartition spreads the signature map across cores even when
+    * the input is one small parquet split (the fixture shape); at 100 TB
+    * the scan arrives already split and the repartition is moot-to-cheap
+    * relative to the map it parallelizes.
     */
   private val MinhashH = 32
   private val MinhashBands = 16
 
   private def minhashIndex(s: SparkSession, d: String): DataFrame = {
-    val sh = charShingles(Tables.documents(s, d).repartition(col("doc_id")))
-      .select(col("doc_id"), xxhash64(col("g")).as("h1"))
-    val sigCols: Seq[Column] =
-      (0 until MinhashH).map(h => min(xxhash64(col("h1"), lit(h))).as(s"mh$h"))
-    val aggCols = sigCols :+ sort_array(collect_set(col("h1"))).as("grams")
-    sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    graft.functions.Registry.ensure(s)
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 3)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.TextHashFunctions.minhashSigs(col("text"), MinhashH).as("sigs"),
+        graft.functions.TextHashFunctions.gramSet(col("text")).as("grams"))
       .localCheckpoint(true)
   }
 
-  /** (doc, band, bucket-key) assignments derived from [[minhashIndex]]. */
+  /** (doc, band, bucket-key) assignments derived from [[minhashIndex]]:
+    * band key = xxhash of the band's `rowsPerBand` signature elements.
+    */
   private def minhashBanded(index: DataFrame): DataFrame = {
     val rowsPerBand = MinhashH / MinhashBands
     val bandKey: Seq[Column] = (0 until MinhashBands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(h => col(s"mh$h"))
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(h => element_at(col("sigs"), h + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("key")).as(s"bk$b")
     }
     index.select(col("doc_id") +: bandKey: _*)
@@ -158,16 +144,30 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Star candidate edges: (bucket-min doc, member) per bucket, deduped.
-    * Linear in docs x bands — never a within-bucket cross product.
+  /** Candidate edges per bucket: STAR (bucket-min → each member, hub
+    * keeps the propagation diameter ~2) plus PATH (each member → its
+    * doc_id-successor in the bucket). Both are linear in docs × bands —
+    * never a within-bucket cross product. The path edges exist for
+    * RECALL: star-only candidate generation loses a member whenever the
+    * bucket minimum happens not to verify against it (sub-threshold
+    * similarity to the hub), even though a true near-dup sits right
+    * beside it in the same bucket; the neighbor edge gives every member
+    * a second, locality-biased verification chance, and the hub still
+    * short-circuits label propagation for everything it does verify.
     */
-  private def starEdges(banded: DataFrame): DataFrame = {
+  private def candidateEdges(banded: DataFrame): DataFrame = {
     val mins = banded.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("bmin"))
-    banded.join(mins, Seq("band", "key"))
+    val star = banded.join(mins, Seq("band", "key"))
       .filter(col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
-      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
+    val path = banded
+      .withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"))
+    star.union(path).distinct()
   }
 
   def minhashDedup(s: SparkSession, d: String): DataFrame = {
@@ -176,14 +176,14 @@ object Dedup {
     // serves band keys, the degree rollup, AND edge verification
     val index = minhashIndex(s, d)
     val banded = minhashBanded(index)
-    val cand = starEdges(banded)
+    val cand = candidateEdges(banded)
 
-    // exact-Jaccard verification, star edges only: cost and shuffle are
-    // O(docs x bands), independent of cluster sizes. Each edge pays one
-    // merge-intersect over the two PRE-BUILT sorted gram-hash arrays
-    // (SortedLongJaccard) — the string formulation re-shingled both
-    // texts per edge, which for high-degree bucket minima rebuilt the
-    // same gram set hundreds of times.
+    // exact-Jaccard verification, candidate edges only: cost and
+    // shuffle are O(docs x bands), independent of cluster sizes. Each
+    // edge pays one merge-intersect over the two PRE-BUILT sorted
+    // gram-hash arrays (SortedLongJaccard) — the string formulation
+    // re-shingled both texts per edge, which for high-degree bucket
+    // minima rebuilt the same gram set hundreds of times.
     val grams = index.select(col("doc_id"), col("grams"))
     val verified = cand
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
@@ -192,9 +192,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
 
     // canonical id: synchronous min-label propagation over the verified
-    // star edges — one hop per iteration; 3 rounds collapses components
-    // of diameter <= 3 (star edges keep real clusters at diameter ~2;
-    // each extra round is a full job, so rounds are deliberately few).
+    // edges — one hop per iteration; 3 rounds collapses components of
+    // diameter <= 3 (the star hub keeps real clusters at diameter ~2,
+    // path-edge-only attachments at ~3; each extra round is a full job,
+    // so rounds are deliberately few).
     // localCheckpoint each round: the loop references `labels` twice
     // per iteration, and without lineage truncation the plan doubles
     // per round.
