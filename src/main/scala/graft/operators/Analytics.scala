@@ -475,7 +475,13 @@ object Analytics {
     * ceiling is ~16.7 lines/s (Loki poll limit, producer/main.py:42,101).
     */
   def logIngest(s: SparkSession, d: String): DataFrame = {
-    val wire = Tables.events(s, d).select(to_json(struct(
+    // repartition before the render: the fixture table is one small
+    // parquet split, and the JSON render + full parse chain is the
+    // heaviest per-row work in the suite — without this it all runs as
+    // a single task on one core (the trap minhashIndex documents). The
+    // shuffle moves the raw events (a few MB); the 32-way parse repays
+    // it many times over. At 100 TB the scan arrives already split.
+    val wire = Tables.events(s, d).repartition(col("event_id")).select(to_json(struct(
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("time_iso8601"),
       concat(lit("10.0."), (col("user_id") / 256).cast("int"),
         lit("."), pmod(col("user_id"), lit(256))).as("remote_addr"),
