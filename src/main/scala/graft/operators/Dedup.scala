@@ -198,7 +198,11 @@ object Dedup {
     // so rounds are deliberately few).
     // localCheckpoint each round: the loop references `labels` twice
     // per iteration, and without lineage truncation the plan doubles
-    // per round.
+    // per round. (Measured and rejected: restricting propagation to the
+    // edge-vertex subgraph — this fixture corpus is dup-dense, so the
+    // vertex set ≈ the corpus and the extra distinct + final re-join
+    // cost ~1 s for nothing. At sparse dup rates the restriction is the
+    // right call; it is a one-line change where `labels` initializes.)
     val undirected = verified.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(verified.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
