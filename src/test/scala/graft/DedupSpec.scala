@@ -145,6 +145,15 @@ class DedupSpec extends SparkSpec {
       s"canonical-label agreement $labelAgree over ${dups.length} true dups")
   }
 
+  test("minhash dedup plan never materializes a cross product") {
+    // the scale contract: candidates come from band-key equality joins
+    // (star + path), so no physical plan segment may fall back to a
+    // pair-materializing join
+    val phys = Dedup.minhashDedup(spark, sf).queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"pair-materializing join in minhash plan:\n$phys")
+  }
+
   test("simhash: identical token sets get identical signatures; disjoint ones differ") {
     TextHashFunctions.register(spark)
     val df = Seq(
