@@ -145,6 +145,29 @@ class DedupSpec extends SparkSpec {
       s"canonical-label agreement $labelAgree over ${dups.length} true dups")
   }
 
+  test("packed gram-set Jaccard equals exact string 3-gram Jaccard") {
+    // the verification path computes Jaccard over sorted 48-bit packed
+    // gram ids (GramSet + SortedLongJaccard); packing is injective over
+    // UTF-16 units, so the result must EQUAL the direct string
+    // formulation (NgramJaccard) bit-for-bit — no collision tolerance
+    graft.functions.Registry.ensure(spark)
+    val rnd = new scala.util.Random(7)
+    val texts = (1 to 50).map { _ =>
+      (0 until (3 + rnd.nextInt(60)))
+        .map(_ => ('a' + rnd.nextInt(5)).toChar).mkString // tiny alphabet → dense overlaps
+    }
+    val pairs = for (a <- texts; b <- texts) yield (a, b)
+    val got = pairs.toDF("a", "b").select(
+        graft.functions.NgramJaccardFunctions.jaccard3(col("a"), col("b")).as("exact"),
+        graft.functions.NgramJaccardFunctions.jaccardSorted(
+          graft.functions.TextHashFunctions.gramSet(col("a")),
+          graft.functions.TextHashFunctions.gramSet(col("b"))).as("packed"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (exact, packed) =>
+      assert(exact == packed, s"exact=$exact packed=$packed")
+    }
+  }
+
   test("minhash dedup plan never materializes a cross product") {
     // the scale contract: candidates come from band-key equality joins
     // (star + path), so no physical plan segment may fall back to a
