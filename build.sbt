@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked run's stdout VERBATIM (no `[info]` prefix): the
+// driver parses graft.Bench's one-line JSON from stdout, and sbt's
+// default LoggedOutput decoration broke that parse every round
+// (BENCH_r0{1,2,3}.json all show `"parsed": null`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

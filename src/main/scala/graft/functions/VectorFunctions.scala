@@ -116,7 +116,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * in-loop from the same deterministic integer mix
   * (`w(h,j) = (((h·2654435761 + j·40503 + 9176) mod 2000)+2000 mod 2000)/1000 − 1`),
   * products accumulated in the same ascending-j order as [[DotProduct]],
-  * so the emitted band keys are bit-identical to the unfused r2 plan.
+  * so FOR THE 64-DIM CORPUS the emitted band keys are bit-identical to
+  * the unfused r2 plan (which hard-coded 64 weight literals per
+  * projection). The loop itself runs over the actual vector length —
+  * for other dimensionalities the expression generates weights for
+  * however many components the vector has, which is the behavior you
+  * want, but it is NOT comparing against any 64-literal formulation
+  * there (ADVICE r3 determinism-contract clarification).
   */
 case class LshBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
     extends UnaryExpression {

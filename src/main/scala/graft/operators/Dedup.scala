@@ -121,11 +121,17 @@ object Dedup {
   private def minhashIndex(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
     Tables.documents(s, d)
-      .filter(length(col("text")) >= 3)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextHashFunctions.minhashSigs(col("text"), MinhashH).as("sigs"),
         graft.functions.TextHashFunctions.gramSet(col("text")).as("grams"))
+      // "no grams" in the SAME unit the gram machinery uses (UTF-16
+      // code units, GramHash): sigs is empty ⇔ gram count is zero. A
+      // Spark length() pre-filter counted code points and diverged on
+      // supplementary characters (ADVICE r3); filtering on the computed
+      // signature is unit-identical by construction, and gramless rows
+      // cost nothing to compute.
+      .filter(size(col("sigs")) > 0)
       .localCheckpoint(true)
   }
 

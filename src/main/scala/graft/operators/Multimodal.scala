@@ -58,8 +58,12 @@ object Multimodal {
     */
   object ImageIoCodec {
     def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      // NonFatal, not just IOException: ImageIO readers throw runtime
+      // exceptions (ArrayIndexOutOfBounds, NegativeArraySize, IAE) on
+      // malformed-but-recognized payloads; any undecodable payload must
+      // take the stub fallback rather than crash the task (ADVICE r3).
       try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     def decodeDims(img: BufferedImage): (Int, Int) = (img.getWidth, img.getHeight)
 

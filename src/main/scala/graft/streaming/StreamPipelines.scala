@@ -348,11 +348,17 @@ class EndpointSessionsProcessor(gapMs: Long)
       counts.updateValue(endpoint, cur + 1)
       lastSeen = math.max(lastSeen, ts.getTime)
     }
-    // exactly one live timer per key: re-arm to lastSeen + gap
-    if (openTimer.exists()) getHandle.deleteTimer(openTimer.get())
-    val expiry = lastSeen + gapMs
-    getHandle.registerTimer(expiry)
-    openTimer.update(expiry)
+    // exactly one live timer per key, and it never moves BACKWARD: a
+    // later batch of out-of-order (but not watermark-dropped) events
+    // with ts below a prior batch's last-seen must not shorten the
+    // session below last-seen + gap (ADVICE r3)
+    val prev = if (openTimer.exists()) openTimer.get() else Long.MinValue
+    val expiry = math.max(lastSeen + gapMs, prev)
+    if (expiry != prev) {
+      if (openTimer.exists()) getHandle.deleteTimer(prev)
+      getHandle.registerTimer(expiry)
+      openTimer.update(expiry)
+    }
     Iterator.single(profile("update", key))
   }
 

@@ -14,7 +14,7 @@ import graft.streaming.StreamPipelines
   * query-as-dbtable pushdown, partitioned parallel read); only the URL
   * differs from a Postgres deployment.
   */
-class JdbcSpec extends SparkSpec {
+class JdbcSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   private val dbDir = {
@@ -25,7 +25,11 @@ class JdbcSpec extends SparkSpec {
   private val url = s"jdbc:derby:$dbDir/graftdb;create=true"
   private val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
 
-  test("jdbcAppendSink appends batches into a live database and reads back") {
+  // Seed the table once for ALL tests (not inside the first test):
+  // each test must pass standalone, so a failure in one cannot cascade
+  // and parallel/filtered execution stays correct (ADVICE r3).
+  override def beforeAll(): Unit = {
+    super.beforeAll()
     val sink = StreamPipelines.jdbcAppendSink(url, "anomalies", props)
     val batch1 = Seq(("10.0.0.1", 42L, true), ("10.0.0.2", 7L, false))
       .toDF("remote_addr", "request_count", "is_anomaly")
@@ -34,7 +38,9 @@ class JdbcSpec extends SparkSpec {
     sink(batch1, 0L) // first write creates the table (SaveMode.Append)
     sink(batch2, 1L) // second write appends, not overwrites
     sink(batch1.limit(0), 2L) // empty batch short-circuits
+  }
 
+  test("jdbcAppendSink appends batches into a live database and reads back") {
     val back = JdbcSource.table(spark, url, "anomalies", props)
     assert(back.columns.map(_.toLowerCase).toSet ==
       Set("remote_addr", "request_count", "is_anomaly"))

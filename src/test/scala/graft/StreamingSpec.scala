@@ -166,6 +166,50 @@ class StreamingSpec extends SparkSpec {
       s"state not evicted on timer: ${rows.toSeq}")
   }
 
+  test("session timer never moves backward on out-of-order batches") {
+    // ADVICE r3: a later batch containing only out-of-order (but not
+    // watermark-dropped) events must not re-arm an EARLIER expiry and
+    // close the session below last-seen + gap. s1's last-seen is
+    // 10:00:00 (timer 10:05:00, 5 min gap); batch 2 delivers an older
+    // 09:58:00 event (above the 09:55 watermark). A backward-moving
+    // timer would re-arm at 10:03:00 and fire when the watermark
+    // reaches 10:04:00 — the fixed processor keeps 10:05:00 armed.
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)](session)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = StreamPipelines.endpointSessions(
+        mem.toDF().toDF("remote_addr", "endpoint", "timestamp"),
+        gapMs = 5 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_mono_out").start()
+
+    mem.addData(("s1", "/a", ts("2025-07-25 10:00:00")))
+    q.processAllAvailable()
+    // out-of-order: older than last-seen, newer than the watermark
+    mem.addData(("s1", "/b", ts("2025-07-25 09:58:00")))
+    q.processAllAvailable()
+    // push the watermark to 10:04 (between the buggy 10:03 re-arm and
+    // the correct 10:05 expiry) ...
+    mem.addData(("s2", "/z", ts("2025-07-25 10:09:00")))
+    q.processAllAvailable()
+    // ... and one more batch so any timer below the 10:04 watermark fires
+    mem.addData(("s2", "/z", ts("2025-07-25 10:09:30")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = session.table("sessions_mono_out")
+      .as[(String, String, Int, Int, String)].collect()
+    // the out-of-order event WAS processed (2 distinct endpoints seen)
+    assert(rows.exists(r => r._1 == "update" && r._2 == "s1" && r._3 == 2),
+      s"out-of-order event dropped: ${rows.toSeq}")
+    // but it did NOT shorten the session
+    assert(!rows.exists(r => r._1 == "closed" && r._2 == "s1"),
+      s"session closed before last-seen + gap: ${rows.toSeq}")
+  }
+
   test("ingest with dedupe window drops replayed duplicate request_ids") {
     val mem = MemoryStream[String](spark)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
