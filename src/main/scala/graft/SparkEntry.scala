@@ -22,7 +22,8 @@ object SparkEntry {
     operators.Dedup.defs,
     operators.Similarity.defs,
     operators.Multimodal.defs,
-    operators.TypedSessions.defs)
+    operators.TypedSessions.defs,
+    operators.TrainingPrep.defs)
 
   private lazy val all: Map[String, QueryDef] = {
     val merged = registries.flatten.toMap

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Training-data preparation operators — the corpus-shaping steps a
+  * large-scale LLM data pipeline runs between raw ingest and
+  * dedup/tokenization: as-of temporal joins (attribute each conversion
+  * to the latest preceding interaction), deterministic stratified
+  * sampling (downsample over-represented strata reproducibly),
+  * document chunking (fixed-size overlapping windows for context-length
+  * packing), per-document TF-IDF salient terms, and PII redaction.
+  *
+  * Every operator is a declarative DataFrame plan (no UDFs, no driver
+  * loops) and every query carries a DuckDB oracle with identical
+  * SQL semantics, so all five are hash-checked end-to-end.
+  *
+  * Scale posture (100 TB):
+  *   - [[asOfJoin]] is the union+ordered-window formulation: ONE shuffle
+  *     on the join key, no per-row range probe, no pair explosion —
+  *     cost is a sort within each key partition, the same plan a
+  *     time-series store's ASOF JOIN lowers to.
+  *   - [[stratifiedSample]] is a pure scan-time filter (multiplicative
+  *     hash on the row key) — zero shuffle, reproducible across runs
+  *     and engines, and the sampled set is stable under corpus growth
+  *     (a row's keep/drop never depends on other rows).
+  *   - [[docChunks]] expands each doc to ceil(len/stride) rows inside
+  *     whole-stage codegen (sequence/transform/posexplode) — output
+  *     volume scales with corpus size, shuffle-free.
+  *   - [[tfidfTopTerms]] is two hash aggregates + a vocab join; the
+  *     vocab side is orders of magnitude smaller than the corpus and
+  *     broadcast-eligible (AQE decides; at web-corpus vocab sizes it
+  *     degrades gracefully to a co-partitioned shuffle join).
+  *   - [[piiRedact]] is scan-speed regexp projection.
+  */
+object TrainingPrep {
+
+  /** As-of join: for every `purchase` event, the latest `click` by the
+    * same user at-or-before the purchase timestamp (classic conversion
+    * attribution; the temporal-join shape Spark has no native operator
+    * for).
+    *
+    * Formulation: tag both sides, union, and take
+    * `last(click_ts, ignoreNulls)` over an ordered per-key window —
+    * clicks sort BEFORE purchases at equal timestamps (side 0 < 1), so
+    * "at or before" includes same-instant clicks. One scan of events
+    * (the two sides are filters of the same table), one shuffle on
+    * user_id — contrast with a range self-join, which explodes on hot
+    * keys and cannot be bounded without a band predicate.
+    */
+  def asOfJoin(s: SparkSession, d: String): DataFrame = {
+    val tagged = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        when(col("event_type") === "purchase", col("event_id")).as("event_id"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("last_click_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("last_click_ts"))).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep-rates applied
+    * via a multiplicative hash of the row key — `(id·2654435761) mod
+    * 1000 < rate‰`. No RNG, no seed plumbing: the same row is kept in
+    * every engine, every run, every subset of the data, which is what
+    * makes training-set sampling auditable. (Knuth's multiplicative
+    * scheme; the constant is the 32-bit golden-ratio multiplier, so
+    * consecutive ids scatter uniformly across the 1000 buckets.)
+    *
+    * Rates: purchases kept 100% (rare, high-value), clicks 10%, views
+    * 1%, everything else 5% — the shape of rebalancing a conversion
+    * corpus. Long-overflow headroom: id·2654435761 stays inside Int64
+    * for ids up to ~3.4e9, far past any fixture SF (ANSI mode would
+    * throw, not wrap, if exceeded).
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val permille: Column =
+      when(col("event_type") === "purchase", 1000)
+        .when(col("event_type") === "click", 100)
+        .when(col("event_type") === "view", 10)
+        .otherwise(50)
+    Tables.events(s, d)
+      .filter((col("event_id") * lit(2654435761L)) % 1000 < permille)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val ChunkStride = 100
+  private val ChunkSize = 150
+
+  /** Fixed-window document chunking: overlapping character windows of
+    * size 150 at stride 100 (50-char overlap) — the context-packing
+    * step before tokenization. Chunk count per doc =
+    * floor((len-1)/stride)+1, so every character lands in ≥1 chunk and
+    * the final chunk is the only short one. The whole expansion is
+    * sequence → transform → posexplode: rows are generated inside the
+    * scan stage, no shuffle, no UDF.
+    */
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((length(text)-1) DIV $ChunkStride AS INT)),
+           |          i -> substring(text, i*$ChunkStride + 1, $ChunkSize))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_len", length(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Per-document salient terms: whitespace tokenize → term frequency →
+    * document frequency → smoothed TF-IDF
+    * (`tf · (ln((1+N)/(1+df)) + 1)`), top 3 terms per doc.
+    *
+    * The row_number ranking is INTEGER-ordered (tf desc, df asc, term
+    * asc) rather than ordered by the double tfidf score: tf↑ and df↓
+    * both increase tfidf, and integer ordering is bit-stable across
+    * engines, where a last-ulp difference in ln() could flip a
+    * double-ordered rank. tfidf is still emitted (rounded) as the
+    * score column.
+    */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(n)
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(1e0) + col("n")) / (lit(1) + col("df"))) + 1), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** PII redaction over the event property blobs: emails, then IPv4
+    * addresses, then any leftover digit run, each masked in sequence.
+    * Patterns are restricted to the dialect-safe regex subset (char
+    * classes + bounded quantifiers — identical semantics in Java regex
+    * and DuckDB's RE2); Spark's regexp_replace is global by default,
+    * DuckDB's needs the 'g' flag.
+    */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    Tables.events(s, d)
+      .select(col("event_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("props"), email, "<email>"),
+            ipv4, "<ip>"),
+          "[0-9]+", "#").as("props_redacted"),
+        upper(col("event_type")).as("event_type_norm"))
+      .orderBy(col("event_id"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_asof_join"         -> QueryDef(asOfJoin, Some(TrainingOracles.asOfJoin)),
+    "q_stratified_sample" -> QueryDef(stratifiedSample, Some(TrainingOracles.stratifiedSample)),
+    "q_doc_chunks"        -> QueryDef(docChunks, Some(TrainingOracles.docChunks)),
+    "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms)),
+    "q_pii_redact"        -> QueryDef(piiRedact, Some(TrainingOracles.piiRedact)))
+}
+
+/** DuckDB oracles for [[TrainingPrep]] — same formulation, aliases,
+  * ORDER BY, and integer-ranked ordering as the Spark builders.
+  */
+object TrainingOracles {
+
+  val asOfJoin: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, 0 AS side, CAST(NULL AS BIGINT) AS event_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, 1 AS side, event_id, CAST(NULL AS TIMESTAMP) AS click_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |filled AS (
+      |  SELECT user_id, ts, side, event_id,
+      |    last_value(click_ts IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, side
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      |  FROM tagged)
+      |SELECT event_id, user_id, ts AS purchase_ts, last_click_ts,
+      |  CAST(date_diff('second', last_click_ts, ts) AS BIGINT) AS gap_s
+      |FROM filled WHERE side = 1
+      |ORDER BY event_id""".stripMargin
+
+  val stratifiedSample: String =
+    """SELECT event_id, user_id, event_type, ts
+      |FROM events
+      |WHERE (event_id * 2654435761) % 1000 <
+      |  CASE event_type WHEN 'purchase' THEN 1000 WHEN 'click' THEN 100
+      |                  WHEN 'view' THEN 10 ELSE 50 END
+      |ORDER BY event_id""".stripMargin
+
+  val docChunks: String =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, (length(text)-1)//100)) AS i
+      |  FROM documents)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |  substring(text, CAST(i*100+1 AS INT), 150) AS chunk,
+      |  CAST(length(substring(text, CAST(i*100+1 AS INT), 150)) AS INT) AS chunk_len
+      |FROM pos
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  val tfidfTopTerms: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    round(tf.tf * (ln((1e0 + n.n) / (1 + dfreq.df)) + 1), 4) AS tfidf,
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS INT) AS rn
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf, rn
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
+  val piiRedact: String =
+    """SELECT event_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<email>', 'g'),
+      |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<ip>', 'g'),
+      |    '[0-9]+', '#', 'g') AS props_redacted,
+      |  upper(event_type) AS event_type_norm
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+}

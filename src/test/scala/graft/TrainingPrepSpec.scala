@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TrainingPrep
+
+/** Invariant tests for the training-data prep operators (the DuckDB
+  * oracle hash-check is the primary gate; these pin the semantic
+  * properties a hash can't explain when it breaks).
+  */
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin: every match is at-or-before, and the plan has one key shuffle, no join") {
+    val out = TrainingPrep.asOfJoin(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    // at-or-before: no matched click later than its purchase
+    assert(out.filter(col("last_click_ts") > col("purchase_ts")).count() == 0)
+    assert(out.filter(col("gap_s") < 0).count() == 0)
+    // some purchases have a preceding click, some don't (both paths live)
+    assert(out.filter(col("last_click_ts").isNotNull).count() > 0)
+    // the union+window formulation: NO join operator, ONE hash exchange
+    // on user_id (plus the final orderBy's range exchange)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should not plan a join:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+    out.unpersist()
+  }
+
+  test("asOfJoin matches the quadratic definition on a sampled user") {
+    // ground truth the windowed formulation against the O(n^2)
+    // definition (max click ts <= purchase ts) for one user's events
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id") === 7 && col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .collect()
+    val clicks = ev.filter(_.getString(1) == "click").map(_.getTimestamp(2))
+    val expected = ev.filter(_.getString(1) == "purchase").map { r =>
+      val pts = r.getTimestamp(2)
+      val best = clicks.filter(c => !c.after(pts)).sortBy(_.getTime).lastOption
+      (r.getLong(0), best)
+    }.toMap
+    val got = TrainingPrep.asOfJoin(spark, sf)
+      .filter(col("user_id") === 7)
+      .select(col("event_id"), col("last_click_ts"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1)))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("stratifiedSample: deterministic subset, purchases kept whole") {
+    val ev = Tables.events(spark, sf)
+    val out = TrainingPrep.stratifiedSample(spark, sf).cache()
+    // purchases have rate 1000/1000 — every one survives
+    assert(out.filter(col("event_type") === "purchase").count() ==
+      ev.filter(col("event_type") === "purchase").count())
+    // views at 1% are strictly downsampled
+    val views = ev.filter(col("event_type") === "view").count()
+    val keptViews = out.filter(col("event_type") === "view").count()
+    assert(keptViews < views / 10, s"$keptViews of $views views kept")
+    // deterministic: a second run keeps the identical row set
+    val again = TrainingPrep.stratifiedSample(spark, sf)
+    assert(out.select("event_id").except(again.select("event_id")).count() == 0)
+    assert(again.select("event_id").except(out.select("event_id")).count() == 0)
+    out.unpersist()
+  }
+
+  test("docChunks: chunks cover and reconstruct every document") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val chunks = TrainingPrep.docChunks(spark, sf)
+      .select("doc_id", "chunk_idx", "chunk")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(chunks.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val cs = chunks(id)
+      // stride-100 prefixes of all but the last chunk + the last chunk
+      // reassemble the original text exactly (50-char overlap checks out)
+      val rebuilt = cs.dropRight(1).map(_.take(100)).mkString + cs.last
+      assert(rebuilt == text, s"doc $id reassembly mismatch")
+      // a non-final chunk always has a successor starting 100 chars in,
+      // so it holds >100 chars (but may be <150 when the doc ends
+      // inside its window); no chunk exceeds the window size
+      assert(cs.init.forall(_.length > 100), s"doc $id short non-final chunk")
+      assert(cs.forall(_.length <= 150), s"doc $id oversized chunk")
+    }
+  }
+
+  test("tfidfTopTerms: <=3 ranked terms per doc, top term has the max tf") {
+    val out = TrainingPrep.tfidfTopTerms(spark, sf).cache()
+    val perDoc = out.groupBy("doc_id").agg(count(lit(1)).as("k"), max("rn").as("maxrn"))
+    assert(perDoc.filter(col("k") > 3 || col("maxrn") > 3).count() == 0)
+    // rank-1 term's tf equals the doc's max term frequency
+    val maxTf = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").count()
+      .groupBy("doc_id").agg(max("count").as("max_tf"))
+    val top1 = out.filter(col("rn") === 1).select(col("doc_id"), col("tf"))
+    assert(top1.join(maxTf, "doc_id").filter(col("tf") =!= col("max_tf")).count() == 0)
+    out.unpersist()
+  }
+
+  test("piiRedact leaves no digit runs and masks crafted PII") {
+    val out = TrainingPrep.piiRedact(spark, sf)
+    assert(out.filter(col("props_redacted").rlike("[0-9]")).count() == 0)
+    assert(out.count() == Tables.events(spark, sf).count())
+    // the pattern chain on crafted payloads (same expressions, literal input)
+    val crafted = Seq(
+      ("reach me at bob.smith+x@example.co.uk please", "<email> masked"),
+      ("from 192.168.0.1 port 8080", "<ip> then # masked"),
+      ("v2 build 12345", "digits masked"))
+      .toDF("props", "what")
+      .withColumn("event_id", lit(0L)).withColumn("event_type", lit("view"))
+    val masked = crafted.select(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("props"), "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<email>"),
+          "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<ip>"),
+        "[0-9]+", "#").as("r"))
+      .as[String].collect()
+    assert(masked(0) == "reach me at <email> please", masked(0))
+    assert(masked(1) == "from <ip> port #", masked(1))
+    assert(masked(2) == "v# build #", masked(2))
+  }
+}
