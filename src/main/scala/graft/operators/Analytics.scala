@@ -504,6 +504,32 @@ object Analytics {
       .orderBy(col("endpoint"), col("status_code"))
   }
 
+  /** Ordered conversion funnel: per user, the earliest view, then the
+    * earliest click AT-OR-AFTER that view, then the earliest purchase
+    * at-or-after that click — sequence-constrained matching, not three
+    * independent mins. Three aggregations + left joins, every one keyed
+    * on user_id, so after the first shuffle the whole funnel stays in
+    * one partitioning (co-partitioned joins, no re-exchange of the big
+    * side); stage frames shrink monotonically (clickers ⊆ viewers).
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") >= col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") >= col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"),
+        when(col("purchase_ts").isNotNull, 3)
+          .when(col("click_ts").isNotNull, 2)
+          .otherwise(1).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   // --- registry ---
 
   val defs: Map[String, QueryDef] = Map(
@@ -531,5 +557,6 @@ object Analytics {
     "q_rollup_traffic"   -> QueryDef(rollupTraffic, Some(OracleSql.rollupTraffic)),
     "q_latency_percentiles_approx" -> QueryDef(latencyPercentilesApprox, None),
     "q_log_ingest"       -> QueryDef(logIngest, None),
-    "q_user_retention"   -> QueryDef(userRetention, Some(OracleSql.userRetention)))
+    "q_user_retention"   -> QueryDef(userRetention, Some(OracleSql.userRetention)),
+    "q_funnel"           -> QueryDef(funnel, Some(OracleSql.funnel)))
 }

@@ -268,4 +268,23 @@ object OracleSql {
       |UNION ALL
       |SELECT user_id, 'high_only' AS set_op FROM only_hi
       |ORDER BY set_op, user_id""".stripMargin
+
+  val funnel: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS view_ts
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY 1)
+      |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+      |  CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+      |            WHEN c.click_ts IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
 }

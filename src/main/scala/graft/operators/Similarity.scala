@@ -209,11 +209,34 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-label centroid of the embedding column — the distributed
+    * vector aggregation under KMeans/IVF training and class prototypes,
+    * exposed as a query: posexplode to (label, dim, component), one
+    * hash aggregate. Map-side partial aggregation collapses the ×dim
+    * row expansion before the shuffle, so exchange volume is
+    * |labels|·dim regardless of corpus size. Components are quantized
+    * to 1e-4 and summed as exact integers (the fixed-decimal cent
+    * convention), making the mean order-independent and bit-identical
+    * across engines — a quantized centroid, which is also what an
+    * embedding pipeline ships (fp32 centroids don't survive engine
+    * reorderings bit-exactly).
+    */
+  def embeddingCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + lit(1)).as("dim"))
+      .agg(
+        (sum(expr("CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)")) /
+          (count(lit(1)) * lit(10000e0))).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+
   val defs: Map[String, QueryDef] = Map(
     "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK)),
     "q_embedding_neardup" -> QueryDef(nearDupPairs, Some(SimilarityOracles.nearDupPairs)),
     "q_embedding_lsh"     -> QueryDef(lshNearDup, None),
-    "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), None))
+    "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), None),
+    "q_embedding_centroids" -> QueryDef(embeddingCentroids, Some(SimilarityOracles.embeddingCentroids)))
 }
 
 /** DuckDB oracles — cosine via explicit DOUBLE list arithmetic
@@ -249,4 +272,19 @@ object SimilarityOracles {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE $cosSql >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // parallel unnests zip in DuckDB, giving (dim, component) rows; the
+  // quantize-to-integer sum mirrors the Spark builder exactly
+  val embeddingCentroids: String =
+    """WITH vals AS (
+      |  SELECT label,
+      |    unnest(generate_series(1, len(embedding))) AS dim,
+      |    unnest(embedding) AS x
+      |  FROM embeddings)
+      |SELECT label, CAST(dim AS INT) AS dim,
+      |  sum(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) / (count(*) * 10000e0) AS centroid,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM vals
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
 }

@@ -64,4 +64,57 @@ class QuerySurfaceSpec extends SparkSpec {
       assert(a == b, s"$name not deterministic")
     }
   }
+
+  test("funnel stages are sequence-constrained, not independent mins") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Analytics.funnel(spark, sf).cache()
+    // ordering invariant: view <= click <= purchase wherever present
+    assert(out.filter(col("click_ts") < col("view_ts")).count() == 0)
+    assert(out.filter(col("purchase_ts") < col("click_ts")).count() == 0)
+    // stage column consistent with which timestamps are present
+    assert(out.filter(col("stage") === 3 && col("purchase_ts").isNull).count() == 0)
+    assert(out.filter(col("stage") === 2 &&
+      (col("click_ts").isNull || col("purchase_ts").isNotNull)).count() == 0)
+    assert(out.filter(col("stage") === 1 && col("click_ts").isNotNull).count() == 0)
+    // full ground truth: replay the sequence constraint per user on
+    // collected events (small at sf0.001) and compare every stage row
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      def minAtOrAfter(tpe: String, from: Option[java.sql.Timestamp]) = {
+        val c = rows.filter(_._2 == tpe).map(_._3)
+          .filter(t => from.forall(f => !t.before(f)))
+        if (c.isEmpty) None else Some(c.minBy(_.getTime))
+      }
+      minAtOrAfter("view", None).map { vts =>
+        val cts = minAtOrAfter("click", Some(vts))
+        val pts = cts.flatMap(c => minAtOrAfter("purchase", Some(c)))
+        (u, (Some(vts), cts, pts, if (pts.isDefined) 3 else if (cts.isDefined) 2 else 1))
+      }
+    }
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)), r.getInt(4)))).toMap
+    assert(got == expected, s"funnel mismatch")
+    out.unpersist()
+  }
+
+  test("embedding centroids match a driver-side computation per label") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val expected = rows.groupBy(_._1).map { case (l, vs) =>
+      val vecs = vs.map(_._2.toIndexedSeq).toIndexedSeq
+      val sums = vecs.transpose.map(column =>
+        column.map(x => math.round(x.toDouble * 10000)).sum)
+      l -> sums.map(_ / (vecs.length * 10000e0))
+    }
+    val got = operators.Similarity.embeddingCentroids(spark, sf)
+      .collect().groupBy(_.getInt(0)).map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+      }
+    assert(got == expected)
+  }
 }
