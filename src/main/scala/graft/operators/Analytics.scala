@@ -507,22 +507,36 @@ object Analytics {
   /** Ordered conversion funnel: per user, the earliest view, then the
     * earliest click AT-OR-AFTER that view, then the earliest purchase
     * at-or-after that click — sequence-constrained matching, not three
-    * independent mins. Three aggregations + left joins, every one keyed
-    * on user_id, so after the first shuffle the whole funnel stays in
-    * one partitioning (co-partitioned joins, no re-exchange of the big
-    * side); stage frames shrink monotonically (clickers ⊆ viewers).
+    * independent mins.
+    *
+    * Formulation: three STACKED partition-wide window aggregates over
+    * the same user_id partitioning — each stage's conditional min can
+    * reference the previous stage's column because window expressions
+    * compose. Plan: ONE scan of events (event_type IN pushed to
+    * parquet), ONE hash exchange, three Window ops sharing a single
+    * sort, and a groupBy(user_id) that reuses the partitioning with no
+    * further exchange. (A v1 of this query aggregated the three stages
+    * separately and joined — plan-audited at SIX pruned scans + five
+    * joins; the window form replaces all of it with one pass.)
     */
   def funnel(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
-    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") >= col("view_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
-    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") >= col("click_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
-    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("view_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("click_ts",
+        min(when(col("event_type") === "click" && col("ts") >= col("view_ts"),
+          col("ts"))).over(w))
+      .withColumn("purchase_ts",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("click_ts"),
+          col("ts"))).over(w))
+      .filter(col("view_ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("view_ts")).as("view_ts"),
+        min(col("click_ts")).as("click_ts"),
+        min(col("purchase_ts")).as("purchase_ts"))
       .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"),
         when(col("purchase_ts").isNotNull, 3)
           .when(col("click_ts").isNotNull, 2)

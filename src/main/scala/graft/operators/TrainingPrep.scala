@@ -119,6 +119,15 @@ object TrainingPrep {
     * document frequency → smoothed TF-IDF
     * (`tf · (ln((1+N)/(1+df)) + 1)`), top 3 terms per doc.
     *
+    * Plan note: the df branch re-tokenizes the corpus rather than
+    * reusing the tf exchange — column pruning gives the two branches
+    * different ReadSchemas, which defeats Spark's exchange reuse. At
+    * 100 TB that is a deliberate choice between a second pruned
+    * scan+aggregate (stateless, elastic) and persisting the tf frame
+    * (an artifact decision like the IVF index); a pipeline running
+    * TF-IDF repeatedly materializes tf once — see ivfIndex for the
+    * cached-artifact pattern this would follow.
+    *
     * The row_number ranking is INTEGER-ordered (tf desc, df asc, term
     * asc) rather than ordered by the double tfidf score: tf↑ and df↓
     * both increase tfidf, and integer ordering is bit-stable across
