@@ -134,6 +134,23 @@ object GramHash {
     sigs
   }
 
+  /** Exact Jaccard of two SORTED distinct long arrays by
+    * merge-intersection — the JVM-side twin of the
+    * [[graft.functions.SortedLongJaccard]] expression, for callers that
+    * hold plain arrays (e.g. stateful streaming processors comparing an
+    * incoming gram set against a stored representative).
+    */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** Sorted distinct packed 3-gram ids — the exact gram set, ready for
     * [[SortedLongJaccard]] merge-intersection.
     */

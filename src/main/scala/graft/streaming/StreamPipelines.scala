@@ -278,7 +278,67 @@ object StreamPipelines {
       .transformWithState(new EndpointSessionsProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Streaming near-duplicate suppression — the streaming counterpart
+    * of [[graft.operators.Dedup.minhashDedup]]: documents arriving on a
+    * stream are checked against everything seen so far WITHOUT holding
+    * the corpus, by keying bounded state on MinHash band buckets.
+    *
+    * Per document (stateless, the same fused native expressions as the
+    * batch index): 32 minhash signatures + the exact sorted gram set,
+    * banded 16×2 into bucket keys. Then one stateful stage keyed by
+    * bucket: each bucket's ValueState holds the FIRST document seen
+    * there (its id + gram set); every later arrival in the bucket is
+    * verified by exact merge-intersect Jaccard against that
+    * representative and emitted as a hit when ≥ the threshold. A doc is
+    * a near-duplicate iff ANY of its 16 buckets emits a hit (dedupe
+    * hits downstream on doc_id).
+    *
+    * Scale/state posture: state is one (long, gram-array) per DISTINCT
+    * bucket — linear in distinct content, not in stream length (every
+    * member of a dup cluster shares buckets with its representative and
+    * adds no state there), TTL-boundable via `ttl` (RocksDB-native
+    * expiry, the fleet requirement for an open-ended key space).
+    * Verification is exact, so flagged pairs are true near-dups at the
+    * threshold (the batch operator's precision invariant); recall
+    * follows the same 16×2 banding curve (~0.99 candidate probability
+    * at J=0.5). Greedy first-seen representatives replace the batch
+    * operator's min-label canonical ids — arrival order decides which
+    * cluster member anchors, the inherent streaming tradeoff.
+    */
+  def streamingNearDedup(
+      docs: DataFrame, threshold: Double = 0.5,
+      ttl: Option[java.time.Duration] = None): org.apache.spark.sql.Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    graft.functions.Registry.ensure(docs.sparkSession)
+    val h = 32; val bands = 16; val rowsPerBand = h / bands
+    val indexed = docs
+      .select(col("doc_id"),
+        graft.functions.TextHashFunctions.minhashSigs(col("text"), h).as("sigs"),
+        graft.functions.TextHashFunctions.gramSet(col("text")).as("grams"))
+      .filter(size(col("sigs")) > 0)
+    val bucketKeys = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("sigs"), i + 1))
+      concat_ws(":", lit(b), xxhash64(cols: _*))
+    }
+    indexed
+      .select(col("doc_id"), col("grams"),
+        explode(array(bucketKeys: _*)).as("bucket"))
+      .as[(Long, Array[Long], String)]
+      .groupByKey(_._3)
+      .transformWithState(new BucketRepProcessor(threshold, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
 }
+
+/** One verified near-dup hit of [[StreamPipelines.streamingNearDedup]]:
+  * `doc_id` shares a band bucket with the earlier `rep_doc_id` and
+  * their exact gram Jaccard clears the threshold. One row per shared
+  * bucket — distinct on doc_id for the per-document verdict.
+  */
+case class NearDupHit(doc_id: Long, rep_doc_id: Long, jaccard: Double)
 
 /** One output event of [[StreamPipelines.endpointSessions]]. */
 case class EndpointSessionEvent(
@@ -368,5 +428,43 @@ class EndpointSessionsProcessor(gapMs: Long)
     // eviction: every state variable cleared; a returning key starts fresh
     trail.clear(); counts.clear(); openTimer.clear()
     Iterator.single(closed)
+  }
+}
+
+/** Bucket-keyed near-dup state for
+  * [[StreamPipelines.streamingNearDedup]]: one ValueState holding the
+  * bucket's first-seen (doc_id, sorted gram set). Later arrivals are
+  * verified by exact merge-intersect Jaccard ([[graft.functions.GramHash.jaccardSorted]])
+  * against the stored representative — a hit is emitted only when the
+  * EXACT similarity clears the threshold, so banding never costs
+  * precision. State grows with distinct buckets (≈ distinct content),
+  * and an optional TTL lets RocksDB expire cold buckets natively.
+  */
+class BucketRepProcessor(threshold: Double, ttl: Option[java.time.Duration])
+    extends StatefulProcessor[String, (Long, Array[Long], String), NearDupHit] {
+  import org.apache.spark.sql.Encoders
+
+  @transient private var rep: ValueState[(Long, Array[Long])] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    rep = getHandle.getValueState[(Long, Array[Long])]("rep",
+      Encoders.product[(Long, Array[Long])],
+      ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(Long, Array[Long], String)],
+      timerValues: TimerValues): Iterator[NearDupHit] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+    rows.foreach { case (docId, grams, _) =>
+      if (!rep.exists()) rep.update((docId, grams))
+      else {
+        val (repId, repGrams) = rep.get()
+        if (repId != docId) {
+          val j = graft.functions.GramHash.jaccardSorted(repGrams, grams)
+          if (j >= threshold) out += NearDupHit(docId, repId, j)
+        }
+      }
+    }
+    out.iterator
   }
 }

@@ -210,6 +210,44 @@ class StreamingSpec extends SparkSpec {
       s"session closed before last-seen + gap: ${rows.toSeq}")
   }
 
+  test("streaming near-dedup flags cross-batch near-duplicates, exact-verified") {
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    val mem = MemoryStream[(Long, String)](session)
+    val q = StreamPipelines.streamingNearDedup(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_hits").start()
+
+    val template = "the quick brown fox jumps over the lazy dog while the " +
+      "slow grey cat sleeps under the warm wooden table near the garden door"
+    val unrelated = "completely different content about spark catalyst " +
+      "optimizer rules and whole stage code generation internals"
+    // batch 1 establishes representatives
+    mem.addData((1L, template), (2L, unrelated))
+    q.processAllAvailable()
+    // batch 2: exact dup of 1, a light mutation of 1, and fresh content
+    mem.addData(
+      (3L, template),
+      (4L, template.replace("lazy dog", "lazy hound")),
+      (5L, "entirely novel text with no overlap to anything seen before now"))
+    q.processAllAvailable()
+    q.stop()
+
+    val hits = session.table("neardup_hits").as[(Long, Long, Double)].collect()
+    val byDoc = hits.groupBy(_._1)
+    // the exact duplicate and the near-mutation both resolve to doc 1
+    assert(byDoc.contains(3L) && byDoc(3L).forall(_._2 == 1L), hits.toSeq.toString)
+    assert(byDoc(3L).forall(h => math.abs(h._3 - 1.0) < 1e-12))
+    assert(byDoc.contains(4L) && byDoc(4L).forall(_._2 == 1L), hits.toSeq.toString)
+    assert(byDoc(4L).forall(h => h._3 >= 0.5 && h._3 < 1.0))
+    // representatives and unrelated content are never flagged
+    assert(!byDoc.contains(1L) && !byDoc.contains(2L) && !byDoc.contains(5L),
+      hits.toSeq.toString)
+  }
+
   test("ingest with dedupe window drops replayed duplicate request_ids") {
     val mem = MemoryStream[String](spark)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
