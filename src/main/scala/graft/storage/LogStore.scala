@@ -120,6 +120,41 @@ object LogStore {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Pre-aggregated daily rollup cube with MERGEABLE summaries — the
+    * standard 100 TB pattern for serving aggregates without touching
+    * raw data: per (day, event_type) cell, an exact event count, an
+    * exact integer-cents value sum, and an HLL sketch of distinct
+    * users. Counts and cent-sums re-aggregate by addition; the sketch
+    * re-aggregates by union (`hll_union_agg`) — so ANY coarser grain
+    * (weekly, per-type, global) is a small scan over cube cells, never
+    * a recompute of history. Incremental maintenance is append: a new
+    * day's cell merges into every downstream query by the same
+    * algebra. Distinct counts stay correct under merge because HLL
+    * registers are max-mergeable — the property COUNT(DISTINCT) lacks
+    * (it is not decomposable, which is exactly why raw-data rollups
+    * can't serve it at scale).
+    */
+  def writeDailyRollup(events: DataFrame, path: String,
+      tsCol: String = "ts", userCol: String = "user_id",
+      valueCol: String = "value"): Unit =
+    events.groupBy(to_date(col(tsCol)).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr(s"CAST(round($valueCol * 100) AS BIGINT)")).as("value_cents"),
+        hll_sketch_agg(col(userCol)).as("users_hll"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Serve per-type totals from the cube: counters add, sketches union.
+    * Touches |days|×|types| cells regardless of raw volume.
+    */
+  def rollupTotals(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        (sum(col("value_cents")) / 100e0).as("total_value"),
+        hll_sketch_estimate(hll_union_agg(col("users_hll")))
+          .as("distinct_users"))
+      .orderBy(col("event_type"))
+
   /** Persist as a bucketed+sorted managed table (in-session catalog).
     * Joins/aggregations on `bucketCol` against co-bucketed tables need
     * no exchange.

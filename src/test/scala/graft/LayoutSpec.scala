@@ -190,4 +190,55 @@ class LayoutSpec extends SparkSpec {
       assert(joined.count() == ev.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("rollup cube: counters add exactly, sketches union losslessly") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cube").toString
+    val ev = Tables.events(spark, sf)
+    LogStore.writeDailyRollup(ev, s"$dir/cube")
+    val served = LogStore.rollupTotals(spark, s"$dir/cube").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+
+    // exact counters: cube-served == recomputed from raw
+    val direct = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100e0).as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(served.keySet == direct.keySet)
+    direct.foreach { case (t, (n, v)) =>
+      assert(served(t)._1 == n && served(t)._2 == v, s"$t counters diverge")
+    }
+
+    // sketch merge is lossless: unioned daily sketches give the SAME
+    // estimate as one sketch built directly over all rows (registers
+    // are max-merged, so the merged state equals the direct state)
+    val directSketch = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("du"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    directSketch.foreach { case (t, du) =>
+      assert(served(t)._3 == du, s"$t merged sketch estimate != direct")
+    }
+
+    // and the estimate is close to truth
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, d) =>
+      assert(math.abs(served(t)._3 - d).toDouble / d < 0.05, s"$t estimate off >5%")
+    }
+
+    // incremental maintenance: appending a later day's cells and
+    // re-serving equals a full rebuild over the union of the data
+    val (oldEv, newEv) = (ev.filter(dayofmonth(col("ts")) <= 15),
+      ev.filter(dayofmonth(col("ts")) > 15))
+    LogStore.writeDailyRollup(oldEv, s"$dir/inc")
+    newEv.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"),
+        hll_sketch_agg(col("user_id")).as("users_hll"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/inc")
+    val incServed = LogStore.rollupTotals(spark, s"$dir/inc").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(incServed == served, "incremental append diverged from full rebuild")
+  }
 }
