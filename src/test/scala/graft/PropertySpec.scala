@@ -46,6 +46,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("merge-intersect Jaccard equals set algebra on generated sorted arrays") {
+    val pair = for {
+      a <- Gen.listOf(Gen.chooseNum(0L, 40L))
+      b <- Gen.listOf(Gen.chooseNum(0L, 40L))
+    } yield (a.distinct.sorted.toArray, b.distinct.sorted.toArray)
+    for (((a, b), i) <- sample(pair, 500).zipWithIndex) {
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val expected = if (union == 0) 1.0 else inter.toDouble / union
+      val got = graft.functions.GramHash.jaccardSorted(a, b)
+      assert(math.abs(got - expected) < 1e-12, s"case $i: $got vs $expected")
+    }
+  }
+
+  test("stratified sample filter equals the hash arithmetic, row by row") {
+    // the engine-side filter and this direct recompute must agree on
+    // every generated id (the reproducibility contract of the sampler)
+    val ids = sample(Gen.chooseNum(0L, 3000000000L), 400).distinct
+    val types = Seq("purchase", "click", "view", "error")
+    val rows = ids.zipWithIndex.map { case (id, i) => (id, types(i % 4)) }
+    val df = rows.toDF("event_id", "event_type")
+      .withColumn("user_id", lit(0L)).withColumn("ts", current_timestamp())
+    val kept = df.filter((col("event_id") * lit(2654435761L)) % 1000 <
+        when(col("event_type") === "purchase", 1000)
+          .when(col("event_type") === "click", 100)
+          .when(col("event_type") === "view", 10).otherwise(50))
+      .select("event_id").as[Long].collect().toSet
+    rows.foreach { case (id, tpe) =>
+      val rate = tpe match {
+        case "purchase" => 1000; case "click" => 100; case "view" => 10; case _ => 50
+      }
+      assert(kept.contains(id) == ((id * 2654435761L) % 1000 < rate), s"id $id")
+    }
+  }
+
   test("parse chain round-trips generated valid records and drops invalid ones") {
     val word = Gen.alphaNumStr.map(_.take(12))
     val recGen = for {
