@@ -42,19 +42,23 @@ object Bench {
 
     // min of two timed runs per query: the machine is shared and single
     // runs vary ±30%; the minimum is the stable estimate of what the
-    // query actually costs
+    // query actually costs. Errors are RECORDED, not swallowed silently
+    // — an erroring query otherwise reports a deceptively fast time.
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = qs.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => errors += name; -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
