@@ -175,7 +175,37 @@ object TrainingPrep {
       .orderBy(col("event_id"))
   }
 
+  /** The composed corpus-prep pipeline — the stages a training-data run
+    * chains between raw corpus and tokenizer, as ONE declarative plan:
+    * quality gate (token count) → exact dedup (min doc_id per identical
+    * text) → deterministic 50% sample → overlapping chunking. Each
+    * stage is the operator proven individually elsewhere in this file;
+    * composing them costs exactly one extra shuffle (the dedup window
+    * on text) because everything else is scan-local — the point of
+    * declaring the whole pipeline as one DataFrame: Catalyst fuses the
+    * stage filters into the scan, and nothing materializes between
+    * stages. (The near-dup stage lives outside this oracle-checked
+    * chain — minhash isn't SQL-expressible; at scale it slots between
+    * dedup and sample exactly as [[graft.operators.Dedup.minhashDedup]]
+    * computes it.)
+    */
+  def corpusPrep(s: SparkSession, d: String): DataFrame = {
+    val nTokens = expr("length(text) - length(replace(text, ' ', '')) + 1")
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .filter(nTokens >= 10)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter((col("doc_id") * lit(2654435761L)) % 1000 < 500)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((length(text)-1) DIV $ChunkStride AS INT)),
+           |          i -> substring(text, i*$ChunkStride + 1, $ChunkSize))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_corpus_prep"       -> QueryDef(corpusPrep, Some(TrainingOracles.corpusPrep)),
     "q_asof_join"         -> QueryDef(asOfJoin, Some(TrainingOracles.asOfJoin)),
     "q_stratified_sample" -> QueryDef(stratifiedSample, Some(TrainingOracles.stratifiedSample)),
     "q_doc_chunks"        -> QueryDef(docChunks, Some(TrainingOracles.docChunks)),
@@ -239,6 +269,28 @@ object TrainingOracles {
       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf, rn
       |FROM ranked WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
+
+  val corpusPrep: String =
+    """WITH quality AS (
+      |  SELECT doc_id, text
+      |  FROM documents
+      |  WHERE (length(text) - length(replace(text, ' ', '')) + 1) >= 10),
+      |deduped AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id) AS INT) AS rn
+      |    FROM quality)
+      |  WHERE rn = 1),
+      |sampled AS (
+      |  SELECT doc_id, text FROM deduped
+      |  WHERE (doc_id * 2654435761) % 1000 < 500),
+      |chunked AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, (length(text)-1)//100)) AS i
+      |  FROM sampled)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |  substring(text, CAST(i*100+1 AS INT), 150) AS chunk
+      |FROM chunked
+      |ORDER BY doc_id, chunk_idx""".stripMargin
 
   val piiRedact: String =
     """SELECT event_id,
