@@ -108,6 +108,11 @@ object TrainingPrep {
     */
   def docChunks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // empty-text guard: on length 0 the chunk-count expression
+      // diverges between engines (Spark DIV truncates toward zero →
+      // one empty chunk; DuckDB // floors → none). Excluding empty
+      // docs pins "no text → no chunks" in both.
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST((length(text)-1) DIV $ChunkStride AS INT)),
            |          i -> substring(text, i*$ChunkStride + 1, $ChunkSize))""".stripMargin))
@@ -247,7 +252,7 @@ object TrainingOracles {
   val docChunks: String =
     """WITH pos AS (
       |  SELECT doc_id, text, unnest(generate_series(0, (length(text)-1)//100)) AS i
-      |  FROM documents)
+      |  FROM documents WHERE length(text) > 0)
       |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
       |  substring(text, CAST(i*100+1 AS INT), 150) AS chunk,
       |  CAST(length(substring(text, CAST(i*100+1 AS INT), 150)) AS INT) AS chunk_len
