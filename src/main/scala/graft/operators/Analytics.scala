@@ -452,6 +452,24 @@ object Analytics {
     * on (user, day+1); the distinct frames are (users × days)-sized,
     * far below event volume, and co-partitioned on user_id.
     */
+  /** Per-type statistical profile — the corr/covar/stddev aggregate
+    * family over (value, hour-of-day), single hash aggregate with
+    * partial map-side combine (all four are algebraic: constant-size
+    * intermediate state, mergeable, so the shuffle carries one state
+    * row per (partition, type) regardless of volume). round(4) on both
+    * engines absorbs summation-order float drift.
+    */
+  def statsProfile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        hour(col("ts")).cast("double").as("hr"))
+      .groupBy(col("event_type"))
+      .agg(round(corr(col("value"), col("hr")), 4).as("corr_value_hour"),
+        round(covar_samp(col("value"), col("hr")), 4).as("covar_value_hour"),
+        round(stddev_samp(col("value")), 4).as("stddev_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   def userRetention(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
@@ -572,5 +590,6 @@ object Analytics {
     "q_latency_percentiles_approx" -> QueryDef(latencyPercentilesApprox, None),
     "q_log_ingest"       -> QueryDef(logIngest, None),
     "q_user_retention"   -> QueryDef(userRetention, Some(OracleSql.userRetention)),
-    "q_funnel"           -> QueryDef(funnel, Some(OracleSql.funnel)))
+    "q_funnel"           -> QueryDef(funnel, Some(OracleSql.funnel)),
+    "q_stats_profile"    -> QueryDef(statsProfile, Some(OracleSql.statsProfile)))
 }

@@ -287,4 +287,14 @@ object OracleSql {
       |FROM v LEFT JOIN c ON v.user_id = c.user_id
       |       LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
+
+  val statsProfile: String =
+    """SELECT event_type,
+      |  round(corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 4) AS corr_value_hour,
+      |  round(covar_samp(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 4) AS covar_value_hour,
+      |  round(stddev_samp(value), 4) AS stddev_value,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }
