@@ -103,6 +103,30 @@ class TrainingPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("corpusPrep plans exactly one data shuffle and matches stagewise composition") {
+    val out = TrainingPrep.corpusPrep(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    // one hash exchange (the dedup window on text); the only other
+    // exchange is the final presentation sort's range partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, plan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), "corpus prep should be join-free")
+    // stagewise recompute on collected rows agrees
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val expectedDocs = docs
+      .filter { case (_, t) => t.split(" ", -1).length >= 10 }
+      .groupBy(_._2).map { case (_, vs) => vs.minBy(_._1) }
+      .filter { case (id, _) => (id * 2654435761L) % 1000 < 500 }
+      .toSeq
+    val expectedChunks = expectedDocs.flatMap { case (id, t) =>
+      (0 to (t.length - 1) / 100).map(i =>
+        (id, i, t.substring(i * 100, math.min(i * 100 + 150, t.length))))
+    }.sortBy(c => (c._1, c._2))
+    val got = out.as[(Long, Int, String)].collect().toSeq
+    assert(got == expectedChunks)
+  }
+
   test("piiRedact leaves no digit runs and masks crafted PII") {
     val out = TrainingPrep.piiRedact(spark, sf)
     assert(out.filter(col("props_redacted").rlike("[0-9]")).count() == 0)
