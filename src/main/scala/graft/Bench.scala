@@ -33,31 +33,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    import scala.util.control.NonFatal
     val qs =
       if (args.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter { case (n, _) => args.contains(n) }
     qs.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).count() catch { case NonFatal(_) => () }
     }
 
     // min of two timed runs per query: the machine is shared and single
     // runs vary ±30%; the minimum is the stable estimate of what the
     // query actually costs. Errors are RECORDED, not swallowed silently
-    // — an erroring query otherwise reports a deceptively fast time.
+    // — an erroring query reports time null and contributes nothing to
+    // the total, so the headline can't silently understate. Fatal JVM
+    // errors (OOM etc.) propagate: NonFatal only.
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = qs.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => errors += name; -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case NonFatal(_) => errors += name; None }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.flatten.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

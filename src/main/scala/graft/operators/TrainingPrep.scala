@@ -196,7 +196,11 @@ object TrainingPrep {
     */
   def corpusPrep(s: SparkSession, d: String): DataFrame = {
     val nTokens = expr("length(text) - length(replace(text, ' ', '')) + 1")
-    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    // dedup window keyed on a 256-bit digest, not the text itself:
+    // shuffle keys stay 64 hex chars however large the documents are,
+    // and sha2-256 collisions are negligible (the oracle partitions by
+    // text — identical grouping modulo those collisions)
+    val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
     Tables.documents(s, d)
       .filter(nTokens >= 10)
       .withColumn("rn", row_number().over(w))

@@ -139,7 +139,7 @@ object LogStore {
       valueCol: String = "value"): Unit =
     events.groupBy(to_date(col(tsCol)).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(expr(s"CAST(round($valueCol * 100) AS BIGINT)")).as("value_cents"),
+        sum(round(col(valueCol) * 100).cast("bigint")).as("value_cents"),
         hll_sketch_agg(col(userCol)).as("users_hll"))
       .write.mode(SaveMode.Overwrite).parquet(path)
 

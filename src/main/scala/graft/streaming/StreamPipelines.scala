@@ -298,7 +298,11 @@ object StreamPipelines {
     * bucket — linear in distinct content, not in stream length (every
     * member of a dup cluster shares buckets with its representative and
     * adds no state there), TTL-boundable via `ttl` (RocksDB-native
-    * expiry, the fleet requirement for an open-ended key space).
+    * expiry, the fleet requirement for an open-ended key space). TTL
+    * trades recall for that bound: once a bucket's representative
+    * expires, later duplicates of the same content re-anchor as fresh
+    * representatives and pass unflagged — size the TTL against the
+    * dedup horizon you actually need.
     * Verification is exact, so flagged pairs are true near-dups at the
     * threshold (the batch operator's precision invariant); recall
     * follows the same 16×2 banding curve (~0.99 candidate probability

@@ -73,8 +73,9 @@ class TrainingPrepSpec extends SparkSpec {
       .select("doc_id", "chunk_idx", "chunk")
       .as[(Long, Int, String)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
-    assert(chunks.keySet == docs.keySet)
-    docs.foreach { case (id, text) =>
+    // empty-text docs are excluded by the operator's guard by design
+    assert(chunks.keySet == docs.filter(_._2.nonEmpty).keySet)
+    docs.filter(_._2.nonEmpty).foreach { case (id, text) =>
       val cs = chunks(id)
       // stride-100 prefixes of all but the last chunk + the last chunk
       // reassemble the original text exactly (50-char overlap checks out)
