@@ -116,37 +116,37 @@ object Analytics {
 
   // --- z-score anomaly detection (A6 = J1 + P7-P11) ---
 
-  /** Unrounded history stats for composition into the z-score join. */
-  private def histStatsRaw(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .filter(col("ts") >= lit(HistStart) && col("ts") < lit(CurrentStart))
-      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("request_count"))
-      .groupBy(col("user_id"))
-      .agg(
-        avg(col("request_count")).as("avg_requests"),
-        stddev_samp(col("request_count")).as("stddev_requests"))
-
-  /** Current-window hourly counts per key (the "micro-batch" side). */
-  private def currentCounts(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .filter(col("ts") >= lit(CurrentStart))
-      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("request_count"))
-
   /** Full z-score classifier — reference
     * predictions/anomaly_detection.py:56-75 (left join J1 keeps
     * never-seen keys with NULL history → "new IP" rule; z-score column
-    * algebra P7-P10). The algebra is single-sourced in
-    * [[graft.streaming.StreamPipelines.zscoreClassify]] (the same
-    * function the streaming pipeline runs per micro-batch); hist is
-    * post-aggregation-small → broadcast, no sort-merge shuffle.
-    * Threshold |z|>3 or new key with >100 requests/bucket, reason labels
-    * as in the reference (:64-74).
+    * algebra P7-P10, single-sourced with the streaming path in
+    * [[graft.streaming.StreamPipelines.zscoreLabel]]). Threshold |z|>3
+    * or new key with >100 requests/bucket, reason labels as in the
+    * reference (:64-74).
+    *
+    * Formulated as ONE pass over events: both windows' per-(user, hour)
+    * counts come from a single scan + aggregation, and the per-user
+    * history stats are window aggregates over the history hours only
+    * (`when(hour < current)` inside avg/stddev — NULLs ignored), so a
+    * never-seen user windows to NULL stats exactly as the reference's
+    * left join null-extends. Replaces the two-scan two-aggregation
+    * broadcast-join form: one scan + (user,hour) exchange + user
+    * exchange instead of two scans + three exchanges. Window
+    * boundaries are midnight-aligned, so filtering on the truncated
+    * hour equals filtering on raw ts.
     */
-  def zscoreAnomaly(s: SparkSession, d: String): DataFrame =
-    graft.streaming.StreamPipelines
-      .zscoreClassify(currentCounts(s, d), histStatsRaw(s, d), "user_id")
+  def zscoreAnomaly(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .filter(col("ts") >= lit(HistStart))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("request_count"))
+    val histCnt = when(col("hour") < lit(CurrentStart), col("request_count"))
+    val u = Window.partitionBy("user_id")
+    graft.streaming.StreamPipelines.zscoreLabel(
+      counts
+        .withColumn("avg_requests", avg(histCnt).over(u))
+        .withColumn("stddev_requests", stddev_samp(histCnt).over(u))
+        .filter(col("hour") >= lit(CurrentStart)))
       .select(
         col("user_id"), col("hour"), col("request_count"),
         round(col("avg_requests"), 4).as("avg_requests"),
@@ -154,6 +154,7 @@ object Analytics {
         round(col("z_score"), 4).as("z_score"),
         col("is_anomaly"), col("anomaly_reason"))
       .orderBy(col("user_id"), col("hour"))
+  }
 
   /** Anomalous keys only (reference filter :75 `is_anomaly == True`). */
   private def anomalousKeys(s: SparkSession, d: String): DataFrame =
@@ -395,6 +396,58 @@ object Analytics {
       .agg(count(lit(1)).as("n"), exactAvg(col("value"), 100).as("avg_value"))
       .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
 
+  /** Full CUBE over (event_type, day) — all four grouping combinations
+    * from ONE pass (Catalyst's Expand feeds a single agg exchange, no
+    * four-scan union), with `grouping()` flags distinguishing
+    * "NULL because subtotal" from a genuinely NULL key — the grouping-
+    * set surface beyond [[rollupTraffic]]'s ROLLUP (§2.6).
+    */
+  def cubeTraffic(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("day")).cast("int").as("g_day"),
+        count(lit(1)).as("n"),
+        exactAvg(col("value"), 100).as("avg_value"))
+      .select(col("event_type"), col("day"), col("g_type"), col("g_day"),
+        col("n"), col("avg_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  /** Daily event-type matrix via pivot — compiles to ONE conditional
+    * aggregation over the scan (one exchange on day), not a query per
+    * column. The value list is explicit: an unlisted pivot runs a
+    * distinct-values pre-query and caps cardinality — never acceptable
+    * at fleet scale. Missing cells are 0 (count semantics), matching
+    * the oracle's conditional counts.
+    */
+  def pivotDaily(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    Tables.events(s, d)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("day"))
+  }
+
+  /** Hopping (sliding) time window — `window(ts, 2h, 1h)`: every event
+    * lands in the two overlapping buckets that contain it (Expand →
+    * one agg exchange). The batch twin of the A5 streaming windowed
+    * aggregation, with the slide the tumbling form can't express;
+    * Spark windows are epoch-aligned, so the 1 h slide falls on exact
+    * hour boundaries (what the oracle enumerates directly).
+    */
+  def hoppingTraffic(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_events"))
+      .orderBy(col("win_start"))
+
   /** Latency percentiles per category — the p50/p95/p99 dashboard core
     * of log analytics (absent from the reference's query set, implied by
     * its Superset serving layer). Exact interpolated percentiles
@@ -587,6 +640,9 @@ object Analytics {
     "q_latency_percentiles" -> QueryDef(latencyPercentiles, Some(OracleSql.latencyPercentiles)),
     "q_interval_join"    -> QueryDef(intervalJoin, Some(OracleSql.intervalJoin)),
     "q_rollup_traffic"   -> QueryDef(rollupTraffic, Some(OracleSql.rollupTraffic)),
+    "q_cube_traffic"     -> QueryDef(cubeTraffic, Some(OracleSql.cubeTraffic)),
+    "q_pivot_daily"      -> QueryDef(pivotDaily, Some(OracleSql.pivotDaily)),
+    "q_hopping_traffic"  -> QueryDef(hoppingTraffic, Some(OracleSql.hoppingTraffic)),
     "q_latency_percentiles_approx" -> QueryDef(latencyPercentilesApprox, None),
     "q_log_ingest"       -> QueryDef(logIngest, None),
     "q_user_retention"   -> QueryDef(userRetention, Some(OracleSql.userRetention)),

@@ -239,6 +239,43 @@ object OracleSql {
       |GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
       |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
 
+  // DuckDB GROUPING() is BIGINT, Spark's is tinyint → both cast INT
+  val cubeTraffic: String =
+    """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  CAST(GROUPING(event_type) AS INT) AS g_type,
+      |  CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS INT) AS g_day,
+      |  count(*) AS n,
+      |  sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100e0) AS avg_value
+      |FROM events
+      |GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
+      |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
+  // conditional counts are the pivot's relational form; 0 (not NULL)
+  // for absent cells on both sides
+  val pivotDaily: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // each event belongs to exactly the two hour-aligned 2h windows that
+  // contain it — enumerate both starts per event, then aggregate
+  val hoppingTraffic: String =
+    """WITH ex AS (
+      |  SELECT unnest([date_trunc('hour', ts),
+      |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+      |  FROM events)
+      |SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+      |  count(*) AS n_events
+      |FROM ex
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val userRetention: String =
     """WITH daily AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

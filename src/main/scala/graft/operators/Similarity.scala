@@ -231,12 +231,44 @@ object Similarity {
         count(lit(1)).as("n"))
       .orderBy(col("label"), col("dim"))
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * standard 4× compression step before shipping vectors to an ANN
+    * serving tier. Per vector: scale = max|v|/127, q_i = round(v_i /
+    * scale) ∈ [-127, 127]. Pure scalar array algebra in one projection
+    * — scan-speed, zero shuffle, codegen'd higher-order functions, no
+    * UDF; at 100 TB this runs at whatever the parquet scan sustains.
+    *
+    * Output is integer checksums of the quantized vector (sum/min/max
+    * are exact BIGINT/INT algebra) plus the rounded scale, so the
+    * oracle compare is integer-exact: float→double widening is lossless
+    * and IEEE division/round give bit-identical q in both engines —
+    * fp32 payloads themselves don't survive engine reorderings, their
+    * integer images do (same stance as [[embeddingCentroids]]).
+    * All-zero vectors have no scale and are excluded (both dialects).
+    */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("q",
+        expr("transform(v, x -> CAST(round(x / (maxabs / 127.0e0)) AS INT))"))
+      .select(col("vec_id"),
+        expr("size(q)").as("n_dims"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"),
+        round(col("maxabs") / lit(127.0), 6).as("scale"))
+      .orderBy(col("vec_id"))
+
   val defs: Map[String, QueryDef] = Map(
     "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK)),
     "q_embedding_neardup" -> QueryDef(nearDupPairs, Some(SimilarityOracles.nearDupPairs)),
     "q_embedding_lsh"     -> QueryDef(lshNearDup, None),
     "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), None),
-    "q_embedding_centroids" -> QueryDef(embeddingCentroids, Some(SimilarityOracles.embeddingCentroids)))
+    "q_embedding_centroids" -> QueryDef(embeddingCentroids, Some(SimilarityOracles.embeddingCentroids)),
+    "q_embedding_quantize" -> QueryDef(embeddingQuantize, Some(SimilarityOracles.embeddingQuantize)))
 }
 
 /** DuckDB oracles — cosine via explicit DOUBLE list arithmetic
@@ -287,4 +319,27 @@ object SimilarityOracles {
       |FROM vals
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
+
+  // same double-widened algebra as the Spark builder: float→double is
+  // lossless, so scale/round/quantize are bit-identical; checksums are
+  // exact integer algebra (DuckDB list_sum widens → CAST BIGINT)
+  val embeddingQuantize: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id, maxabs,
+      |    list_transform(v, x -> CAST(round(x / (maxabs / 127.0e0)) AS INT)) AS q
+      |  FROM m WHERE maxabs > 0)
+      |SELECT vec_id,
+      |  CAST(len(q) AS INT) AS n_dims,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  CAST(list_min(q) AS INT) AS q_min,
+      |  CAST(list_max(q) AS INT) AS q_max,
+      |  round(maxabs / 127.0e0, 6) AS scale
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
 }

@@ -213,8 +213,54 @@ object TrainingPrep {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Train/test decontamination — the standard pre-training check that
+    * a held-out document's content does not appear in the training
+    * split (word 8-gram containment, the construction published with
+    * the large-LM training reports). Deterministic 10% test split by
+    * id-hash (same multiplicative-hash split as [[stratifiedSample]]);
+    * each test doc's DISTINCT 8-grams are probed against the distinct
+    * 8-gram set of the ENTIRE train split; containment = matched/total,
+    * flagged at ≥ 0.5.
+    *
+    * Scale posture: both sides are explode→distinct aggregations and
+    * the probe is an equality join on the gram string — gram keys are
+    * near-unique so the shuffle is skew-free and linear in corpus
+    * grams; no pair of documents is ever materialized. At fleet scale
+    * the gram string would be xxhash64/128-digested to shrink shuffle
+    * bytes (identical plan shape, smaller keys) — kept as the raw
+    * string here so the DuckDB oracle can reproduce it byte-for-byte.
+    * Zero-gram test docs (< 8 words) stay in the output with
+    * containment 0 via the final left join.
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("words"))
+      .withColumn("is_test", (col("doc_id") * lit(2654435761L)) % 10 === 0)
+    val grams = docs.select(col("doc_id"), col("is_test"),
+      explode(expr(
+        """CASE WHEN size(words) >= 8
+          |     THEN array_distinct(transform(sequence(1, size(words) - 7),
+          |                                   i -> concat_ws(' ', slice(words, i, 8))))
+          |     ELSE CAST(array() AS array<string>) END""".stripMargin)).as("gram"))
+    val trainGrams = grams.filter(!col("is_test")).select("gram").distinct()
+    val probed = grams.filter(col("is_test"))
+      .join(trainGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("matched"))
+    docs.filter(col("is_test")).select("doc_id")
+      .join(probed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        coalesce(round(col("matched") / col("n_grams"), 4), lit(0.0)).as("containment"))
+      .withColumn("contaminated", col("containment") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_corpus_prep"       -> QueryDef(corpusPrep, Some(TrainingOracles.corpusPrep)),
+    "q_decontaminate"     -> QueryDef(decontaminate, Some(TrainingOracles.decontaminate)),
     "q_asof_join"         -> QueryDef(asOfJoin, Some(TrainingOracles.asOfJoin)),
     "q_stratified_sample" -> QueryDef(stratifiedSample, Some(TrainingOracles.stratifiedSample)),
     "q_doc_chunks"        -> QueryDef(docChunks, Some(TrainingOracles.docChunks)),
@@ -311,4 +357,37 @@ object TrainingOracles {
       |  upper(event_type) AS event_type_norm
       |FROM events
       |ORDER BY event_id""".stripMargin
+
+  // same tokenization (split on ' ', drop empties), same 8-gram window
+  // (1-based inclusive slice of 8 words), same id-hash split; DuckDB
+  // list slice words[i:i+7] is the 8-element window Spark's
+  // slice(words, i, 8) takes; contaminated compares the ROUNDED
+  // containment in both dialects
+  val decontaminate: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS words,
+      |    (doc_id * 2654435761) % 10 = 0 AS is_test
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, is_test, words,
+      |    unnest(generate_series(1, len(words) - 7)) AS i
+      |  FROM docs WHERE len(words) >= 8),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, is_test,
+      |    array_to_string(words[i:i+7], ' ') AS gram
+      |  FROM pos),
+      |train AS (SELECT DISTINCT gram FROM grams WHERE NOT is_test),
+      |probed AS (
+      |  SELECT g.doc_id, count(*) AS n_grams, count(t.gram) AS matched
+      |  FROM grams g LEFT JOIN train t ON g.gram = t.gram
+      |  WHERE g.is_test GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_grams, 0) AS n_grams,
+      |  coalesce(p.matched, 0) AS matched,
+      |  coalesce(round(p.matched / p.n_grams, 4), 0e0) AS containment,
+      |  coalesce(round(p.matched / p.n_grams, 4), 0e0) >= 0.5 AS contaminated
+      |FROM docs d LEFT JOIN probed p USING (doc_id)
+      |WHERE d.is_test
+      |ORDER BY d.doc_id""".stripMargin
 }

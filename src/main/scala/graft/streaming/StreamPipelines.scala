@@ -98,12 +98,22 @@ object StreamPipelines {
     * `hist` must bear (key, avg_requests, stddev_requests); it is small
     * (post-aggregation) → broadcast left join, no shuffle of the batch.
     */
-  def zscoreClassify(batchCounts: DataFrame, hist: DataFrame, keyCol: String): DataFrame = {
+  def zscoreClassify(batchCounts: DataFrame, hist: DataFrame, keyCol: String): DataFrame =
+    zscoreLabel(batchCounts.join(broadcast(hist), Seq(keyCol), "left"))
+
+  /** The z-score labeling algebra alone, over a frame already bearing
+    * (request_count, avg_requests, stddev_requests) — single-sourced
+    * between the streaming join form above and the batch one-pass
+    * window form ([[graft.operators.Analytics.zscoreAnomaly]]); NULL
+    * history stats mean a never-seen key (the "new IP" rule), however
+    * the caller produced them (left join or history-only window).
+    */
+  def zscoreLabel(joined: DataFrame): DataFrame = {
     val z = when(
       col("stddev_requests").isNotNull && col("stddev_requests") > 0,
       (col("request_count") - col("avg_requests")) / col("stddev_requests"))
       .otherwise(lit(0.0))
-    batchCounts.join(broadcast(hist), Seq(keyCol), "left")
+    joined
       .withColumn("z_score", z)
       .withColumn("is_anomaly",
         abs(col("z_score")) > 3 ||

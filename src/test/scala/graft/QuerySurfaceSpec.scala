@@ -23,6 +23,16 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(empty.isEmpty, s"empty results at sf0.001: $empty")
   }
 
+  test("zscore anomaly classifier plans exactly one events scan") {
+    // one pass over events for BOTH windows (hist stats come from a
+    // window aggregate over the shared per-(user,hour) counts), not
+    // the two-scan broadcast-join form it replaced
+    val plan = operators.Analytics.zscoreAnomaly(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n${plan.take(1500)}")
+  }
+
   test("typed sessionization agrees with the window-function formulation") {
     import org.apache.spark.sql.functions._
     val fromWindows = operators.Analytics.sessionStats(spark, sf)
