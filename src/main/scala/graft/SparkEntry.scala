@@ -23,7 +23,8 @@ object SparkEntry {
     operators.Similarity.defs,
     operators.Multimodal.defs,
     operators.TypedSessions.defs,
-    operators.TrainingPrep.defs)
+    operators.TrainingPrep.defs,
+    operators.ScaleOps.defs)
 
   private lazy val all: Map[String, QueryDef] = {
     val merged = registries.flatten.toMap

@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions
+
+/** Scale-first operators rounding out the LLM-data-pipeline surface:
+  * max-inner-product retrieval, Bloom-prefiltered decontamination,
+  * weighted training-mixture expansion, GROUPING SETS reporting, and a
+  * mergeable Space-Saving heavy-hitters sketch.
+  *
+  * Scale posture (100 TB):
+  *   - [[mipsTopK]] broadcasts the (tiny) query side and scans the
+  *     corpus once — same shape as [[Similarity.bruteTopK]]; the IVF /
+  *     LSH indexes in [[Similarity]] are the sub-linear path.
+  *   - [[bloomDecontaminate]] is Spark's runtime-filter pattern made
+  *     explicit: a driver-built Bloom sketch of the (small) benchmark
+  *     blocklist is broadcast, so the overwhelming bloom-negative
+  *     majority of the corpus never enters a shuffle — only the ~fpp
+  *     false-positive sliver plus true hits pay the exact anti-join.
+  *   - [[dataMixture]] is scan-speed: per-row arithmetic decides the
+  *     replica count, `explode(sequence)` expands inside whole-stage
+  *     codegen, zero shuffles.
+  *   - [[groupingSets]] is one Expand + one aggregate exchange — the
+  *     Catalyst lowering shared with cube/rollup ([[Analytics]]).
+  *   - [[heavyHitters]] replaces a full groupBy-count over an unbounded
+  *     key space with a fixed-memory summary: m counters per partition,
+  *     m counters on the merge path, regardless of key cardinality —
+  *     the map-side partials are the whole network cost.
+  */
+object ScaleOps {
+
+  /** Max-inner-product top-k (MIPS) — the retrieval scoring used when
+    * embeddings are trained with dot-product similarity (recommender /
+    * retrieval towers), distinct from cosine: no norm division, so
+    * longer vectors legitimately rank higher. Query set `vec_id < 5`
+    * against the full corpus, top-3 each.
+    */
+  def mipsTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", VectorFunctions.dot(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), round(col("dot"), 4).as("dot_product"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Benchmark-set membership rule shared with [[TrainingPrep.decontaminate]]:
+    * a deterministic tenth of the corpus plays the held-out suite.
+    */
+  private def isTest: Column = (col("doc_id") * lit(2654435761L)) % 10 === 0
+
+  /** Exact-text decontamination with a Bloom prefilter. Semantics are
+    * EXACTLY the anti-join (drop every training doc whose text equals
+    * some benchmark doc's text — md5 digests stand in for the text so
+    * shuffle keys are 32 chars, not documents); the Bloom filter is a
+    * pure execution optimization. Docs the sketch rejects are certainly
+    * clean and bypass the join entirely; only bloom-positives (true
+    * hits + ~3% false positives) are verified against the blocklist.
+    * At 100 TB that turns "shuffle the corpus" into "shuffle a sliver".
+    *
+    * The membership probe is a Scala UDF by necessity: testing a
+    * driver-built `util.sketch.BloomFilter` has no builtin Column form
+    * (Spark's own runtime bloom filters use an internal expression for
+    * the same probe). Cost is k hash probes per row, no allocation.
+    */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("fp"), isTest.as("is_test"))
+    val block = docs.filter(col("is_test")).select("fp")
+    val bf = block.stat.bloomFilter("fp", math.max(block.count(), 64L), 0.03)
+    val bc = s.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+    val train = docs.filter(!col("is_test"))
+    val certain = train.filter(!mightContain(col("fp")))
+    val verified = train.filter(mightContain(col("fp")))
+      .join(block, Seq("fp"), "left_anti")
+    certain.select("doc_id", "source", "n_chars")
+      .unionByName(verified.select("doc_id", "source", "n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weighted training-mixture expansion — "epochs per source": each
+    * source gets a weight in [0.25, 2.0] (derived from its numeric
+    * suffix so the rule is pure arithmetic in both engines); a doc with
+    * weight w appears floor(w) times plus one more for a deterministic
+    * frac(w) slice chosen by the golden-ratio hash of its id. This is
+    * the standard corpus-mixing step (upsample curated sources,
+    * downsample crawl) made reproducible: a doc's replica count never
+    * depends on other rows, so the mixture is stable under corpus
+    * growth and identical across engines and runs.
+    */
+  def dataMixture(s: SparkSession, d: String): DataFrame = {
+    val wPm = lit(250) + (expr("CAST(substring(source, 4) AS INT)") % 8) * lit(250)
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .withColumn("w_pm", wPm)
+      .withColumn("n_copies",
+        floor(col("w_pm") / lit(1000)).cast("int") +
+          when((col("doc_id") * lit(2654435761L)) % 1000 < col("w_pm") % 1000, 1)
+            .otherwise(0))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1, n_copies)")).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("int"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** GROUPING SETS — the ad-hoc slice set ((type, day), (type), (day),
+    * ()) that cube would over-produce and rollup can't express. One
+    * Expand + one aggregate exchange. The SQL string is shared verbatim
+    * with the DuckDB oracle (`STRING` aliases `VARCHAR` there), like
+    * [[Analytics.sqlDashboard]].
+    */
+  val groupingSetsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value
+      |  FROM events)
+      |SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(CAST(day AS STRING), 'ALL') AS day,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100e0 AS total_value
+      |FROM e
+      |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+      |ORDER BY event_type, day""".stripMargin
+
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql(groupingSetsSql)
+  }
+
+  /** Top talkers by a fixed-memory sketch: Space-Saving summaries built
+    * per partition, merged pairwise, never holding more than `capacity`
+    * counters — versus a groupBy-count whose state is the full key
+    * cardinality. Output rows carry the standard bounds:
+    * `est_count >= true >= est_count - max_overcount`, and every item
+    * with true frequency > N/capacity is guaranteed present.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ss = new SpaceSaving(64)
+    Tables.events(s, d).select(col("user_id")).as[Long]
+      .select(ss.toColumn)
+      .toDF("summary")
+      .select(explode(col("summary")).as("h"))
+      .select(col("h.item").as("user_id"), col("h.est").as("est_count"),
+        col("h.err").as("max_overcount"))
+      .orderBy(col("est_count").desc, col("user_id"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_mips_topk"           -> QueryDef(mipsTopK, Some(ScaleOracles.mipsTopK)),
+    "q_bloom_decontaminate" -> QueryDef(bloomDecontaminate, Some(ScaleOracles.bloomDecontaminate)),
+    "q_data_mixture"        -> QueryDef(dataMixture, Some(ScaleOracles.dataMixture)),
+    "q_grouping_sets"       -> QueryDef(groupingSets, Some(groupingSetsSql)),
+    "q_heavy_hitters"       -> QueryDef(heavyHitters, None))
+}
+
+/** One reported heavy hitter: estimated count plus its maximum
+  * overcount (`est - err` is a certain lower bound on the true count).
+  */
+final case class SSItem(item: Long, est: Long, err: Long)
+
+/** Space-Saving summary (Metwally et al.): at most `capacity` counters;
+  * an unseen item evicts the minimum counter and inherits its count as
+  * overcount error. Eviction ties break on (count, item) so the summary
+  * is deterministic regardless of hash-map iteration order.
+  */
+final class SSBuf(val capacity: Int) extends Serializable {
+  val counts = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+
+  private def minEntry: (Long, (Long, Long)) =
+    counts.minBy { case (k, (c, _)) => (c, k) }
+
+  def minCount: Long = if (counts.isEmpty) 0L else minEntry._2._1
+
+  def add(item: Long): Unit = counts.get(item) match {
+    case Some((c, e)) => counts.update(item, (c + 1, e))
+    case None if counts.size < capacity => counts.update(item, (1L, 0L))
+    case None =>
+      val (mi, (mc, _)) = minEntry
+      counts.remove(mi)
+      counts.update(item, (mc + 1, mc))
+  }
+
+  /** Mergeable-summaries combine (Agarwal et al.): an item absent from
+    * one side could have held up to that side's min counter there, so
+    * absent contributes (min, min) — keeping `est` an upper bound and
+    * `est - err` a lower bound — then trim back to capacity by count.
+    */
+  def mergeWith(o: SSBuf): Unit = {
+    val minA = if (counts.size >= capacity) minCount else 0L
+    val minB = if (o.counts.size >= o.capacity) o.minCount else 0L
+    val merged = (counts.keySet ++ o.counts.keySet).iterator.map { k =>
+      val (ca, ea) = counts.getOrElse(k, (minA, minA))
+      val (cb, eb) = o.counts.getOrElse(k, (minB, minB))
+      k -> (ca + cb, ea + eb)
+    }.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
+    counts.clear()
+    counts ++= merged
+  }
+}
+
+/** Typed aggregator wiring for [[SSBuf]]. The output encoder comes from
+  * the caller's `spark.implicits` (array-of-struct schema); the buffer
+  * rides kryo — it only ever crosses the wire as m counters.
+  */
+final class SpaceSaving(capacity: Int)(implicit outEnc: Encoder[Seq[SSItem]])
+    extends Aggregator[Long, SSBuf, Seq[SSItem]] {
+  def zero: SSBuf = new SSBuf(capacity)
+  def reduce(b: SSBuf, item: Long): SSBuf = { b.add(item); b }
+  def merge(a: SSBuf, b: SSBuf): SSBuf = { a.mergeWith(b); a }
+  def finish(b: SSBuf): Seq[SSItem] = b.counts.toSeq
+    .map { case (i, (c, e)) => SSItem(i, c, e) }
+    .sortBy(it => (-it.est, it.item))
+  def bufferEncoder: Encoder[SSBuf] = Encoders.kryo[SSBuf]
+  def outputEncoder: Encoder[Seq[SSItem]] = outEnc
+}
+
+/** DuckDB oracles for [[ScaleOps]] — same aliases, ORDER BY, rounding. */
+object ScaleOracles {
+
+  private val dotSql =
+    """list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1] * x[2]))"""
+
+  val mipsTopK: String =
+    s"""WITH scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+       |    $dotSql AS dot
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 5),
+       |ranked AS (
+       |  SELECT query_id, vec_id, dot,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(dot, 4) AS dot_product
+       |FROM ranked
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  val bloomDecontaminate: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE (doc_id * 2654435761) % 10 <> 0
+      |  AND md5(text) NOT IN (
+      |    SELECT md5(text) FROM documents WHERE (doc_id * 2654435761) % 10 = 0)
+      |ORDER BY doc_id""".stripMargin
+
+  val dataMixture: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    250 + (CAST(substring(source, 4) AS INT) % 8) * 250 AS w_pm,
+      |    (doc_id * 2654435761) % 1000 AS bucket
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor(w_pm / 1000) AS INT)
+      |      + CASE WHEN bucket < w_pm % 1000 THEN 1 ELSE 0 END AS n_copies
+      |  FROM w)
+      |SELECT doc_id, source,
+      |  CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch
+      |FROM n WHERE n_copies >= 1
+      |ORDER BY doc_id, epoch""".stripMargin
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ScaleOps, SpaceSaving}
+
+class ScaleOpsSpec extends SparkSpec {
+
+  test("bloom decontaminate equals the plain exact anti-join") {
+    val got = ScaleOps.bloomDecontaminate(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        ((col("doc_id") * lit(2654435761L)) % 10 === 0).as("is_test"))
+    val expected = docs.filter(!col("is_test"))
+      .join(docs.filter(col("is_test")).select("fp"), Seq("fp"), "left_anti")
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+
+    assert(got == expected)
+    // the blocklist side is non-empty, so the sketch was really built
+    assert(docs.filter(col("is_test")).count() > 0)
+  }
+
+  test("bloom prefilter drops a planted exact duplicate of a benchmark doc") {
+    import spark.implicits._
+    // ids chosen so id*2654435761 % 10 == 0 marks 10 and 20 as benchmark
+    val marked = (1L to 60L).filter(i => i * 2654435761L % 10 == 0)
+    val clean = (1L to 60L).filterNot(marked.contains).take(3)
+    val docs = (marked.map(i => (i, s"bench text $i")) ++
+      clean.map(i => (i, if (i == clean.head) s"bench text ${marked.head}"
+                         else s"unique text $i")))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("src0")).withColumn("n_chars", lit(1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = ScaleOps.bloomDecontaminate(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(clean.head), "contaminated duplicate survived")
+    assert(kept == clean.drop(1).toSet)
+  }
+
+  test("data mixture replica counts follow the per-source weight") {
+    val out = ScaleOps.dataMixture(spark, sf)
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("max_epoch"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val docId = r.getLong(0)
+      val idx = r.getString(1).drop(3).toInt
+      val wPm = 250 + (idx % 8) * 250
+      val bucket = (docId * 2654435761L) % 1000
+      val expected = wPm / 1000 + (if (bucket < wPm % 1000) 1 else 0)
+      assert(r.getLong(2) == expected, s"doc $docId")
+      // epochs are 1..n with no gaps
+      assert(r.getInt(3) == expected, s"doc $docId epochs")
+    }
+    // docs with zero copies are genuinely absent, not zero-count rows
+    val mixed = out.select("doc_id").distinct().count()
+    val all = Tables.documents(spark, sf).count()
+    assert(mixed < all)
+  }
+
+  test("grouping sets covers exactly the four declared slices") {
+    val rows = ScaleOps.groupingSets(spark, sf).collect()
+    val events = Tables.events(spark, sf)
+    val nTypes = events.select("event_type").distinct().count()
+    val nDays = events.select(expr("CAST(date_trunc('day', ts) AS DATE)"))
+      .distinct().count()
+    val nPairs = events
+      .select(col("event_type"), expr("CAST(date_trunc('day', ts) AS DATE)"))
+      .distinct().count()
+    assert(rows.length == nPairs + nTypes + nDays + 1)
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == events.count())
+    // per-type marginals sum to the grand total
+    val typeRows = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    assert(typeRows.map(_.getLong(2)).sum == events.count())
+  }
+
+  test("space-saving summary honors its frequency bounds on skewed data") {
+    import spark.implicits._
+    // 2 heavy items (30% and 15% of N) over a 5000-distinct-tail — far
+    // beyond the 64-counter capacity, so evictions and merges happen.
+    val n = 20000L
+    val data = spark.range(n).map { i =>
+      if (i % 10 < 3) 1L
+      else if (i % 10 < 4) 2L
+      else 1000L + (i % 5000)
+    }
+    val ss = new SpaceSaving(64)
+    val summary = data.select(ss.toColumn).head()
+    val truth = data.groupBy("value").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    summary.foreach { it =>
+      val t = truth(it.item)
+      assert(it.est >= t, s"item ${it.item}: est ${it.est} < true $t")
+      assert(it.est - it.err <= t, s"item ${it.item}: lower bound violated")
+    }
+    // every item with true frequency > N/capacity is present
+    val threshold = n / 64
+    val reported = summary.map(_.item).toSet
+    truth.filter(_._2 > threshold).keys.foreach { heavy =>
+      assert(reported.contains(heavy), s"heavy item $heavy missing")
+    }
+  }
+
+  test("heavy hitters query reports the fixture's real top user") {
+    val hh = ScaleOps.heavyHitters(spark, sf).collect()
+    assert(hh.nonEmpty && hh.length <= 64)
+    val exact = Tables.events(spark, sf).groupBy("user_id").count()
+      .orderBy(col("count").desc).head()
+    // the true #1 must be reported, with bounds straddling its count
+    val top = hh.find(_.getLong(0) == exact.getLong(0))
+    assert(top.isDefined, "true top user missing from summary")
+    assert(top.get.getLong(1) >= exact.getLong(1))
+  }
+
+  test("mips top-1 agrees with a driver-side exact computation") {
+    val got = ScaleOps.mipsTopK(spark, sf).filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for (q <- 0L until 5L) {
+      val qv = vecs(q)
+      val best = vecs.iterator.filter(_._1 != q).map { case (id, v) =>
+        id -> qv.zip(v).map { case (x, y) => x * y }.sum
+      }.reduceLeft { (a, b) =>
+        if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+      }
+      assert(got(q) == best._1, s"query $q")
+    }
+  }
+}
