@@ -160,7 +160,21 @@ object ScaleOps {
       .orderBy(col("est_count").desc, col("user_id"))
   }
 
+  /** Fixed-width value histogram — the dashboard distribution panel
+    * (latency/value histograms) as one hash aggregate: bin id computed
+    * in the scan stage, one exchange on ~20 bin keys. The exact-cents
+    * convention keeps the per-bin sum hash-stable across engines.
+    */
+  def valueHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy((floor(col("value") / 25.0) * 25).cast("int").as("bin_lo"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("bigint")) / lit(100e0)).as("total_value"))
+      .orderBy(col("bin_lo"))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_value_histogram"     -> QueryDef(valueHistogram, Some(ScaleOracles.valueHistogram)),
     "q_mips_topk"           -> QueryDef(mipsTopK, Some(ScaleOracles.mipsTopK)),
     "q_bloom_decontaminate" -> QueryDef(bloomDecontaminate, Some(ScaleOracles.bloomDecontaminate)),
     "q_data_mixture"        -> QueryDef(dataMixture, Some(ScaleOracles.dataMixture)),
@@ -257,6 +271,15 @@ object ScaleOracles {
       |  AND md5(text) NOT IN (
       |    SELECT md5(text) FROM documents WHERE (doc_id * 2654435761) % 10 = 0)
       |ORDER BY doc_id""".stripMargin
+
+  val valueHistogram: String =
+    """SELECT CAST(floor(value / 25.0) * 25 AS INT) AS bin_lo,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100e0 AS total_value
+      |FROM events
+      |WHERE value IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY bin_lo""".stripMargin
 
   val dataMixture: String =
     """WITH w AS (

@@ -182,7 +182,7 @@ object StreamPipelines {
     * `write` and `writeStream` callers via the returned value column.
     */
   def toKafkaValue(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   def kafkaStreamSink(df: DataFrame, bootstrap: String, topic: String,
       checkpoint: String): DataStreamWriter[Row] =

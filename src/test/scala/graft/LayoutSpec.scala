@@ -27,6 +27,43 @@ class LayoutSpec extends SparkSpec {
     assert(n > 0 && n < all, s"$n vs $all")
   }
 
+  test("upsert rewrites only touched partitions, latest seq wins, replay idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/logs"
+    val base = Seq(
+      (1L, "2024-01-15 10:00:00", 1L, "old-a"),
+      (2L, "2024-01-15 11:00:00", 1L, "old-b"),
+      (3L, "2024-01-16 09:00:00", 1L, "old-c"))
+      .toDF("id", "timestamp", "seq", "payload")
+      .withColumn("timestamp", to_timestamp(col("timestamp")))
+    LogStore.writePartitioned(base, dir)
+
+    def files(date: String) = new java.io.File(s"$dir/event_date=$date")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val untouchedBefore = files("2024-01-16")
+
+    val updates = Seq(
+      (1L, "2024-01-15 10:00:00", 2L, "new-a"),   // supersedes id 1
+      (4L, "2024-01-15 12:00:00", 1L, "ins-d"))   // new key, same partition
+      .toDF("id", "timestamp", "seq", "payload")
+      .withColumn("timestamp", to_timestamp(col("timestamp")))
+    LogStore.upsertPartitioned(spark, dir, updates, "id", "seq")
+
+    val got = LogStore.read(spark, dir)
+      .select("id", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "new-a", 2L -> "old-b", 3L -> "old-c", 4L -> "ins-d"))
+    // the 2024-01-16 partition was neither read nor rewritten
+    assert(files("2024-01-16") == untouchedBefore)
+
+    // replaying the same update batch changes nothing (equal seq: update
+    // side wins, producing identical rows)
+    LogStore.upsertPartitioned(spark, dir, updates, "id", "seq")
+    val again = LogStore.read(spark, dir)
+      .select("id", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("partition compaction merges micro-batch files, preserving rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/logs"
     val df = Tables.events(spark, sf).withColumnRenamed("ts", "timestamp")

@@ -118,6 +118,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(top.get.getLong(1) >= exact.getLong(1))
   }
 
+  test("plans: mixture expands scan-local, bloom verify join broadcasts, summary aggregates map-side") {
+    // data mixture: the expansion itself never hash-shuffles — the only
+    // exchange is the presentational final sort
+    val mix = ScaleOps.dataMixture(spark, sf)
+    mix.collect()
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("Exchange hashpartitioning"), mixPlan.take(1500))
+
+    // bloom decontaminate: the exact verification is a broadcast anti
+    // join (blocklist side), never a sort-merge shuffle of the corpus
+    val bloom = ScaleOps.bloomDecontaminate(spark, sf)
+    bloom.collect()
+    val bloomPlan = bloom.queryExecution.executedPlan.toString
+    assert(bloomPlan.contains("BroadcastHashJoin") && bloomPlan.contains("LeftAnti"),
+      bloomPlan.take(1500))
+    assert(!bloomPlan.contains("SortMergeJoin"), bloomPlan.take(1500))
+
+    // heavy hitters: partial summaries are built map-side (two
+    // ObjectHashAggregate stages), so only m counters cross the wire
+    val hh = ScaleOps.heavyHitters(spark, sf)
+    hh.collect()
+    val hhPlan = hh.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(hhPlan).size >= 2, hhPlan.take(1500))
+
+    // mips: query side broadcast, no unbroadcast cartesian product
+    val mips = ScaleOps.mipsTopK(spark, sf)
+    mips.collect()
+    val mipsPlan = mips.queryExecution.executedPlan.toString
+    assert(!mipsPlan.contains("CartesianProduct"), mipsPlan.take(1500))
+  }
+
+  test("value histogram bins cover every event exactly once") {
+    val rows = ScaleOps.valueHistogram(spark, sf).collect()
+    val total = Tables.events(spark, sf).filter(col("value").isNotNull).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val bins = rows.map(_.getInt(0))
+    assert(bins.distinct.length == bins.length && bins.forall(_ % 25 == 0))
+  }
+
   test("mips top-1 agrees with a driver-side exact computation") {
     val got = ScaleOps.mipsTopK(spark, sf).filter(col("rank") === 1).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
