@@ -118,9 +118,15 @@ object Dedup {
   private val MinhashH = 32
   private val MinhashBands = 16
 
-  private def minhashIndex(s: SparkSession, d: String): DataFrame = {
-    graft.functions.Registry.ensure(s)
-    Tables.documents(s, d)
+  private def minhashIndex(s: SparkSession, d: String): DataFrame =
+    minhashIndexOf(Tables.documents(s, d))
+
+  /** Per-doc dedup index (signatures + sorted gram hashes) for any
+    * (doc_id, text) frame — the table-agnostic core of [[minhashIndex]].
+    */
+  private def minhashIndexOf(docs: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(docs.sparkSession)
+    docs
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextHashFunctions.minhashSigs(col("text"), MinhashH).as("sigs"),
@@ -329,6 +335,64 @@ object Dedup {
       .filter(col("jaccard") >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Persist the at-rest dedup index for INCREMENTAL admission: two
+    * bucketed tables, `<prefix>_bands` (band, key, doc_id) bucketed on
+    * the band bucket key and `<prefix>_grams` (doc_id, grams) bucketed
+    * on doc_id. Bucketing is the point: when a new batch probes the
+    * index, the INDEX side of each join is already hash-distributed on
+    * the join key, so only the (small) batch shuffles — probe cost
+    * scales with the batch, never with the accumulated corpus. This is
+    * the operational form of dedup at 100 TB: the corpus is indexed
+    * once and each ingest batch is admitted against it, instead of
+    * re-running corpus-wide dedup per ingest.
+    */
+  def writeDedupIndex(docs: DataFrame, prefix: String, buckets: Int = 8): Unit = {
+    val index = minhashIndexOf(docs)
+    graft.storage.LogStore.writeBucketed(
+      fusedBandKeys(index), s"${prefix}_bands", "bkey", buckets)
+    graft.storage.LogStore.writeBucketed(
+      index.select(col("doc_id"), col("grams")), s"${prefix}_grams", "doc_id", buckets)
+  }
+
+  /** (doc_id, bkey) with band id FUSED into one hash key, so the probe
+    * join's single join column IS the bucket column — that exact match
+    * is what lets Spark use the bucketed layout without reshuffling the
+    * index side. Cross-band hash collisions only add candidates, which
+    * exact verification discards.
+    */
+  private def fusedBandKeys(index: DataFrame): DataFrame =
+    minhashBanded(index)
+      .select(col("doc_id"), xxhash64(col("band"), col("key")).as("bkey"))
+
+  /** Probe a [[writeDedupIndex]] index with a new batch: near-duplicate
+    * admission control. Candidates come from band-key equality against
+    * the bucketed band table; only candidates pay the exact
+    * merge-intersect Jaccard against the bucketed gram store. Returns
+    * one row per REJECTED new doc: its canonical existing duplicate
+    * (`dup_of` = min matching indexed id) and the best Jaccard. New
+    * docs absent from the output are admitted; appending their own
+    * index rows is the caller's follow-up write.
+    */
+  def incrementalNearDups(s: SparkSession, newDocs: DataFrame,
+      prefix: String): DataFrame = {
+    val newIdx = minhashIndexOf(newDocs)
+    val cand = fusedBandKeys(newIdx)
+      .join(s.table(s"${prefix}_bands")
+        .select(col("bkey"), col("doc_id").as("idx_doc")), Seq("bkey"))
+      .select(col("doc_id"), col("idx_doc")).distinct()
+    cand
+      .join(newIdx.select(col("doc_id"), col("grams").as("gn")), Seq("doc_id"))
+      .join(s.table(s"${prefix}_grams")
+        .select(col("doc_id").as("idx_doc"), col("grams").as("gi")), Seq("idx_doc"))
+      .withColumn("jaccard",
+        graft.functions.NgramJaccardFunctions.jaccardSorted(col("gn"), col("gi")))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(min(col("idx_doc")).as("dup_of"),
+        round(max(col("jaccard")), 4).as("max_jaccard"))
+      .orderBy(col("doc_id"))
   }
 
   val defs: Map[String, QueryDef] = Map(

@@ -84,6 +84,47 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall over ${exactPairs.size} exact pairs")
   }
 
+  test("incremental dedup flags new near-dups against the bucketed index, batch-side shuffle only") {
+    val d = TestSession.Sf
+    graft.functions.NgramJaccardFunctions.register(spark)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val planted = existing.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val newDocs = fresh.unionByName(planted)
+
+    Dedup.writeDedupIndex(existing, "incdx")
+    val flagged = Dedup.incrementalNearDups(spark, newDocs, "incdx")
+    val got = flagged.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // truth: any new doc with char-3 Jaccard >= 0.5 against some
+    // existing doc (cross join is fine at this SF, test-only cost)
+    val truth = newDocs.select(col("doc_id"), col("text").as("tn")).crossJoin(
+        existing.select(col("doc_id").as("idx_doc"), col("text").as("te")))
+      .filter(length(col("tn")) >= 3 && length(col("te")) >= 3)
+      .filter(graft.functions.NgramJaccardFunctions.jaccard3(col("tn"), col("te")) >= 0.5)
+      .select("doc_id").distinct().as[Long].collect().toSet
+
+    // precision is an invariant: every flagged pair was exact-verified
+    assert(got.keySet.subsetOf(truth), s"false flags: ${got.keySet -- truth}")
+    // the planted exact copy must be caught, pointing at its source
+    val plantedId = planted.select("doc_id").as[Long].head()
+    assert(got.contains(plantedId) && got(plantedId) == plantedId - 100000L)
+    // banding recall over true near-dups
+    val recall = got.keySet.size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall=$recall over ${truth.size} true near-dups")
+
+    // the probe uses the bucketed layout: both index scans report
+    // Bucketed: true (the batch side shuffles into the buckets; the
+    // index never reshuffles — LayoutSpec proves the no-exchange
+    // property of the bucketed layout itself)
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+      plan.linesIterator.filter(_.contains("Bucketed")).mkString("\n"))
+  }
+
   test("minhash canonical ids match exact connected components (precision exact, recall bounded)") {
     // Ground truth: exact connected components over UNBLOCKED all-pairs
     // char-3 Jaccard >= 0.5 edges (the ngramJaccard oracle blocks on
