@@ -173,7 +173,32 @@ object ScaleOps {
         (sum(round(col("value") * 100).cast("bigint")) / lit(100e0)).as("total_value"))
       .orderBy(col("bin_lo"))
 
+  /** Day-over-day per-user comparison — the FULL OUTER join shape
+    * (null-extending on BOTH sides) the rest of the surface doesn't
+    * exercise: users active only on day one ("churned"), only on day
+    * two ("new"), or both ("retained"), with the count delta. Both
+    * sides are post-aggregation (per-user counts), so the join is two
+    * small co-keyed frames — one exchange each, AQE picks the strategy.
+    */
+  def fullOuterCompare(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def daily(day: String, alias: String) = ev
+      .filter(expr(s"CAST(date_trunc('day', ts) AS DATE) = DATE '$day'"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as(alias))
+    daily("2024-01-01", "n_day1")
+      .join(daily("2024-01-02", "n_day2"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_day1"), lit(0L)).as("n_day1"),
+        coalesce(col("n_day2"), lit(0L)).as("n_day2"),
+        (coalesce(col("n_day2"), lit(0L)) - coalesce(col("n_day1"), lit(0L))).as("delta"),
+        when(col("n_day1").isNull, "new")
+          .when(col("n_day2").isNull, "churned")
+          .otherwise("retained").as("status"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_fullouter_compare"   -> QueryDef(fullOuterCompare, Some(ScaleOracles.fullOuterCompare)),
     "q_value_histogram"     -> QueryDef(valueHistogram, Some(ScaleOracles.valueHistogram)),
     "q_mips_topk"           -> QueryDef(mipsTopK, Some(ScaleOracles.mipsTopK)),
     "q_bloom_decontaminate" -> QueryDef(bloomDecontaminate, Some(ScaleOracles.bloomDecontaminate)),
@@ -271,6 +296,23 @@ object ScaleOracles {
       |  AND md5(text) NOT IN (
       |    SELECT md5(text) FROM documents WHERE (doc_id * 2654435761) % 10 = 0)
       |ORDER BY doc_id""".stripMargin
+
+  val fullOuterCompare: String =
+    """WITH d1 AS (
+      |  SELECT user_id, count(*) AS n_day1 FROM events
+      |  WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-01' GROUP BY 1),
+      |d2 AS (
+      |  SELECT user_id, count(*) AS n_day2 FROM events
+      |  WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-02' GROUP BY 1)
+      |SELECT coalesce(d1.user_id, d2.user_id) AS user_id,
+      |  coalesce(n_day1, 0) AS n_day1,
+      |  coalesce(n_day2, 0) AS n_day2,
+      |  coalesce(n_day2, 0) - coalesce(n_day1, 0) AS delta,
+      |  CASE WHEN d1.user_id IS NULL THEN 'new'
+      |       WHEN d2.user_id IS NULL THEN 'churned'
+      |       ELSE 'retained' END AS status
+      |FROM d1 FULL OUTER JOIN d2 ON d1.user_id = d2.user_id
+      |ORDER BY user_id""".stripMargin
 
   val valueHistogram: String =
     """SELECT CAST(floor(value / 25.0) * 25 AS INT) AS bin_lo,

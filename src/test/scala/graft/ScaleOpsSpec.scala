@@ -157,6 +157,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bins.distinct.length == bins.length && bins.forall(_ % 25 == 0))
   }
 
+  test("full outer day compare classifies new/churned/retained consistently") {
+    val rows = ScaleOps.fullOuterCompare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n2, st) = (r.getLong(1), r.getLong(2), r.getString(4))
+      st match {
+        case "new"      => assert(n1 == 0 && n2 > 0)
+        case "churned"  => assert(n1 > 0 && n2 == 0)
+        case "retained" => assert(n1 > 0 && n2 > 0)
+        case other      => fail(s"unknown status $other")
+      }
+      assert(r.getLong(3) == n2 - n1)
+    }
+    // the join really null-extends (at least one one-sided user exists;
+    // which direction depends on the fixture's user-pool density)
+    val statuses = rows.map(_.getString(4)).toSet
+    assert((statuses - "retained").nonEmpty, statuses.toString)
+  }
+
   test("mips top-1 agrees with a driver-side exact computation") {
     val got = ScaleOps.mipsTopK(spark, sf).filter(col("rank") === 1).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
