@@ -24,6 +24,7 @@ object Registry {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(Sentinel)) synchronized {
       if (!reg.functionExists(Sentinel)) {
+        BloomFunctions.register(spark)
         NgramJaccardFunctions.register(spark)
         TextHashFunctions.register(spark)
         VectorFunctions.register(spark)

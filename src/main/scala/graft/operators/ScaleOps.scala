@@ -70,23 +70,23 @@ object ScaleOps {
     * hits + ~3% false positives) are verified against the blocklist.
     * At 100 TB that turns "shuffle the corpus" into "shuffle a sliver".
     *
-    * The membership probe is a Scala UDF by necessity: testing a
-    * driver-built `util.sketch.BloomFilter` has no builtin Column form
-    * (Spark's own runtime bloom filters use an internal expression for
-    * the same probe). Cost is k hash probes per row, no allocation.
+    * The membership probe is the native codegen'd
+    * [[graft.functions.BloomMightContain]] expression (Spark's own
+    * runtime bloom filters use an internal expression for the same
+    * probe): k hash probes per row on the raw UTF-8 bytes, inside
+    * whole-stage codegen, no per-row String materialization.
     */
   def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"),
         md5(col("text")).as("fp"), isTest.as("is_test"))
     val block = docs.filter(col("is_test")).select("fp")
     val bf = block.stat.bloomFilter("fp", math.max(block.count(), 64L), 0.03)
-    val bc = s.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+    val mightContain = graft.functions.BloomFunctions.mightContain(col("fp"), bf)
     val train = docs.filter(!col("is_test"))
-    val certain = train.filter(!mightContain(col("fp")))
-    val verified = train.filter(mightContain(col("fp")))
+    val certain = train.filter(!mightContain)
+    val verified = train.filter(mightContain)
       .join(block, Seq("fp"), "left_anti")
     certain.select("doc_id", "source", "n_chars")
       .unionByName(verified.select("doc_id", "source", "n_chars"))
