@@ -26,6 +26,7 @@ object Registry {
       if (!reg.functionExists(Sentinel)) {
         BloomFunctions.register(spark)
         NgramJaccardFunctions.register(spark)
+        SketchFunctions.register(spark)
         TextHashFunctions.register(spark)
         VectorFunctions.register(spark)
         ZOrderFunctions.register(spark)

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions
@@ -147,13 +147,18 @@ object ScaleOps {
     * cardinality. Output rows carry the standard bounds:
     * `est_count >= true >= est_count - max_overcount`, and every item
     * with true frequency > N/capacity is guaranteed present.
+    *
+    * The aggregate is the primitive-array
+    * [[graft.functions.SpaceSavingAgg]] (a TypedImperativeAggregate) —
+    * see its scaladoc for the sketch-vs-exact crossover: at fixture
+    * cardinality (~150 users) an exact groupBy-count would be faster;
+    * the sketch is the operator you reach for when the key space
+    * (users/IPs at 100 TB) dwarfs executor memory.
     */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ss = new SpaceSaving(64)
-    Tables.events(s, d).select(col("user_id")).as[Long]
-      .select(ss.toColumn)
-      .toDF("summary")
+    graft.functions.Registry.ensure(s)
+    Tables.events(s, d)
+      .agg(graft.functions.SketchFunctions.spaceSaving(col("user_id"), 64).as("summary"))
       .select(explode(col("summary")).as("h"))
       .select(col("h.item").as("user_id"), col("h.est").as("est_count"),
         col("h.err").as("max_overcount"))
@@ -205,67 +210,6 @@ object ScaleOps {
     "q_data_mixture"        -> QueryDef(dataMixture, Some(ScaleOracles.dataMixture)),
     "q_grouping_sets"       -> QueryDef(groupingSets, Some(groupingSetsSql)),
     "q_heavy_hitters"       -> QueryDef(heavyHitters, None))
-}
-
-/** One reported heavy hitter: estimated count plus its maximum
-  * overcount (`est - err` is a certain lower bound on the true count).
-  */
-final case class SSItem(item: Long, est: Long, err: Long)
-
-/** Space-Saving summary (Metwally et al.): at most `capacity` counters;
-  * an unseen item evicts the minimum counter and inherits its count as
-  * overcount error. Eviction ties break on (count, item) so the summary
-  * is deterministic regardless of hash-map iteration order.
-  */
-final class SSBuf(val capacity: Int) extends Serializable {
-  val counts = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
-
-  private def minEntry: (Long, (Long, Long)) =
-    counts.minBy { case (k, (c, _)) => (c, k) }
-
-  def minCount: Long = if (counts.isEmpty) 0L else minEntry._2._1
-
-  def add(item: Long): Unit = counts.get(item) match {
-    case Some((c, e)) => counts.update(item, (c + 1, e))
-    case None if counts.size < capacity => counts.update(item, (1L, 0L))
-    case None =>
-      val (mi, (mc, _)) = minEntry
-      counts.remove(mi)
-      counts.update(item, (mc + 1, mc))
-  }
-
-  /** Mergeable-summaries combine (Agarwal et al.): an item absent from
-    * one side could have held up to that side's min counter there, so
-    * absent contributes (min, min) — keeping `est` an upper bound and
-    * `est - err` a lower bound — then trim back to capacity by count.
-    */
-  def mergeWith(o: SSBuf): Unit = {
-    val minA = if (counts.size >= capacity) minCount else 0L
-    val minB = if (o.counts.size >= o.capacity) o.minCount else 0L
-    val merged = (counts.keySet ++ o.counts.keySet).iterator.map { k =>
-      val (ca, ea) = counts.getOrElse(k, (minA, minA))
-      val (cb, eb) = o.counts.getOrElse(k, (minB, minB))
-      k -> (ca + cb, ea + eb)
-    }.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
-    counts.clear()
-    counts ++= merged
-  }
-}
-
-/** Typed aggregator wiring for [[SSBuf]]. The output encoder comes from
-  * the caller's `spark.implicits` (array-of-struct schema); the buffer
-  * rides kryo — it only ever crosses the wire as m counters.
-  */
-final class SpaceSaving(capacity: Int)(implicit outEnc: Encoder[Seq[SSItem]])
-    extends Aggregator[Long, SSBuf, Seq[SSItem]] {
-  def zero: SSBuf = new SSBuf(capacity)
-  def reduce(b: SSBuf, item: Long): SSBuf = { b.add(item); b }
-  def merge(a: SSBuf, b: SSBuf): SSBuf = { a.mergeWith(b); a }
-  def finish(b: SSBuf): Seq[SSItem] = b.counts.toSeq
-    .map { case (i, (c, e)) => SSItem(i, c, e) }
-    .sortBy(it => (-it.est, it.item))
-  def bufferEncoder: Encoder[SSBuf] = Encoders.kryo[SSBuf]
-  def outputEncoder: Encoder[Seq[SSItem]] = outEnc
 }
 
 /** DuckDB oracles for [[ScaleOps]] — same aliases, ORDER BY, rounding. */

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{ScaleOps, SpaceSaving}
+import graft.functions.{Registry, SketchFunctions, SpaceSavingState}
+import graft.operators.ScaleOps
 
 class ScaleOpsSpec extends SparkSpec {
 
@@ -89,22 +90,39 @@ class ScaleOpsSpec extends SparkSpec {
       else if (i % 10 < 4) 2L
       else 1000L + (i % 5000)
     }
-    val ss = new SpaceSaving(64)
-    val summary = data.select(ss.toColumn).head()
+    Registry.ensure(spark)
+    val summary = data.toDF("value")
+      .agg(SketchFunctions.spaceSaving(col("value"), 64).as("s"))
+      .select(explode(col("s")).as("h"))
+      .select("h.item", "h.est", "h.err")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val truth = data.groupBy("value").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    summary.foreach { it =>
-      val t = truth(it.item)
-      assert(it.est >= t, s"item ${it.item}: est ${it.est} < true $t")
-      assert(it.est - it.err <= t, s"item ${it.item}: lower bound violated")
+    summary.foreach { case (item, est, err) =>
+      val t = truth(item)
+      assert(est >= t, s"item $item: est $est < true $t")
+      assert(est - err <= t, s"item $item: lower bound violated")
     }
     // every item with true frequency > N/capacity is present
     val threshold = n / 64
-    val reported = summary.map(_.item).toSet
+    val reported = summary.map(_._1).toSet
     truth.filter(_._2 > threshold).keys.foreach { heavy =>
       assert(reported.contains(heavy), s"heavy item $heavy missing")
     }
+  }
+
+  test("space-saving state evicts deterministically and survives serialization") {
+    val st = new SpaceSavingState(2)
+    Seq(5L, 5L, 9L, 3L).foreach(st.add) // 3 evicts min (9, ties on item)
+    val byItem = st.sorted.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byItem(5L) == ((2L, 0L)))
+    assert(byItem(3L) == ((2L, 1L))) // inherited 9's count as overcount
+    // round-trip through the aggregate's wire format
+    val agg = graft.functions.SpaceSavingAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), 2)
+    val back = agg.deserialize(agg.serialize(st))
+    assert(back.sorted.toSeq == st.sorted.toSeq)
   }
 
   test("heavy hitters query reports the fixture's real top user") {
