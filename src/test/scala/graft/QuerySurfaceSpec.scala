@@ -23,14 +23,28 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(empty.isEmpty, s"empty results at sf0.001: $empty")
   }
 
-  test("zscore anomaly classifier plans exactly one events scan") {
-    // one pass over events for BOTH windows (hist stats come from a
-    // window aggregate over the shared per-(user,hour) counts), not
-    // the two-scan broadcast-join form it replaced
-    val plan = operators.Analytics.zscoreAnomaly(spark, sf)
-      .queryExecution.executedPlan.toString
-    val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"expected 1 events scan, got $scans:\n${plan.take(1500)}")
+  test("anomaly family is served by one shared cached baseline") {
+    // The per-(user,hour) scored baseline is built once per (session,
+    // sfDir) — one events scan, one pass for BOTH windows — persisted,
+    // and every family member reads the cache. Plan strings embed the
+    // cached relation's own build plan, so outer-query assertions look
+    // only at the text BEFORE the first InMemoryRelation marker.
+    val z = operators.Analytics.zscoreAnomaly(spark, sf)
+    z.collect()
+    val zPlan = z.queryExecution.executedPlan.toString
+    val zOuter = zPlan.split("InMemoryRelation")(0)
+    assert(zOuter.contains("InMemoryTableScan"), zPlan.take(1500))
+    assert("Scan parquet".r.findAllIn(zOuter).isEmpty,
+      s"z-score table rescans parquet:\n${zPlan.take(1500)}")
+
+    // the enrichment join scans events once (the row-sample side) and
+    // takes the anomaly metadata from the same cache, not a re-derivation
+    val e = operators.Analytics.anomalyEnriched(spark, sf)
+    e.collect()
+    val ePlan = e.queryExecution.executedPlan.toString
+    val eOuter = ePlan.split("InMemoryRelation")(0)
+    assert(eOuter.contains("InMemoryTableScan"), ePlan.take(1500))
+    assert("Scan parquet".r.findAllIn(eOuter).size == 1, ePlan.take(2000))
   }
 
   test("typed sessionization agrees with the window-function formulation") {
