@@ -31,6 +31,15 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_contains"
 
+  // the one ExpectsInputTypes-style guard that IS overridable here: a
+  // non-STRING child fails analysis instead of ClassCasting per row
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_contains requires a STRING input, got ${child.dataType.catalogString}")
+
   override def nullSafeEval(s: Any): Any =
     filter.mightContainBinary(s.asInstanceOf[UTF8String].getBytes)
 
@@ -47,11 +56,22 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
 
 object BloomFunctions {
 
+  /** The builder validates what `ExpectsInputTypes` would have (arity,
+    * a foldable BINARY sketch literal) up front — the function is
+    * visible in the session registry, so a SQL caller with wrong arity
+    * or a per-row second argument must get an IllegalArgumentException
+    * at analysis, not an IndexOutOfBounds/ClassCast per row (ADVICE r6).
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains",
       (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"graft_bloom_contains(value, sketch) takes 2 arguments, got ${es.length}")
+        require(es(1).foldable && es(1).dataType == org.apache.spark.sql.types.BinaryType,
+          "graft_bloom_contains sketch must be a BINARY literal (a serialized BloomFilter)")
         val bytes = es(1).eval().asInstanceOf[Array[Byte]]
+        require(bytes != null, "graft_bloom_contains sketch must not be NULL")
         BloomMightContain(es(0),
           BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
       }, "built-in")

@@ -378,9 +378,14 @@ object Dedup {
   def incrementalNearDups(s: SparkSession, newDocs: DataFrame,
       prefix: String): DataFrame = {
     val newIdx = minhashIndexOf(newDocs)
+    // self-guard: if a batch id collides with an already-indexed id
+    // (re-ingest, replay), the doc must not be flagged as a duplicate
+    // of ITSELF at jaccard 1.0 — identical ids are the same document
+    // by definition, so only cross-id candidates verify (ADVICE r6)
     val cand = fusedBandKeys(newIdx)
       .join(s.table(s"${prefix}_bands")
         .select(col("bkey"), col("doc_id").as("idx_doc")), Seq("bkey"))
+      .filter(col("doc_id") =!= col("idx_doc"))
       .select(col("doc_id"), col("idx_doc")).distinct()
     cand
       .join(newIdx.select(col("doc_id"), col("grams").as("gn")), Seq("doc_id"))

@@ -56,10 +56,11 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Benchmark-set membership rule shared with [[TrainingPrep.decontaminate]]:
-    * a deterministic tenth of the corpus plays the held-out suite.
+  /** Benchmark-set membership rule shared with [[TrainingPrep.decontaminate]]
+    * — single-sourced in [[graft.GoldenHash]] (operators, oracles, and
+    * specs all reference the same definition).
     */
-  private def isTest: Column = (col("doc_id") * lit(2654435761L)) % 10 === 0
+  private def isTest: Column = graft.GoldenHash.isTestDoc(col("doc_id"))
 
   /** Exact-text decontamination with a Bloom prefilter. Semantics are
     * EXACTLY the anti-join (drop every training doc whose text equals
@@ -109,7 +110,7 @@ object ScaleOps {
       .withColumn("w_pm", wPm)
       .withColumn("n_copies",
         floor(col("w_pm") / lit(1000)).cast("int") +
-          when((col("doc_id") * lit(2654435761L)) % 1000 < col("w_pm") % 1000, 1)
+          when(graft.GoldenHash.bucket(col("doc_id"), 1000) < col("w_pm") % 1000, 1)
             .otherwise(0))
       .filter(col("n_copies") >= 1)
       .select(col("doc_id"), col("source"),
@@ -122,14 +123,18 @@ object ScaleOps {
     * ()) that cube would over-produce and rollup can't express. One
     * Expand + one aggregate exchange. The SQL string is shared verbatim
     * with the DuckDB oracle (`STRING` aliases `VARCHAR` there), like
-    * [[Analytics.sqlDashboard]].
+    * [[Analytics.sqlDashboard]]. Marginal rows are labeled via
+    * `GROUPING(col)` (supported identically by both engines), NOT by
+    * coalescing the grouped value — a genuine NULL event_type (or a
+    * literal 'ALL' value in the data) stays distinguishable from the
+    * aggregate rows (ADVICE r6).
     */
   val groupingSetsSql: String =
     """WITH e AS (
       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value
       |  FROM events)
-      |SELECT coalesce(event_type, 'ALL') AS event_type,
-      |  coalesce(CAST(day AS STRING), 'ALL') AS day,
+      |SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+      |  CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE CAST(day AS STRING) END AS day,
       |  count(*) AS n_events,
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100e0 AS total_value
       |FROM e
@@ -235,11 +240,11 @@ object ScaleOracles {
        |ORDER BY query_id, rank""".stripMargin
 
   val bloomDecontaminate: String =
-    """SELECT doc_id, source, n_chars FROM documents
-      |WHERE (doc_id * 2654435761) % 10 <> 0
-      |  AND md5(text) NOT IN (
-      |    SELECT md5(text) FROM documents WHERE (doc_id * 2654435761) % 10 = 0)
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, source, n_chars FROM documents
+       |WHERE ${graft.GoldenHash.isTrainDocSql}
+       |  AND md5(text) NOT IN (
+       |    SELECT md5(text) FROM documents WHERE ${graft.GoldenHash.isTestDocSql})
+       |ORDER BY doc_id""".stripMargin
 
   val fullOuterCompare: String =
     """WITH d1 AS (
@@ -268,10 +273,10 @@ object ScaleOracles {
       |ORDER BY bin_lo""".stripMargin
 
   val dataMixture: String =
-    """WITH w AS (
+    s"""WITH w AS (
       |  SELECT doc_id, source,
       |    250 + (CAST(substring(source, 4) AS INT) % 8) * 250 AS w_pm,
-      |    (doc_id * 2654435761) % 1000 AS bucket
+      |    ${graft.GoldenHash.bucketSql("doc_id", 1000)} AS bucket
       |  FROM documents),
       |n AS (
       |  SELECT doc_id, source,

@@ -90,7 +90,7 @@ object TrainingPrep {
         .when(col("event_type") === "view", 10)
         .otherwise(50)
     Tables.events(s, d)
-      .filter((col("event_id") * lit(2654435761L)) % 1000 < permille)
+      .filter(graft.GoldenHash.bucket(col("event_id"), 1000) < permille)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       .orderBy(col("event_id"))
   }
@@ -205,7 +205,7 @@ object TrainingPrep {
       .filter(nTokens >= 10)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .filter((col("doc_id") * lit(2654435761L)) % 1000 < 500)
+      .filter(graft.GoldenHash.bucket(col("doc_id"), 1000) < 500)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST((length(text)-1) DIV $ChunkStride AS INT)),
            |          i -> substring(text, i*$ChunkStride + 1, $ChunkSize))""".stripMargin))
@@ -236,7 +236,7 @@ object TrainingPrep {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w <> '')").as("words"))
-      .withColumn("is_test", (col("doc_id") * lit(2654435761L)) % 10 === 0)
+      .withColumn("is_test", graft.GoldenHash.isTestDoc(col("doc_id")))
     val grams = docs.select(col("doc_id"), col("is_test"),
       explode(expr(
         """CASE WHEN size(words) >= 8
@@ -292,12 +292,12 @@ object TrainingOracles {
       |ORDER BY event_id""".stripMargin
 
   val stratifiedSample: String =
-    """SELECT event_id, user_id, event_type, ts
-      |FROM events
-      |WHERE (event_id * 2654435761) % 1000 <
-      |  CASE event_type WHEN 'purchase' THEN 1000 WHEN 'click' THEN 100
-      |                  WHEN 'view' THEN 10 ELSE 50 END
-      |ORDER BY event_id""".stripMargin
+    s"""SELECT event_id, user_id, event_type, ts
+       |FROM events
+       |WHERE ${graft.GoldenHash.bucketSql("event_id", 1000)} <
+       |  CASE event_type WHEN 'purchase' THEN 1000 WHEN 'click' THEN 100
+       |                  WHEN 'view' THEN 10 ELSE 50 END
+       |ORDER BY event_id""".stripMargin
 
   val docChunks: String =
     """WITH pos AS (
@@ -326,7 +326,7 @@ object TrainingOracles {
       |ORDER BY doc_id, rn""".stripMargin
 
   val corpusPrep: String =
-    """WITH quality AS (
+    s"""WITH quality AS (
       |  SELECT doc_id, text
       |  FROM documents
       |  WHERE (length(text) - length(replace(text, ' ', '')) + 1) >= 10),
@@ -338,7 +338,7 @@ object TrainingOracles {
       |  WHERE rn = 1),
       |sampled AS (
       |  SELECT doc_id, text FROM deduped
-      |  WHERE (doc_id * 2654435761) % 1000 < 500),
+      |  WHERE ${graft.GoldenHash.bucketSql("doc_id", 1000)} < 500),
       |chunked AS (
       |  SELECT doc_id, text, unnest(generate_series(0, (length(text)-1)//100)) AS i
       |  FROM sampled)
@@ -364,10 +364,10 @@ object TrainingOracles {
   // slice(words, i, 8) takes; contaminated compares the ROUNDED
   // containment in both dialects
   val decontaminate: String =
-    """WITH docs AS (
+    s"""WITH docs AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), w -> w <> '') AS words,
-      |    (doc_id * 2654435761) % 10 = 0 AS is_test
+      |    ${graft.GoldenHash.isTestDocSql} AS is_test
       |  FROM documents),
       |pos AS (
       |  SELECT doc_id, is_test, words,

@@ -190,16 +190,30 @@ object LogStore {
     import org.apache.spark.sql.expressions.Window
     val upd = updates.withColumn("event_date", to_date(col(tsCol)))
       .withColumn("__side", lit(1))
-    val touched = upd.select("event_date").distinct()
-    val existing = read(spark, path)
-      .join(broadcast(touched), Seq("event_date"), "left_semi")
-      .withColumn("__side", lit(0))
+    // first-ever upsert: no store to merge against — a plain
+    // partitioned write of the batch (winner-per-key still applied, so
+    // a batch with internal duplicates behaves like replay) (ADVICE r6)
+    val storePath = new org.apache.hadoop.fs.Path(path)
+    val storeExists =
+      storePath.getFileSystem(spark.sessionState.newHadoopConf()).exists(storePath)
+    val existing =
+      if (storeExists) {
+        val touched = upd.select("event_date").distinct()
+        read(spark, path)
+          .join(broadcast(touched), Seq("event_date"), "left_semi")
+          .withColumn("__side", lit(0))
+      } else upd.limit(0)
+    // final xxhash64 tie-break: two update rows sharing (date, key, seq)
+    // would otherwise get a nondeterministic row_number winner, making
+    // repeated runs over the same batch store different payloads
+    val merged = existing.unionByName(upd)
+    val tieCols = merged.columns.filterNot(_ == "__side").map(col).toSeq
     val w = Window.partitionBy(col("event_date"), col(keyCol))
-      .orderBy(col(seqCol).desc, col("__side").desc)
+      .orderBy(col(seqCol).desc, col("__side").desc, xxhash64(tieCols: _*).asc)
     // localCheckpoint cuts lineage so the write-back does not read the
     // path it overwrites (Spark rejects read-and-overwrite in one plan);
     // the materialized set is only the touched partitions' rows.
-    existing.unionByName(upd)
+    merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__side")

@@ -68,7 +68,7 @@ class PropertySpec extends SparkSpec {
     val rows = ids.zipWithIndex.map { case (id, i) => (id, types(i % 4)) }
     val df = rows.toDF("event_id", "event_type")
       .withColumn("user_id", lit(0L)).withColumn("ts", current_timestamp())
-    val kept = df.filter((col("event_id") * lit(2654435761L)) % 1000 <
+    val kept = df.filter(GoldenHash.bucket(col("event_id"), 1000) <
         when(col("event_type") === "purchase", 1000)
           .when(col("event_type") === "click", 100)
           .when(col("event_type") === "view", 10).otherwise(50))
@@ -77,7 +77,7 @@ class PropertySpec extends SparkSpec {
       val rate = tpe match {
         case "purchase" => 1000; case "click" => 100; case "view" => 10; case _ => 50
       }
-      assert(kept.contains(id) == ((id * 2654435761L) % 1000 < rate), s"id $id")
+      assert(kept.contains(id) == ((id * GoldenHash.Gamma) % 1000 < rate), s"id $id")
     }
   }
 

@@ -12,7 +12,7 @@ class ScaleOpsSpec extends SparkSpec {
 
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), md5(col("text")).as("fp"),
-        ((col("doc_id") * lit(2654435761L)) % 10 === 0).as("is_test"))
+        GoldenHash.isTestDoc(col("doc_id")).as("is_test"))
     val expected = docs.filter(!col("is_test"))
       .join(docs.filter(col("is_test")).select("fp"), Seq("fp"), "left_anti")
       .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
@@ -24,8 +24,8 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("bloom prefilter drops a planted exact duplicate of a benchmark doc") {
     import spark.implicits._
-    // ids chosen so id*2654435761 % 10 == 0 marks 10 and 20 as benchmark
-    val marked = (1L to 60L).filter(i => i * 2654435761L % 10 == 0)
+    // ids chosen so the GoldenHash benchmark rule marks 10 and 20
+    val marked = (1L to 60L).filter(i => i * GoldenHash.Gamma % 10 == 0)
     val clean = (1L to 60L).filterNot(marked.contains).take(3)
     val docs = (marked.map(i => (i, s"bench text $i")) ++
       clean.map(i => (i, if (i == clean.head) s"bench text ${marked.head}"
@@ -50,7 +50,7 @@ class ScaleOpsSpec extends SparkSpec {
       val docId = r.getLong(0)
       val idx = r.getString(1).drop(3).toInt
       val wPm = 250 + (idx % 8) * 250
-      val bucket = (docId * 2654435761L) % 1000
+      val bucket = (docId * GoldenHash.Gamma) % 1000
       val expected = wPm / 1000 + (if (bucket < wPm % 1000) 1 else 0)
       assert(r.getLong(2) == expected, s"doc $docId")
       // epochs are 1..n with no gaps

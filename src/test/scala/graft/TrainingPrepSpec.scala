@@ -118,7 +118,7 @@ class TrainingPrepSpec extends SparkSpec {
     val expectedDocs = docs
       .filter { case (_, t) => t.split(" ", -1).length >= 10 }
       .groupBy(_._2).map { case (_, vs) => vs.minBy(_._1) }
-      .filter { case (id, _) => (id * 2654435761L) % 1000 < 500 }
+      .filter { case (id, _) => (id * GoldenHash.Gamma) % 1000 < 500 }
       .toSeq
     val expectedChunks = expectedDocs.flatMap { case (id, t) =>
       (0 to (t.length - 1) / 100).map(i =>
