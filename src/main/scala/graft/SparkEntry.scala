@@ -24,7 +24,8 @@ object SparkEntry {
     operators.Multimodal.defs,
     operators.TypedSessions.defs,
     operators.TrainingPrep.defs,
-    operators.ScaleOps.defs)
+    operators.ScaleOps.defs,
+    sources.CatalogTables.defs)
 
   private lazy val all: Map[String, QueryDef] = {
     val merged = registries.flatten.toMap

@@ -278,4 +278,20 @@ class LayoutSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     assert(incServed == served, "incremental append diverged from full rebuild")
   }
+
+  test("external catalog table reads the same files as the direct path scan") {
+    val name = graft.sources.CatalogTables.ensureExternalTable(spark, sf, "orders")
+    // unmanaged: DROP TABLE would remove metadata, never the fixture files
+    assert(spark.catalog.getTable(name).tableType == "EXTERNAL")
+    val viaCatalog = spark.table(name)
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+    assert(viaCatalog.inputFiles.toSet == direct.inputFiles.toSet)
+    assert(viaCatalog.schema == direct.schema)
+    assert(viaCatalog.count() == direct.count())
+    // re-registration is a no-op, not a failure or a second table
+    assert(graft.sources.CatalogTables.ensureExternalTable(spark, sf, "orders") == name)
+    // the query entry resolves through the catalog and aggregates sanely
+    val rows = graft.sources.CatalogTables.catalogScan(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == direct.count())
+  }
 }
