@@ -204,10 +204,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
 
     // canonical id: synchronous min-label propagation over the verified
-    // edges — one hop per iteration; 3 rounds collapses components of
-    // diameter <= 3 (the star hub keeps real clusters at diameter ~2,
-    // path-edge-only attachments at ~3; each extra round is a full job,
-    // so rounds are deliberately few).
+    // edges — one hop per iteration, run TO CONVERGENCE: each round
+    // counts the labels it changed (a cheap second job over the round's
+    // checkpoint) and the loop stops at zero changes, capped at 10.
+    // The star hub keeps real clusters at diameter ~2 so the typical
+    // run is 2 changing rounds + 1 confirming round — the same work as
+    // the earlier fixed-3 loop — but chain-shaped components (template
+    // drift at 100 TB produces arbitrarily long similarity chains) now
+    // collapse fully instead of being silently truncated at diameter 3
+    // (VERDICT r6 item 5; DedupSpec plants a diameter-5 chain). The cap
+    // bounds the worst case: min-label propagation halves the remaining
+    // diameter's frontier each round only on star graphs, so a cap of
+    // 10 covers any component a 16-band LSH bucket graph plausibly
+    // yields; at the cap the loop degrades to the old truncation
+    // behavior rather than looping unboundedly.
     // localCheckpoint each round: the loop references `labels` twice
     // per iteration, and without lineage truncation the plan doubles
     // per round. (Measured and rejected: restricting propagation to the
@@ -220,15 +230,20 @@ object Dedup {
       .localCheckpoint(true)
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to 3) {
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 10) {
+      rounds += 1
       val nbrLabel = undirected
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nbr_label")).as("min_nbr_label"))
-      labels = labels
+      val next = labels
         .join(nbrLabel.select(col("src").as("doc_id"), col("min_nbr_label")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select(col("doc_id"), col("label"))
     }
 
     // bucket-mate degree (linear rollup, not a pair count)

@@ -66,6 +66,47 @@ class DedupSpec extends SparkSpec {
       kept.toString)
   }
 
+  test("minhash collapses a DIAMETER-5 similarity chain (convergent propagation)") {
+    // Six docs t0..t5 built as sliding 20-word windows at stride 6 over
+    // one word sequence: adjacent windows share 14/20 words (char-3
+    // Jaccard above the 0.5 threshold), windows two apart share 8/20
+    // (below it) — so the verified-edge graph is a path of diameter 5.
+    // The old fixed-3-round propagation left t4/t5 labeled above the
+    // chain minimum; the convergent loop must collapse ALL of them to
+    // doc 0 (VERDICT r6 item 5).
+    val rnd = new scala.util.Random(42)
+    val words = Array.fill(60)((1 to 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    assert(words.distinct.length == words.length)
+    val texts = (0 to 5).map(i => words.slice(6 * i, 6 * i + 20).mkString(" "))
+
+    // precondition: the chain shape is as intended (adjacent >= 0.5,
+    // two-apart < 0.5 — a real path, not a clique)
+    graft.functions.NgramJaccardFunctions.register(spark)
+    def j(x: String, y: String): Double = Seq((x, y)).toDF("a", "b")
+      .select(graft.functions.NgramJaccardFunctions.jaccard3(col("a"), col("b")))
+      .as[Double].collect().head
+    (0 to 4).foreach { i =>
+      assert(j(texts(i), texts(i + 1)) >= 0.5, s"adjacent $i: ${j(texts(i), texts(i + 1))}")
+    }
+    (0 to 3).foreach { i =>
+      assert(j(texts(i), texts(i + 2)) < 0.5, s"two-apart $i: ${j(texts(i), texts(i + 2))}")
+    }
+
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s", t.length.toLong)
+    } :+ ((99L, "entirely different text about state stores and shuffles", "en", "s", 55L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-chain5").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val kept = Dedup.minhashDedup(spark, dir)
+      .select("doc_id", "kept_doc_id").as[(Long, Long)].collect().toMap
+    (0L to 5L).foreach { i =>
+      assert(kept(i) == 0L, s"doc $i kept under ${kept(i)}, full: $kept")
+    }
+    assert(kept(99L) == 99L)
+  }
+
   test("minhash cluster recall >= 0.8 against exact Jaccard >= 0.5 pairs") {
     // End-to-end guarantee: documents whose exact char-3 Jaccard is at
     // or above the dedup threshold should land in the same cluster
