@@ -159,6 +159,44 @@ object TrainingPrep {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** The TF-MATERIALIZED form of [[tfidfTopTerms]]: the term-frequency
+    * frame is computed ONCE (an eager localCheckpoint artifact, the
+    * ivfCache pattern) and both the df branch and the ranking consume
+    * it — the corpus is tokenized exactly once, where the stateless
+    * form's df branch re-tokenizes because column pruning gives the two
+    * branches different ReadSchemas and defeats exchange reuse (see the
+    * [[tfidfTopTerms]] scaladoc for the tradeoff).
+    *
+    * This is the shape a pipeline that runs TF-IDF repeatedly (or whose
+    * tokenization is expensive — BPE, normalization) should use: pay
+    * one materialization of the tf aggregate (far smaller than the
+    * corpus: one row per distinct (doc, term)), then every downstream
+    * consumer is an aggregate/join over the artifact. The stateless
+    * form remains the right default for one-shot runs at 100 TB, where
+    * a second elastic scan beats persisting a corpus-scale
+    * intermediate. Output and oracle are IDENTICAL to [[tfidfTopTerms]]
+    * — TrainingPrepSpec asserts the one-tokenize-pass plan property.
+    */
+  def tfidfTopTermsCached(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(n)
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(1e0) + col("n")) / (lit(1) + col("df"))) + 1), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** PII redaction over the event property blobs: emails, then IPv4
     * addresses, then any leftover digit run, each masked in sequence.
     * Patterns are restricted to the dialect-safe regex subset (char
@@ -265,6 +303,7 @@ object TrainingPrep {
     "q_stratified_sample" -> QueryDef(stratifiedSample, Some(TrainingOracles.stratifiedSample)),
     "q_doc_chunks"        -> QueryDef(docChunks, Some(TrainingOracles.docChunks)),
     "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms)),
+    "q_tfidf_cached"      -> QueryDef(tfidfTopTermsCached, Some(TrainingOracles.tfidfTopTerms)),
     "q_pii_redact"        -> QueryDef(piiRedact, Some(TrainingOracles.piiRedact)))
 }
 

@@ -104,6 +104,26 @@ class TrainingPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("tfidfTopTermsCached: identical output, corpus tokenized exactly once") {
+    // output parity with the stateless form (same oracle serves both)
+    val stateless = TrainingPrep.tfidfTopTerms(spark, sf).collect().toSeq
+    val cached = TrainingPrep.tfidfTopTermsCached(spark, sf).collect().toSeq
+    assert(cached == stateless)
+
+    // plan property: the stateless form tokenizes twice (tf branch +
+    // df branch, different ReadSchemas defeat exchange reuse); the
+    // cached form's final plan never tokenizes at all — both its
+    // consumers read the materialized tf artifact (checkpoint scan)
+    def tokenizes(plan: String): Int = "split\\(".r.findAllIn(plan).size
+    val statelessPlan = TrainingPrep.tfidfTopTerms(spark, sf)
+      .queryExecution.executedPlan.toString
+    val cachedPlan = TrainingPrep.tfidfTopTermsCached(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tokenizes(statelessPlan) >= 2, statelessPlan)
+    assert(tokenizes(cachedPlan) == 0, cachedPlan)
+    assert("Scan ExistingRDD".r.findAllIn(cachedPlan).size >= 2, cachedPlan)
+  }
+
   test("corpusPrep plans exactly one data shuffle and matches stagewise composition") {
     val out = TrainingPrep.corpusPrep(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
