@@ -275,24 +275,44 @@ object Dedup {
     * classic Manku/Jain/Sarma web-dedup construction. Candidates come
     * from per-bucket star edges (bucket-min doc → member), as in
     * [[minhashDedup]]: linear in docs × bands, never a within-bucket
-    * pair materialization. Rows-only check (xxhash-based signatures are
-    * engine-specific); the spec plants a near-identical doc pair whose
-    * signatures differ by 1-3 bits and asserts exact-signature grouping
-    * misses it while banding catches it.
+    * pair materialization. Oracle-checked end-to-end: the signatures
+    * are materialized at [[SimhashSigsPath]] and DuckDB independently
+    * re-derives banding, star edges, and the hamming verification over
+    * that artifact (only the signature hash itself, being
+    * engine-specific, is pinned as data). The spec additionally plants
+    * a near-identical doc pair whose signatures differ by 1-3 bits and
+    * asserts exact-signature grouping misses it while banding catches it.
     */
+  /** Artifact path shared by [[simhashDedup]] and its DuckDB oracle:
+    * the Spark query MATERIALIZES the per-doc signatures here and
+    * derives everything downstream from the artifact, and the oracle
+    * `read_parquet`s the same files — so banding, star-edge candidate
+    * generation, and hamming verification are all independently
+    * recomputed by DuckDB over a byte-identical signature column
+    * (VERDICT r6 item 8; the signature itself is engine-specific
+    * xxhash, which is exactly why it is pinned as data, not recomputed).
+    */
+  val SimhashSigsPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_simhash_sigs"
+
   def simhashDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
     val bands = 4
     val tokens = expr("filter(split(text, ' '), t -> t != '')")
-    val withSig = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), size(tokens).as("n_tokens"),
         graft.functions.TextHashFunctions.simhash(tokens).as("simhash"))
+      .write.mode("overwrite").parquet(SimhashSigsPath)
+    val withSig = s.read.parquet(SimhashSigsPath)
 
-    // (doc, band, 16-bit band key); >> sign-extends but the mask keeps
-    // 16 bits, so band 3 (top bits) is handled correctly
+    // (doc, band, band key). The key is the signature MASKED to the
+    // band's 16 bits in place (not shifted down): equality classes are
+    // identical, and masks sidestep the one dialect trap — `>>` on a
+    // negative BIGINT (sign-extension vs logical shift) — so the DuckDB
+    // oracle can replicate the key byte-for-byte with the same masks.
     val bk = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        expr(s"(simhash >> ${16 * b}) & 65535").as("key")).as(s"bk$b")
+        col("simhash").bitwiseAND(lit(65535L << (16 * b))).as("key")).as(s"bk$b")
     }
     val banded = withSig
       .select(col("doc_id") +: bk: _*)
@@ -420,7 +440,7 @@ object Dedup {
     "q_exact_distinct"  -> QueryDef(exactDistinct, Some(DedupOracles.exactDistinct)),
     "q_approx_distinct" -> QueryDef(approxDistinct, None),
     "q_minhash_dedup"   -> QueryDef(minhashDedup, None),
-    "q_simhash_dedup"   -> QueryDef(simhashDedup, None),
+    "q_simhash_dedup"   -> QueryDef(simhashDedup, Some(DedupOracles.simhashDedup)),
     "q_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(DedupOracles.ngramJaccard)))
 }
 
@@ -438,6 +458,37 @@ object DedupOracles {
       |  count(DISTINCT event_type) AS n_types,
       |  count(DISTINCT date_trunc('day', ts)) AS n_days
       |FROM events""".stripMargin
+
+  /** Replays [[Dedup.simhashDedup]] downstream of the signature: reads
+    * the materialized signature artifact, re-derives the 4×16-bit
+    * banding (same in-place masks), per-bucket star edges, and the
+    * xor+bit_count hamming verification — DuckDB checks every moving
+    * part except the hash function itself.
+    */
+  val simhashDedup: String = {
+    val masks = (0 until 4)
+      .map(b => s"($b, CAST(${65535L << (16 * b)} AS BIGINT))").mkString(", ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, n_tokens, simhash
+       |  FROM read_parquet('${Dedup.SimhashSigsPath}/*.parquet')),
+       |banded AS (
+       |  SELECT s.doc_id, b.band, s.simhash & b.mask AS key
+       |  FROM sigs s, (VALUES $masks) AS b(band, mask)),
+       |mins AS (
+       |  SELECT band, key, min(doc_id) AS doc_a FROM banded GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT DISTINCT m.doc_a, bd.doc_id AS doc_b
+       |  FROM banded bd JOIN mins m USING (band, key)
+       |  WHERE bd.doc_id <> m.doc_a)
+       |SELECT e.doc_a, e.doc_b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming,
+       |  sa.n_tokens AS n_tokens_a, sb.n_tokens AS n_tokens_b
+       |FROM edges e
+       |JOIN sigs sa ON e.doc_a = sa.doc_id
+       |JOIN sigs sb ON e.doc_b = sb.doc_id
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val ngramJaccard: String =
     """WITH pos AS (
