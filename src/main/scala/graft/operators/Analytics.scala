@@ -616,9 +616,17 @@ object Analytics {
     * separately and joined — plan-audited at SIX pruned scans + five
     * joins; the window form replaces all of it with one pass.)
     */
-  def funnel(s: SparkSession, d: String): DataFrame = {
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelOf(Tables.events(s, d))
+
+  /** The funnel core over any frame bearing (user_id, event_type, ts) —
+    * shared by the batch query above and the streaming twin's spec
+    * ([[graft.streaming.StreamPipelines.streamingFunnel]] must converge
+    * to exactly this output on the same data).
+    */
+  def funnelOf(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-    Tables.events(s, d)
+    events
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("view_ts",

@@ -289,6 +289,50 @@ object StreamPipelines {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Streaming ordered conversion funnel — the transformWithState twin
+    * of [[graft.operators.Analytics.funnel]] (VERDICT r6 item 7): per
+    * user, the earliest view, the earliest click at-or-after that view,
+    * the earliest purchase at-or-after that click, maintained
+    * incrementally as events arrive OUT OF ORDER across micro-batches
+    * and emitted as one update row per touched user per batch. On the
+    * same (un-dropped) data the final update per user equals the batch
+    * twin's row exactly — StreamingSpec asserts it cross-batch.
+    *
+    * The interesting part is keeping state BOUNDED while staying
+    * revisable: a late view can lower the funnel's anchor, which can
+    * re-validate earlier clicks, which can re-validate earlier
+    * purchases — so stage answers are not monotone facts, and naive
+    * state is "every event ever seen". The watermark gives the bound.
+    * With W the current watermark and V the min view seen, no future
+    * arrival has event time < W, so the anchor can never drop below
+    * L = min(V, W); therefore
+    *   - clicks below L can never satisfy `click >= view'` again → prune;
+    *   - clicks above the CURRENT click answer can never beat a future
+    *     answer (future anchors are <= V, so future answers are <= the
+    *     current one) → prune;
+    *   - purchases below L can never follow any future click answer
+    *     (all click answers are >= L) → prune; purchases above the
+    *     current purchase answer likewise → prune.
+    * What survives per key is the min view plus the click/purchase
+    * candidates inside [L, current answer] — a window the advancing
+    * watermark keeps squeezing. At 100 TB-scale streams this is the
+    * difference between state linear in traffic and state bounded by
+    * the lateness horizon.
+    */
+  def streamingFunnel(
+      events: DataFrame,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new StreamingFunnelProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Streaming near-duplicate suppression — the streaming counterpart
     * of [[graft.operators.Dedup.minhashDedup]]: documents arriving on a
     * stream are checked against everything seen so far WITHOUT holding
@@ -442,6 +486,99 @@ class EndpointSessionsProcessor(gapMs: Long)
     // eviction: every state variable cleared; a returning key starts fresh
     trail.clear(); counts.clear(); openTimer.clear()
     Iterator.single(closed)
+  }
+}
+
+/** One per-user update of [[StreamPipelines.streamingFunnel]]: the
+  * funnel-so-far after a batch touched this user. `seq` counts the
+  * updates emitted for the key — the consumer's "latest row wins"
+  * ordinal (memory/table sinks don't order across batches). `stage` is
+  * the batch twin's encoding: 3 purchase, 2 click, 1 view, 0 = no view
+  * seen yet (the batch query emits no row for stage-0 users).
+  */
+case class FunnelUpdate(
+    user_id: Long,
+    view_ts: Option[java.sql.Timestamp],
+    click_ts: Option[java.sql.Timestamp],
+    purchase_ts: Option[java.sql.Timestamp],
+    stage: Int,
+    seq: Long)
+
+/** Keyed funnel state for [[StreamPipelines.streamingFunnel]]: min view
+  * anchor (ValueState) + watermark-pruned click/purchase candidate
+  * lists (ListState). See the operator scaladoc for the pruning
+  * argument; the invariant maintained here is that the retained
+  * candidates always contain every event that could still be part of a
+  * future funnel answer.
+  */
+class StreamingFunnelProcessor
+    extends StatefulProcessor[Long, (Long, String, java.sql.Timestamp), FunnelUpdate] {
+  import org.apache.spark.sql.Encoders
+
+  @transient private var minView: ValueState[Long] = _
+  @transient private var clicks: ListState[Long] = _
+  @transient private var purchases: ListState[Long] = _
+  @transient private var updates: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    minView = getHandle.getValueState[Long]("min_view", Encoders.scalaLong, TTLConfig.NONE)
+    clicks = getHandle.getListState[Long]("clicks", Encoders.scalaLong, TTLConfig.NONE)
+    purchases = getHandle.getListState[Long]("purchases", Encoders.scalaLong, TTLConfig.NONE)
+    updates = getHandle.getValueState[Long]("updates", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  // timestamps are carried as epoch MICROS (the events table's
+  // precision after Tables.events' nanos truncation) — millis would
+  // silently equate distinct event times
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTs(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(m, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(m, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, String, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[FunnelUpdate] = {
+    var v = if (minView.exists()) minView.get() else Long.MaxValue
+    val cs = scala.collection.mutable.ArrayBuffer[Long]() ++ clicks.get()
+    val ps = scala.collection.mutable.ArrayBuffer[Long]() ++ purchases.get()
+    rows.foreach { case (_, eventType, ts) =>
+      val m = micros(ts)
+      eventType match {
+        case "view"     => v = math.min(v, m)
+        case "click"    => cs += m
+        case "purchase" => ps += m
+      }
+    }
+
+    val clickAns = if (v == Long.MaxValue) None else cs.filter(_ >= v).minOption
+    val purchaseAns = clickAns.flatMap(c => ps.filter(_ >= c).minOption)
+
+    // prune (see operator scaladoc): the anchor can never drop below
+    // min(V, watermark), and answers can only improve — candidates
+    // outside [lower, current answer] are dead
+    val lower = math.min(v, timerValues.getCurrentWatermarkInMs() * 1000L)
+    val keptClicks = cs.filter(c => c >= lower && clickAns.forall(c <= _)).distinct.sorted
+    val keptPurchases = ps.filter(p => p >= lower && purchaseAns.forall(p <= _)).distinct.sorted
+
+    if (v != Long.MaxValue) minView.update(v)
+    // ListState.put rejects empty arrays — empty means clear
+    if (keptClicks.isEmpty) clicks.clear() else clicks.put(keptClicks.toArray)
+    if (keptPurchases.isEmpty) purchases.clear() else purchases.put(keptPurchases.toArray)
+    val seq = (if (updates.exists()) updates.get() else 0L) + 1L
+    updates.update(seq)
+
+    val stage =
+      if (purchaseAns.isDefined) 3
+      else if (clickAns.isDefined) 2
+      else if (v != Long.MaxValue) 1
+      else 0
+    Iterator.single(FunnelUpdate(key,
+      if (v == Long.MaxValue) None else Some(toTs(v)),
+      clickAns.map(toTs), purchaseAns.map(toTs), stage, seq))
   }
 }
 
