@@ -141,20 +141,23 @@ object Dedup {
       .localCheckpoint(true)
   }
 
-  /** (doc, band, bucket-key) assignments derived from [[minhashIndex]]:
-    * band key = xxhash of the band's `rowsPerBand` signature elements.
+  /** The 16 band keys as one positional array (band id = position,
+    * key = xxhash of the band's `rowsPerBand` signature elements) —
+    * shared by [[minhashBanded]] and the oracle artifact, which unnests
+    * the same array positionally in DuckDB.
     */
-  private def minhashBanded(index: DataFrame): DataFrame = {
+  private def bandKeyArray: Column = {
     val rowsPerBand = MinhashH / MinhashBands
-    val bandKey: Seq[Column] = (0 until MinhashBands).map { b =>
+    array((0 until MinhashBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(h => element_at(col("sigs"), h + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("key")).as(s"bk$b")
-    }
-    index.select(col("doc_id") +: bandKey: _*)
-      .select(col("doc_id"), explode(array((0 until MinhashBands).map(b => col(s"bk$b")): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      xxhash64(cols: _*)
+    }: _*)
   }
+
+  /** (doc, band, bucket-key) assignments derived from [[minhashIndex]]. */
+  private def minhashBanded(index: DataFrame): DataFrame =
+    index.select(col("doc_id"), posexplode(bandKeyArray).as(Seq("band", "key")))
 
   /** Candidate edges per bucket: STAR (bucket-min → each member, hub
     * keeps the propagation diameter ~2) plus PATH (each member → its
@@ -182,11 +185,36 @@ object Dedup {
     star.union(path).distinct()
   }
 
+  /** Artifact paths shared by [[minhashDedup]] and its DuckDB oracle
+    * (the [[SimhashSigsPath]] pattern): the Spark query MATERIALIZES the
+    * per-doc band assignments and sorted gram sets here and derives
+    * everything downstream from the artifacts, and the oracle
+    * `read_parquet`s the same files — so star+path candidate
+    * generation, exact-Jaccard verification, connected components
+    * (a recursive CTE in DuckDB vs the propagation loop here), and the
+    * candidate-degree rollup are all independently recomputed by DuckDB
+    * over byte-identical inputs. Only the hashes themselves (xxhash
+    * band keys, packed-gram ids) are engine-specific, which is exactly
+    * why they are pinned as data rather than recomputed.
+    */
+  val MinhashIndexPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_minhash_index"
+
   def minhashDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
     // one checkpointed per-doc index (signatures + sorted gram hashes)
-    // serves band keys, the degree rollup, AND edge verification
+    // serves band keys, the degree rollup, AND edge verification; the
+    // per-doc band-key array + gram set are ALSO materialized to
+    // parquet in ONE write job for the oracle, which replays every
+    // downstream step over them. The engine keeps consuming the
+    // in-memory checkpointed copies (a read-back of the artifact
+    // measured +1.5 s of pure parquet decode at sf0.1; two separate
+    // artifact writes measured +0.5 s over this single one); both are
+    // the same deterministic function of the same checkpoint, so the
+    // pinned bytes and the consumed rows are identical by construction.
     val index = minhashIndex(s, d)
+    index.select(col("doc_id"), bandKeyArray.as("bands"), col("grams"))
+      .write.mode("overwrite").parquet(MinhashIndexPath)
     val banded = minhashBanded(index)
     val cand = candidateEdges(banded)
 
@@ -439,7 +467,7 @@ object Dedup {
     "q_dedup_exact"     -> QueryDef(dedupExact, Some(DedupOracles.dedupExact)),
     "q_exact_distinct"  -> QueryDef(exactDistinct, Some(DedupOracles.exactDistinct)),
     "q_approx_distinct" -> QueryDef(approxDistinct, None),
-    "q_minhash_dedup"   -> QueryDef(minhashDedup, None),
+    "q_minhash_dedup"   -> QueryDef(minhashDedup, Some(DedupOracles.minhashDedup)),
     "q_simhash_dedup"   -> QueryDef(simhashDedup, Some(DedupOracles.simhashDedup)),
     "q_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(DedupOracles.ngramJaccard)))
 }
@@ -489,6 +517,73 @@ object DedupOracles {
        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Replays [[Dedup.minhashDedup]] downstream of the hashes: reads the
+    * materialized band-assignment and gram-set artifacts, re-derives the
+    * per-bucket star + path candidate edges (the path edges via the same
+    * lag-window), the exact merge-intersect Jaccard verification
+    * (`list_intersect` over the identical sorted gram arrays, IEEE
+    * double division so the 0.5 threshold bisects identically), then
+    * computes connected components EXACTLY via a recursive-CTE
+    * transitive closure and takes the per-component minimum label —
+    * independently checking that the engine's convergent min-label
+    * propagation loop reaches true connected components, not a
+    * truncated approximation. The candidate-degree rollup
+    * (`n_candidates`) is re-derived from the same band table.
+    */
+  val minhashDedup: String =
+    s"""WITH RECURSIVE
+       |art AS (
+       |  SELECT doc_id, bands, grams
+       |  FROM read_parquet('${Dedup.MinhashIndexPath}/*.parquet')),
+       |banded AS (
+       |  SELECT doc_id, i AS band, bands[i + 1] AS key
+       |  FROM art, (SELECT unnest(generate_series(0, 15)) AS i)),
+       |gsets AS (
+       |  SELECT doc_id, grams FROM art),
+       |mins AS (
+       |  SELECT band, key, min(doc_id) AS bmin FROM banded GROUP BY 1, 2),
+       |star AS (
+       |  SELECT m.bmin AS doc_a, b.doc_id AS doc_b
+       |  FROM banded b JOIN mins m USING (band, key)
+       |  WHERE b.doc_id <> m.bmin),
+       |pathe AS (
+       |  SELECT prev AS doc_a, doc_id AS doc_b FROM (
+       |    SELECT doc_id,
+       |      lag(doc_id) OVER (PARTITION BY band, key ORDER BY doc_id) AS prev
+       |    FROM banded)
+       |  WHERE prev IS NOT NULL),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b
+       |  FROM (SELECT * FROM star UNION ALL SELECT * FROM pathe)),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN gsets ga ON c.doc_a = ga.doc_id
+       |  JOIN gsets gb ON c.doc_b = gb.doc_id
+       |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |        / (len(ga.grams) + len(gb.grams)
+       |           - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM verified),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM documents
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+       |labels AS (
+       |  SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY 1),
+       |bsizes AS (
+       |  SELECT band, key, count(*) AS bsz FROM banded GROUP BY 1, 2),
+       |ncand AS (
+       |  SELECT b.doc_id, sum(s.bsz - 1) AS n_candidates
+       |  FROM banded b JOIN bsizes s USING (band, key) GROUP BY 1)
+       |SELECT l.doc_id, l.label AS kept_doc_id,
+       |  l.label <> l.doc_id AS is_duplicate,
+       |  CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates
+       |FROM labels l LEFT JOIN ncand n USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   val ngramJaccard: String =
     """WITH pos AS (
