@@ -50,8 +50,15 @@ object TrainingPrep {
     * user_id — contrast with a range self-join, which explodes on hot
     * keys and cannot be bounded without a band predicate.
     */
-  def asOfJoin(s: SparkSession, d: String): DataFrame = {
-    val tagged = Tables.events(s, d)
+  def asOfJoin(s: SparkSession, d: String): DataFrame =
+    asOfJoinOf(Tables.events(s, d))
+
+  /** The frame-level core of [[asOfJoin]] — shared with the streaming
+    * twin's spec ([[graft.streaming.StreamPipelines.streamingAsOf]]),
+    * which must converge to exactly these rows on the same events.
+    */
+  def asOfJoinOf(events: DataFrame): DataFrame = {
+    val tagged = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(
         col("user_id"), col("ts"),

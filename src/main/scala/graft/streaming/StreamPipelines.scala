@@ -333,6 +333,47 @@ object StreamPipelines {
         TimeMode.EventTime(), OutputMode.Update())
   }
 
+  /** Streaming as-of (temporal) join — the transformWithState twin of
+    * [[graft.operators.TrainingPrep.asOfJoin]]: for every `purchase`,
+    * the latest `click` by the same user at-or-before the purchase
+    * timestamp, maintained incrementally as BOTH sides arrive out of
+    * order across micro-batches. Each batch emits one update row per
+    * pending purchase of every touched user; on the same (un-dropped)
+    * events the latest update per purchase equals the batch twin's row
+    * exactly (StreamingSpec asserts it cross-batch).
+    *
+    * State boundedness is the point (stream-stream as-of cannot be a
+    * Spark stream join: the "latest at-or-before" predicate is an
+    * aggregation over an unbounded past, not an equi/interval
+    * condition). With W the watermark, no future arrival has event
+    * time < W, so:
+    *   - among clicks BELOW W only the maximum matters — every pending
+    *     or future purchase has ts >= W > those clicks, and the max
+    *     dominates the rest → compressed into ONE value per key
+    *     (`max_old_click`);
+    *   - clicks >= W stay as candidates (a purchase between two of
+    *     them may still arrive) → the lateness-horizon list;
+    *   - a purchase with ts < W can never gain a new click (future
+    *     clicks are >= W > ts, all past clicks already seen) → emit
+    *     final, drop from state.
+    * Per key the state is one long + two watermark-squeezed lists:
+    * bounded by the lateness horizon, not by stream length — the same
+    * argument as [[streamingFunnel]], applied to both join sides.
+    */
+  def streamingAsOf(
+      events: DataFrame,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.Dataset[AsOfUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .transformWithState(new StreamingAsOfProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Streaming near-duplicate suppression — the streaming counterpart
     * of [[graft.operators.Dedup.minhashDedup]]: documents arriving on a
     * stream are checked against everything seen so far WITHOUT holding
@@ -579,6 +620,102 @@ class StreamingFunnelProcessor
     Iterator.single(FunnelUpdate(key,
       if (v == Long.MaxValue) None else Some(toTs(v)),
       clickAns.map(toTs), purchaseAns.map(toTs), stage, seq))
+  }
+}
+
+/** One per-purchase update of [[StreamPipelines.streamingAsOf]]: the
+  * as-of answer so far for `event_id` (a purchase), revised as late
+  * clicks arrive. `gap_s` matches the batch twin's `unix_timestamp`
+  * arithmetic (whole seconds, floored). `is_final` marks the update
+  * emitted when the watermark passed the purchase and its state was
+  * dropped — no later revision is possible. `seq` is the per-USER
+  * update ordinal: the latest row for an event_id is the one with the
+  * highest seq among that event_id's rows.
+  */
+case class AsOfUpdate(
+    event_id: Long,
+    user_id: Long,
+    purchase_ts: java.sql.Timestamp,
+    last_click_ts: Option[java.sql.Timestamp],
+    gap_s: Option[Long],
+    is_final: Boolean,
+    seq: Long)
+
+/** Keyed as-of state for [[StreamPipelines.streamingAsOf]]: the
+  * compressed below-watermark click maximum (ValueState), the
+  * above-watermark click candidates (ListState), and the still-revisable
+  * purchases (ListState). Invariant: `recent_clicks` ∪ {`max_old_click`}
+  * always contains the best at-or-before click for every pending and
+  * every possible future purchase — see the operator scaladoc for why
+  * compression below the watermark is lossless.
+  */
+class StreamingAsOfProcessor
+    extends StatefulProcessor[Long, (Long, Long, String, java.sql.Timestamp), AsOfUpdate] {
+  import org.apache.spark.sql.Encoders
+
+  @transient private var maxOldClick: ValueState[Long] = _
+  @transient private var recentClicks: ListState[Long] = _
+  @transient private var pending: ListState[(Long, Long)] = _   // (event_id, purchase micros)
+  @transient private var updates: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    maxOldClick = getHandle.getValueState[Long]("max_old_click", Encoders.scalaLong, TTLConfig.NONE)
+    recentClicks = getHandle.getListState[Long]("recent_clicks", Encoders.scalaLong, TTLConfig.NONE)
+    pending = getHandle.getListState[(Long, Long)]("pending",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+    updates = getHandle.getValueState[Long]("updates", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  // epoch micros, as in StreamingFunnelProcessor (millis would equate
+  // distinct event times at the fixture's microsecond precision)
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTs(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(m, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(m, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[AsOfUpdate] = {
+    var maxOld = if (maxOldClick.exists()) Some(maxOldClick.get()) else None
+    val clicks = scala.collection.mutable.ArrayBuffer[Long]() ++ recentClicks.get()
+    val purchases = scala.collection.mutable.ArrayBuffer[(Long, Long)]() ++ pending.get()
+    rows.foreach { case (eventId, _, eventType, ts) =>
+      val m = micros(ts)
+      eventType match {
+        case "click"    => clicks += m
+        case "purchase" => purchases += ((eventId, m))
+      }
+    }
+
+    val w = timerValues.getCurrentWatermarkInMs() * 1000L
+    var seq = if (updates.exists()) updates.get() else 0L
+    val out = purchases.distinct.sortBy(_._2).iterator.map { case (eventId, pm) =>
+      // maxOld <= pm holds by the watermark contract (it compresses
+      // clicks < W and every retained purchase has pm >= W); the filter
+      // keeps the answer conservative if a runtime ever let a
+      // below-watermark purchase through anyway
+      val best = (clicks.filter(_ <= pm) ++ maxOld.filter(_ <= pm)).maxOption
+      seq += 1L
+      AsOfUpdate(eventId, key, toTs(pm), best.map(toTs),
+        best.map(b => math.floorDiv(pm, 1000000L) - math.floorDiv(b, 1000000L)),
+        is_final = pm < w, seq)
+    }.toVector
+
+    // prune (see operator scaladoc): clicks below W compress into their
+    // max; purchases below W were just emitted final
+    val (oldC, keptC) = clicks.partition(_ < w)
+    if (oldC.nonEmpty || maxOld.isDefined)
+      maxOldClick.update((oldC ++ maxOld).max)
+    val keptClicks = keptC.distinct.sorted
+    if (keptClicks.isEmpty) recentClicks.clear() else recentClicks.put(keptClicks.toArray)
+    val keptP = purchases.distinct.filter(_._2 >= w)
+    if (keptP.isEmpty) pending.clear() else pending.put(keptP.toArray)
+    updates.update(seq)
+    out.iterator
   }
 }
 

@@ -399,6 +399,71 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows(3L)._4 == 0, finalRows(3L).toString)
   }
 
+  test("streaming as-of join converges to the batch twin across out-of-order batches") {
+    // both sides arrive out of order: a purchase before any click, late
+    // clicks that must IMPROVE already-emitted answers (but never past
+    // the purchase), then a watermark advance that finalizes state.
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)](session)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = StreamPipelines.streamingAsOf(
+        mem.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+        watermarkDelay = "10 minutes")
+      .toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("asof_out").start()
+
+    val batch1 = Seq(
+      (101L, 1L, "purchase", ts("2025-07-25 10:05:00")), // answer: none yet
+      (1L, 2L, "click", ts("2025-07-25 10:00:00")),
+      (201L, 2L, "purchase", ts("2025-07-25 10:02:00"))) // answer: 10:00
+    val batch2 = Seq(
+      (2L, 1L, "click", ts("2025-07-25 10:03:00")),      // unlocks 101
+      (3L, 2L, "click", ts("2025-07-25 10:01:00")))      // late click IMPROVES 201
+    val batch3 = Seq(
+      (4L, 1L, "click", ts("2025-07-25 10:04:00")),      // improves 101 again
+      (5L, 1L, "click", ts("2025-07-25 10:06:00")),      // AFTER 101 — must not count
+      (6L, 3L, "click", ts("2025-07-25 11:00:00")))      // advances the watermark
+    val batch4 = Seq(
+      (7L, 1L, "click", ts("2025-07-25 11:30:00")))      // touches u1 at W=10:50 -> 101 final
+    Seq(batch1, batch2, batch3, batch4).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val all = session.table("asof_out")
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp],
+           Option[Long], Boolean, Long)].collect()
+
+    // purchase 101's first update must predate any click (no answer)
+    assert(all.exists(r => r._1 == 101L && r._4.isEmpty),
+      s"missing clickless first update for 101: ${all.toSeq}")
+    // purchase 201 must have been revised: 10:00 then the late 10:01
+    val a201 = all.filter(_._1 == 201L).sortBy(_._7).flatMap(_._4).distinct
+    assert(a201.toSeq == Seq(ts("2025-07-25 10:00:00"), ts("2025-07-25 10:01:00")),
+      s"201 revision chain: ${a201.toSeq}")
+
+    // latest update per purchase (max seq) vs the batch twin on all events
+    val finalRows = all.groupBy(_._1).map { case (e, rows) =>
+      val last = rows.maxBy(_._7)
+      e -> ((last._4, last._5))
+    }
+    val batchRows = graft.operators.TrainingPrep.asOfJoinOf(
+        (batch1 ++ batch2 ++ batch3 ++ batch4)
+          .toDF("event_id", "user_id", "event_type", "ts"))
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp], Option[Long])]
+      .collect().map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(batchRows.keySet == Set(101L, 201L), batchRows.toString)
+    batchRows.foreach { case (e, expect) =>
+      assert(finalRows(e) == expect, s"purchase $e: got ${finalRows(e)}, batch says $expect")
+    }
+    // the watermark-touched purchase was emitted final and dropped
+    assert(all.filter(_._1 == 101L).maxBy(_._7)._6, "101 should be final after batch4")
+  }
+
   test("zscore classifier flags spike vs baseline and new key with high traffic") {
     val counts = Seq(("spiky", 500L), ("normal", 10L), ("newcomer", 150L))
       .toDF("remote_addr", "request_count")
