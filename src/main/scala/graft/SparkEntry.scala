@@ -25,7 +25,8 @@ object SparkEntry {
     operators.TypedSessions.defs,
     operators.TrainingPrep.defs,
     operators.ScaleOps.defs,
-    sources.CatalogTables.defs)
+    sources.CatalogTables.defs,
+    sources.FileFormats.defs)
 
   private lazy val all: Map[String, QueryDef] = {
     val merged = registries.flatten.toMap
