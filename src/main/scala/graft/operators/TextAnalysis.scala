@@ -125,8 +125,54 @@ object TextAnalysis {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Repetition-based quality gate — the Gopher/C4-family signal the
+    * other [[textQuality]] heuristics don't cover: templated or
+    * looping generations show up as a dominant repeated word bigram
+    * (`top2gram_frac`, share of all bigram slots taken by the most
+    * frequent one) and a collapsed vocabulary (`dup_word_frac`,
+    * 1 − distinct/total words). Documents with <2 words carry no
+    * bigram signal and are excluded in BOTH engines (Spark
+    * `sequence(1, 0)` counts DOWN where DuckDB's generate_series is
+    * empty — the filter removes the divergence, not just noise).
+    *
+    * The `keep` decision is computed in EXACT integer arithmetic
+    * (`top_c·5 ≤ n_grams` ⇔ frac ≤ 0.2, `(n_words−n_distinct)·10 ≤
+    * 7·n_words` ⇔ dup ≤ 0.7) so the gate never sits on a float
+    * rounding boundary; the reported fractions are round(·,4) display
+    * values only.
+    *
+    * Shape at scale: bigram explode → two hash aggregates, and the
+    * (doc_id, gram) pre-aggregate is map-side combinable, so the
+    * shuffle carries per-doc distinct bigram counts, not bigram
+    * occurrences. The per-doc word/vocab counts never leave the scan
+    * stage (array algebra, no explode).
+    */
+  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("ws", expr("filter(split(text, ' '), w -> w != '')"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("n_distinct", size(array_distinct(col("ws"))))
+    val grams = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_grams"))
+    docs.select(col("doc_id"), col("n_words"), col("n_distinct"))
+      .join(grams, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(col("top_c").cast("double") / col("n_grams"), 4).as("top2gram_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4).as("dup_word_frac"),
+        (col("top_c") * 5 <= col("n_grams") &&
+          (col("n_words") - col("n_distinct")) * 10 <= col("n_words") * 7).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_token_count"  -> QueryDef(tokenCount, Some(TextOracles.tokenCount)),
+    "q_repetition_filter" -> QueryDef(repetitionFilter, Some(TextOracles.repetitionFilter)),
     "q_bpe_token_count" -> QueryDef(bpeTokenCount, Some(TextOracles.bpeTokenCount)),
     "q_text_quality" -> QueryDef(textQuality, Some(TextOracles.textQuality)),
     "q_lang_id"      -> QueryDef(langId, Some(TextOracles.langId)),
@@ -139,6 +185,34 @@ object TextAnalysis {
 object TextOracles {
 
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+  /** Same bigram/vocab algebra as [[TextAnalysis.repetitionFilter]];
+    * the keep gate is the same exact-integer comparison.
+    */
+  val repetitionFilter: String =
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      |  FROM documents),
+      |docs AS (
+      |  SELECT doc_id, ws,
+      |    CAST(len(ws) AS INT) AS n_words,
+      |    CAST(len(list_distinct(ws)) AS INT) AS n_distinct
+      |  FROM words WHERE len(ws) >= 2),
+      |pos AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM docs),
+      |grams AS (
+      |  SELECT doc_id,
+      |    ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g
+      |  FROM pos),
+      |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+      |tg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams FROM gc GROUP BY 1)
+      |SELECT d.doc_id, d.n_words,
+      |  round(CAST(t.top_c AS DOUBLE) / t.n_grams, 4) AS top2gram_frac,
+      |  round(1 - CAST(d.n_distinct AS DOUBLE) / d.n_words, 4) AS dup_word_frac,
+      |  (t.top_c * 5 <= t.n_grams
+      |   AND (d.n_words - d.n_distinct) * 10 <= d.n_words * 7) AS keep
+      |FROM docs d JOIN tg t USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   val tokenCount: String =
     s"""SELECT source,
