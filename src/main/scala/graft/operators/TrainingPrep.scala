@@ -114,18 +114,58 @@ object TrainingPrep {
     * scan stage, no shuffle, no UDF.
     */
   def docChunks(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    chunksOf(Tables.documents(s, d))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The chunk expansion with the grouping columns still attached —
+    * shared by [[docChunks]] and [[seqPack]].
+    */
+  private def chunksOf(docs: DataFrame): DataFrame =
+    docs
       // empty-text guard: on length 0 the chunk-count expression
       // diverges between engines (Spark DIV truncates toward zero →
       // one empty chunk; DuckDB // floors → none). Excluding empty
       // docs pins "no text → no chunks" in both.
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), col("source"), posexplode(expr(
         s"""transform(sequence(0, CAST((length(text)-1) DIV $ChunkStride AS INT)),
            |          i -> substring(text, i*$ChunkStride + 1, $ChunkSize))""".stripMargin))
         .as(Seq("chunk_idx", "chunk")))
       .withColumn("chunk_len", length(col("chunk")))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val PackBudget = 512
+
+  /** Sequence packing: assign chunks to fixed-budget context windows —
+    * the step between [[docChunks]] and the tokenizer that decides
+    * which chunks share a training sequence. A chunk lands in the
+    * window where its shard-local running length STARTS
+    * (`(cum − len) DIV budget`), so windows fill contiguously in
+    * (doc_id, chunk_idx) order and a chunk straddling the budget stays
+    * with the window it started in — the split-free approximation of
+    * greedy packing (exact greedy is inherently sequential state; this
+    * form is pure window algebra both engines express identically).
+    *
+    * Scale posture: packing is ORDER-DEFINED, so some sequential span
+    * is irreducible — the shard key bounds it. Partitioning by
+    * `source` (at fleet scale: (source, day)) keeps each running sum
+    * local to one shard's sort, windows never cross shards, and
+    * document locality inside a window is preserved by the (doc_id,
+    * chunk_idx) order. One shuffle (the window sort); the rollup
+    * reuses the same partitioning.
+    */
+  def seqPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunksOf(Tables.documents(s, d))
+      .withColumn("cum", sum(col("chunk_len")).over(w))
+      .withColumn("window_id", expr(s"(cum - chunk_len) DIV $PackBudget"))
+      .groupBy(col("source"), col("window_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("n_chars"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("source"), col("window_id"))
+  }
 
   /** Per-document salient terms: whitespace tokenize → term frequency →
     * document frequency → smoothed TF-IDF
@@ -309,6 +349,7 @@ object TrainingPrep {
     "q_asof_join"         -> QueryDef(asOfJoin, Some(TrainingOracles.asOfJoin)),
     "q_stratified_sample" -> QueryDef(stratifiedSample, Some(TrainingOracles.stratifiedSample)),
     "q_doc_chunks"        -> QueryDef(docChunks, Some(TrainingOracles.docChunks)),
+    "q_seq_pack"          -> QueryDef(seqPack, Some(TrainingOracles.seqPack)),
     "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms)),
     "q_tfidf_cached"      -> QueryDef(tfidfTopTermsCached, Some(TrainingOracles.tfidfTopTerms)),
     "q_pii_redact"        -> QueryDef(piiRedact, Some(TrainingOracles.piiRedact)))
@@ -344,6 +385,33 @@ object TrainingOracles {
        |  CASE event_type WHEN 'purchase' THEN 1000 WHEN 'click' THEN 100
        |                  WHEN 'view' THEN 10 ELSE 50 END
        |ORDER BY event_id""".stripMargin
+
+  /** Same chunk algebra as [[TrainingOracles.docChunks]], same
+    * start-position window assignment and shard-local running sum as
+    * [[TrainingPrep.seqPack]]. `cum − chunk_len` is non-negative, so
+    * Spark's truncating DIV and DuckDB's flooring `//` agree.
+    */
+  val seqPack: String =
+    """WITH pos AS (
+      |  SELECT doc_id, source, text,
+      |    unnest(generate_series(0, (length(text)-1)//100)) AS i
+      |  FROM documents WHERE length(text) > 0),
+      |chunks AS (
+      |  SELECT doc_id, source, CAST(i AS INT) AS chunk_idx,
+      |    CAST(length(substring(text, CAST(i*100+1 AS INT), 150)) AS INT) AS chunk_len
+      |  FROM pos),
+      |cums AS (
+      |  SELECT source, doc_id, chunk_idx, chunk_len,
+      |    sum(chunk_len) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM chunks)
+      |SELECT source, CAST((cum - chunk_len) // 512 AS BIGINT) AS window_id,
+      |  count(*) AS n_chunks,
+      |  CAST(sum(chunk_len) AS BIGINT) AS n_chars,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM cums
+      |GROUP BY 1, 2
+      |ORDER BY source, window_id""".stripMargin
 
   val docChunks: String =
     """WITH pos AS (
