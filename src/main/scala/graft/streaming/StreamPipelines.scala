@@ -374,6 +374,39 @@ object StreamPipelines {
         TimeMode.EventTime(), OutputMode.Update())
   }
 
+  /** Streaming heavy hitters — the transformWithState twin of the batch
+    * Space-Saving aggregate ([[graft.functions.SketchFunctions]]):
+    * continuous top talkers over an unbounded stream with state that
+    * never grows past `shards × capacity` counters, regardless of key
+    * cardinality or stream length.
+    *
+    * Sharding is the scale mechanism: keys hash-partition into
+    * `shards` disjoint substreams, each shard key owns ONE
+    * [[graft.functions.SpaceSavingState]] sketch (primitive arrays, the
+    * same state the batch aggregate uses per partition), and shards
+    * process in parallel across executors. Because the shards'
+    * key spaces are disjoint, every item's full stream count lands in
+    * exactly one sketch, so the per-shard (est, err) bounds
+    * (`est ≥ true ≥ est − err`) survive the consumer-side
+    * `mergeWith` that produces the global summary — the streaming form
+    * of the batch aggregate's partial→merge contract, with micro-batches
+    * in place of partitions. Each batch emits the touched shards'
+    * full summaries (≤ capacity rows per shard, `seq`-stamped so the
+    * latest summary per shard wins downstream).
+    */
+  def streamingHeavyHitters(
+      events: DataFrame, shards: Int = 8,
+      capacity: Int = 64): org.apache.spark.sql.Dataset[HeavyHitterUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"),
+        pmod(xxhash64(col("user_id")), lit(shards)).cast("int").as("shard"))
+      .as[(Long, Int)]
+      .groupByKey(_._2)
+      .transformWithState(new ShardedSpaceSavingProcessor(capacity),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming near-duplicate suppression — the streaming counterpart
     * of [[graft.operators.Dedup.minhashDedup]]: documents arriving on a
     * stream are checked against everything seen so far WITHOUT holding
@@ -716,6 +749,57 @@ class StreamingAsOfProcessor
     if (keptP.isEmpty) pending.clear() else pending.put(keptP.toArray)
     updates.update(seq)
     out.iterator
+  }
+}
+
+/** One summary row of [[StreamPipelines.streamingHeavyHitters]]:
+  * shard-local Space-Saving counter for `item` after a batch touched
+  * the shard (`est ≥ true count ≥ est − err` within the shard's
+  * substream). `seq` is the shard's batch ordinal — consumers keep each
+  * shard's max-seq rows and merge shard summaries for the global top-k.
+  */
+case class HeavyHitterUpdate(shard: Int, item: Long, est: Long, err: Long, seq: Long)
+
+/** Shard-keyed Space-Saving state for
+  * [[StreamPipelines.streamingHeavyHitters]]: one sketch per shard,
+  * persisted as its three trimmed counter arrays — fixed
+  * O(capacity) state per shard forever, the entire point of the
+  * sketch. The per-row path is [[graft.functions.SpaceSavingState.add]]
+  * — the same primitive-array probe/evict loop as the batch aggregate.
+  */
+class ShardedSpaceSavingProcessor(capacity: Int)
+    extends StatefulProcessor[Int, (Long, Int), HeavyHitterUpdate] {
+  import org.apache.spark.sql.Encoders
+
+  @transient private var sketch: ValueState[(Array[Long], Array[Long], Array[Long])] = _
+  @transient private var updates: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sketch = getHandle.getValueState[(Array[Long], Array[Long], Array[Long])]("sketch",
+      Encoders.product[(Array[Long], Array[Long], Array[Long])], TTLConfig.NONE)
+    updates = getHandle.getValueState[Long]("updates", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Int,
+      rows: Iterator[(Long, Int)],
+      timerValues: TimerValues): Iterator[HeavyHitterUpdate] = {
+    val st = new graft.functions.SpaceSavingState(capacity)
+    if (sketch.exists()) {
+      val (it, cn, er) = sketch.get()
+      var i = 0
+      while (i < it.length) {
+        st.items(i) = it(i); st.counts(i) = cn(i); st.errs(i) = er(i)
+        i += 1
+      }
+      st.size = it.length
+    }
+    rows.foreach { case (item, _) => st.add(item) }
+    sketch.update((st.items.take(st.size), st.counts.take(st.size), st.errs.take(st.size)))
+    val seq = (if (updates.exists()) updates.get() else 0L) + 1L
+    updates.update(seq)
+    st.sorted.iterator.map { case (item, est, err) =>
+      HeavyHitterUpdate(key, item, est, err, seq)
+    }
   }
 }
 

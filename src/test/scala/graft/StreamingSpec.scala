@@ -464,6 +464,54 @@ class StreamingSpec extends SparkSpec {
     assert(all.filter(_._1 == 101L).maxBy(_._7)._6, "101 should be final after batch4")
   }
 
+  test("streaming heavy hitters: merged shard summaries bound exact counts") {
+    // heavy keys spread across batches + enough tail keys per shard to
+    // force evictions (capacity 8 per shard), so est/err are non-trivial
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    val mem = MemoryStream[Long](session)
+    val q = StreamPipelines.streamingHeavyHitters(
+        mem.toDF().toDF("user_id"), shards = 4, capacity = 8)
+      .toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hh_out").start()
+
+    val batch1 = Seq.fill(30)(1L) ++ Seq.fill(20)(2L) ++ (100L to 120L)
+    val batch2 = Seq.fill(20)(1L) ++ Seq.fill(25)(3L) ++ (121L to 140L)
+    val batch3 = Seq.fill(15)(2L) ++ (141L to 150L)
+    Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    // latest summary per shard, rebuilt into SpaceSavingStates, merged
+    val all = session.table("hh_out")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    val global = new graft.functions.SpaceSavingState(8)
+    all.groupBy(_._1).values.foreach { rows =>
+      val latest = rows.filter(_._5 == rows.map(_._5).max)
+      val st = new graft.functions.SpaceSavingState(8)
+      latest.foreach { case (_, item, est, err, _) =>
+        st.items(st.size) = item; st.counts(st.size) = est; st.errs(st.size) = err
+        st.size += 1
+      }
+      global.mergeWith(st)
+    }
+    val exact = (batch1 ++ batch2 ++ batch3).groupBy(identity).view.mapValues(_.size.toLong)
+
+    // every reported counter brackets the true count
+    val reported = global.sorted
+    reported.foreach { case (item, est, err) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(est >= t && t >= est - err, s"item $item: est=$est err=$err true=$t")
+    }
+    // the three planted heavy keys must all be present at the top
+    val items = reported.map(_._1).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(items), s"heavy keys missing from $items")
+  }
+
   test("zscore classifier flags spike vs baseline and new key with high traffic") {
     val counts = Seq(("spiky", 500L), ("normal", 10L), ("newcomer", 150L))
       .toDF("remote_addr", "request_count")
