@@ -207,7 +207,31 @@ object ScaleOps {
       .orderBy(col("user_id"))
   }
 
+  /** Shuffle-key skew profile — the diagnostic a pipeline runs BEFORE
+    * a big join/aggregation on a key to decide whether it needs
+    * [[graft.operators.Skew.saltedJoin]] (or a bigger salt): per-key
+    * row counts reduced to their distribution (max, mean, exact p50 and
+    * p99, max/mean skew ratio). Two aggregates: the per-key count is
+    * map-side combinable on the key, and the single-row rollup then
+    * reduces ONE count per distinct key — at 100 TB the shuffle carries
+    * key cardinality, not row count. Exact percentiles over the count
+    * column are fine here precisely because the input to the rollup is
+    * already one row per key.
+    */
+  def skewProfile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        round(avg(col("cnt")), 4).as("avg_cnt"),
+        round(expr("percentile(cnt, 0.5)"), 4).as("p50_cnt"),
+        round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"),
+        round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_skew_profile"        -> QueryDef(skewProfile, Some(ScaleOracles.skewProfile)),
     "q_fullouter_compare"   -> QueryDef(fullOuterCompare, Some(ScaleOracles.fullOuterCompare)),
     "q_value_histogram"     -> QueryDef(valueHistogram, Some(ScaleOracles.valueHistogram)),
     "q_mips_topk"           -> QueryDef(mipsTopK, Some(ScaleOracles.mipsTopK)),
@@ -219,6 +243,18 @@ object ScaleOps {
 
 /** DuckDB oracles for [[ScaleOps]] — same aliases, ORDER BY, rounding. */
 object ScaleOracles {
+
+  val skewProfile: String =
+    """WITH counts AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+      |SELECT count(*) AS n_keys,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  max(cnt) AS max_cnt,
+      |  round(avg(cnt), 4) AS avg_cnt,
+      |  round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+      |  round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+      |  round(max(cnt) / avg(cnt), 4) AS skew_ratio
+      |FROM counts""".stripMargin
 
   private val dotSql =
     """list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1] * x[2]))"""
