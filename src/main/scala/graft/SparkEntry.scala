@@ -25,6 +25,7 @@ object SparkEntry {
     operators.TypedSessions.defs,
     operators.TrainingPrep.defs,
     operators.ScaleOps.defs,
+    operators.Graph.defs,
     sources.CatalogTables.defs,
     sources.FileFormats.defs)
 

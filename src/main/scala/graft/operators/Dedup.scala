@@ -231,48 +231,21 @@ object Dedup {
       .filter(graft.functions.NgramJaccardFunctions.jaccardSorted(col("ga"), col("gb")) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
 
-    // canonical id: synchronous min-label propagation over the verified
-    // edges — one hop per iteration, run TO CONVERGENCE: each round
-    // counts the labels it changed (a cheap second job over the round's
-    // checkpoint) and the loop stops at zero changes, capped at 10.
-    // The star hub keeps real clusters at diameter ~2 so the typical
-    // run is 2 changing rounds + 1 confirming round — the same work as
-    // the earlier fixed-3 loop — but chain-shaped components (template
-    // drift at 100 TB produces arbitrarily long similarity chains) now
-    // collapse fully instead of being silently truncated at diameter 3
-    // (VERDICT r6 item 5; DedupSpec plants a diameter-5 chain). The cap
-    // bounds the worst case: min-label propagation halves the remaining
-    // diameter's frontier each round only on star graphs, so a cap of
-    // 10 covers any component a 16-band LSH bucket graph plausibly
-    // yields; at the cap the loop degrades to the old truncation
-    // behavior rather than looping unboundedly.
-    // localCheckpoint each round: the loop references `labels` twice
-    // per iteration, and without lineage truncation the plan doubles
-    // per round. (Measured and rejected: restricting propagation to the
-    // edge-vertex subgraph — this fixture corpus is dup-dense, so the
-    // vertex set ≈ the corpus and the extra distinct + final re-join
-    // cost ~1 s for nothing. At sparse dup rates the restriction is the
-    // right call; it is a one-line change where `labels` initializes.)
-    val undirected = verified.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(verified.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label"))
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 10) {
-      rounds += 1
-      val nbrLabel = undirected
-        .join(labels.select(col("doc_id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("nbr_label")).as("min_nbr_label"))
-      val next = labels
-        .join(nbrLabel.select(col("src").as("doc_id"), col("min_nbr_label")), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("old_label")).count()
-      labels = next.select(col("doc_id"), col("label"))
-    }
+    // canonical id: convergent min-label propagation over the verified
+    // edges — [[Graph.connectedComponents]], the general operator this
+    // loop was extracted into (see its scaladoc for the convergence,
+    // cap, and checkpoint arguments; the star hub keeps real dup
+    // clusters at diameter ~2, and DedupSpec plants a diameter-5 chain
+    // to pin full collapse — VERDICT r6 item 5). Propagation runs over
+    // the FULL vertex set rather than the edge-vertex subgraph:
+    // measured on this dup-dense corpus the subgraph restriction costs
+    // ~1 s of distinct + re-join for nothing; at sparse dup rates the
+    // restriction is the right call and is a one-line change at the
+    // `vertices` argument.
+    val labels = Graph.connectedComponents(
+        Tables.documents(s, d).select(col("doc_id").as("id")),
+        verified.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("label"))
 
     // bucket-mate degree (linear rollup, not a pair count)
     val bucketSizes = banded.groupBy(col("band"), col("key"))

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Distributed connected components — min-label propagation run to
+  * convergence, extracted from the MinHash dedup pipeline
+  * ([[Dedup.minhashDedup]]) into a general graph operator: cluster ids
+  * over ANY similarity/relation edge set (near-dup clusters, account
+  * linking, co-click graphs).
+  *
+  * Algorithm: every vertex starts as its own label; each round, each
+  * vertex takes the minimum label among itself and its neighbors; the
+  * loop stops when a round changes zero labels (delta-counted on the
+  * round's checkpoint — a cheap second job), capped to bound adversarial
+  * diameters. At convergence every vertex holds its component's global
+  * minimum vertex id — exact connected components, which is what lets a
+  * recursive-CTE transitive closure in DuckDB serve as the oracle.
+  *
+  * Scale shape: per round, one join of the edge list against the
+  * current labels (both sides hash-partitioned on the join key — at
+  * 100 TB both would be bucketed on vertex id so rounds reuse one
+  * partitioning) + one min-aggregate per vertex; the edge list is
+  * checkpointed once and reused every round. Rounds scale with
+  * component DIAMETER, not size — dup-cluster graphs with star/hub
+  * shapes converge in 2-3 rounds. (For adversarially long chains the
+  * structural alternative is large-star/small-star, which squares the
+  * contraction per round; measured unnecessary for banded-LSH bucket
+  * graphs, whose hubs keep diameters tiny.)
+  */
+object Graph {
+
+  /** Labels every vertex of `vertices` ("id") with the minimum vertex
+    * id reachable through `edges` ("src", "dst"; directed input is
+    * symmetrized here). Vertices with no edges keep their own id.
+    * Returns ("id", "component").
+    */
+  def connectedComponents(
+      vertices: DataFrame, edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col("id"), col("id").as("component"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      rounds += 1
+      val nbrMin = undirected
+        .join(labels.select(col("id").as("dst"), col("component").as("nbr")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
+        .select(col("id"), col("component").as("old_component"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next.filter(col("component") =!= col("old_component")).count()
+      labels = next.select(col("id"), col("component"))
+    }
+    labels
+  }
+
+  /** Near-dup document clusters over the EXACT blocked n-gram Jaccard
+    * edge set ([[Dedup.ngramJaccard]] at its 0.2 threshold): component
+    * id + size per document. Fully SQL-expressible end to end — the
+    * DuckDB oracle re-derives the same edges from raw text and closes
+    * them with a recursive-CTE transitive closure, so this query
+    * cross-checks the whole propagation loop with no pinned artifact
+    * (the technique [[DedupOracles.minhashDedup]] applies to the hashed
+    * pipeline, applied here hash-free).
+    */
+  def docComponents(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.ngramJaccard(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val labels = connectedComponents(vertices, edges)
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("component_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_doc_components" -> QueryDef(docComponents, Some(GraphOracles.docComponents)))
+}
+
+/** DuckDB oracles for [[Graph]]. */
+object GraphOracles {
+
+  /** The [[DedupOracles.ngramJaccard]] edge derivation (same blocking,
+    * threshold, and rounding) closed into components by a recursive
+    * transitive closure, then sized — exact connected components to
+    * compare against the propagation loop's fixpoint.
+    */
+  val docComponents: String =
+    """WITH RECURSIVE pos AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |    unnest(generate_series(1, length(text) - 2)) AS i
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, lang, n_chars, substr(text, CAST(i AS INT), 3) AS g
+      |  FROM pos),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM grams a JOIN grams b
+      |    ON a.g = b.g AND a.lang = b.lang AND a.n_chars = b.n_chars
+      |       AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.2),
+      |und AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM edges
+      |  UNION
+      |  SELECT doc_b AS src, doc_a AS dst FROM edges),
+      |reach AS (
+      |  SELECT doc_id AS src, doc_id AS dst FROM documents
+      |  UNION
+      |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+      |labels AS (
+      |  SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+      |csz AS (
+      |  SELECT component, count(*) AS component_size FROM labels GROUP BY 1)
+      |SELECT l.doc_id, l.component, c.component_size
+      |FROM labels l JOIN csz c USING (component)
+      |ORDER BY doc_id""".stripMargin
+}
