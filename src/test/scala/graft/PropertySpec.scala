@@ -119,4 +119,63 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("space-saving sketch brackets exact counts under arbitrary splits and merges") {
+    // generated zipf-ish streams, split into random parts, each part
+    // sketched independently, parts merged in order — the exact shape
+    // of partials crossing partitions (batch) or micro-batches+shards
+    // (streaming). Pure JVM: no Spark job needed to pin the state class.
+    val streams = sample(
+      for {
+        nHeavy <- Gen.chooseNum(1, 4)
+        heavyReps <- Gen.chooseNum(20, 60)
+        nTail <- Gen.chooseNum(10, 80)
+        nParts <- Gen.chooseNum(1, 5)
+        shuffleSeed <- Gen.chooseNum(0L, 1000L)
+      } yield (nHeavy, heavyReps, nTail, nParts, shuffleSeed), 50)
+
+    for (((nHeavy, heavyReps, nTail, nParts, shuffleSeed), tc) <- streams.zipWithIndex) {
+      val items = (1 to nHeavy).flatMap(h => Seq.fill(heavyReps)(h.toLong)) ++
+        (100L until (100L + nTail))
+      val shuffled = new scala.util.Random(shuffleSeed).shuffle(items)
+      val parts = shuffled.grouped(math.max(1, shuffled.size / nParts)).toSeq
+      val global = new graft.functions.SpaceSavingState(8)
+      parts.foreach { p =>
+        val st = new graft.functions.SpaceSavingState(8)
+        p.foreach(st.add)
+        global.mergeWith(st)
+      }
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      global.sorted.foreach { case (item, est, err) =>
+        val t = exact.getOrElse(item, 0L)
+        assert(est >= t && t >= est - err,
+          s"case $tc item $item: est=$est err=$err true=$t")
+      }
+      // guaranteed recall: anything above N/capacity must be reported
+      val n = items.size.toLong
+      val reported = global.sorted.map(_._1).toSet
+      exact.collect { case (item, c) if c > n / 8 =>
+        assert(reported(item), s"case $tc heavy item $item (count $c, n $n) missing")
+      }
+    }
+  }
+
+  test("sequence packing partitions chunks into dense contiguous windows") {
+    // invariants over the real fixture: (a) the window rollup is a
+    // PARTITION of the chunk set (counts and chars both reconcile);
+    // (b) window ids per source are dense from 0 (chunk lengths are
+    // <= budget, so the running sum can never skip a window).
+    val packed = graft.operators.TrainingPrep.seqPack(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val chunks = graft.operators.TrainingPrep.docChunks(spark, sf)
+      .agg(count(lit(1)), sum(col("chunk_len")))
+      .as[(Long, Long)].head()
+    assert(packed.map(_._3).sum == chunks._1, "window n_chunks must sum to the chunk count")
+    assert(packed.map(_._4).sum == chunks._2, "window n_chars must sum to total chunk chars")
+    packed.groupBy(_._1).foreach { case (src, ws) =>
+      val ids = ws.map(_._2).sorted
+      assert(ids.head == 0L && ids.last == ids.size - 1L,
+        s"source $src windows not dense from 0: ${ids.toSeq}")
+    }
+  }
 }
