@@ -353,7 +353,14 @@ object Dedup {
     * the property that carries to 100 TB, where the blocking key is
     * replaced by MinHash band keys ([[minhashDedup]]).
     */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardEdges(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unordered edge set behind [[ngramJaccard]] — consumers that
+    * feed a downstream operator ([[Graph.docComponents]]) skip the
+    * final sort exchange the reporting query pays for its ORDER BY.
+    */
+  def ngramJaccardEdges(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
     val docs = Tables.documents(s, d)
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars"),
@@ -370,7 +377,6 @@ object Dedup {
         round(graft.functions.NgramJaccardFunctions.jaccard3(col("text_a"), col("text_b")), 4))
       .filter(col("jaccard") >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Persist the at-rest dedup index for INCREMENTAL admission: two

@@ -70,7 +70,7 @@ object Graph {
     * pipeline, applied here hash-free).
     */
   def docComponents(s: SparkSession, d: String): DataFrame = {
-    val edges = Dedup.ngramJaccard(s, d)
+    val edges = Dedup.ngramJaccardEdges(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
     val labels = connectedComponents(vertices, edges)
