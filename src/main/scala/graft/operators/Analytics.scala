@@ -549,6 +549,53 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** 7-day trailing moving average of daily value per event type —
+    * the smoothing query every traffic dashboard carries. Daily totals
+    * are exact-cents LONGs (the SqlDashboard money convention), so the
+    * window average divides an exact integer sum — no float
+    * summation-order drift for round(·,4) to absorb. ROWS framing over
+    * the aggregated day series: one agg exchange + one window sort per
+    * type; the window input is days × types, thousands of rows at any
+    * corpus size.
+    */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-6, 0)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(col("event_type"), col("day"),
+        (col("cents") / lit(100e0)).as("daily_value"),
+        round(avg(col("cents")).over(w) / 100, 4).as("trailing7_avg"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Robust anomaly scoring: median + MAD (median absolute deviation)
+    * per event type — the z-score family's outlier-resistant sibling
+    * (a handful of extreme values shifts a mean/stddev baseline but
+    * not a median/MAD one). Both centers are rounded to 4dp BEFORE the
+    * 3×MAD predicate so the flag never rides on the last ulp of an
+    * interpolated percentile; the deviations then compare identically
+    * in both engines. Two aggregate passes + one broadcast-size join
+    * per pass (5 rows of per-type centers).
+    */
+  def madAnomaly(s: SparkSession, d: String): DataFrame = {
+    val med = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val dev = Tables.events(s, d).select(col("event_type"), col("value"))
+      .join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"), col("med"))
+      .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+    dev.join(mad, Seq("event_type", "med"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(
+        sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_anomalies"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   def userRetention(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
@@ -680,6 +727,8 @@ object Analytics {
     "q_latency_percentiles_approx" -> QueryDef(latencyPercentilesApprox, None),
     "q_log_ingest"       -> QueryDef(logIngest, None),
     "q_user_retention"   -> QueryDef(userRetention, Some(OracleSql.userRetention)),
+    "q_moving_avg"       -> QueryDef(movingAvg, Some(OracleSql.movingAvg)),
+    "q_mad_anomaly"      -> QueryDef(madAnomaly, Some(OracleSql.madAnomaly)),
     "q_funnel"           -> QueryDef(funnel, Some(OracleSql.funnel)),
     "q_stats_profile"    -> QueryDef(statsProfile, Some(OracleSql.statsProfile)))
 }

@@ -276,6 +276,35 @@ object OracleSql {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  val movingAvg: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day,
+      |  cents / 100e0 AS daily_value,
+      |  round(avg(cents) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100, 4) AS trailing7_avg
+      |FROM daily
+      |ORDER BY event_type, day""".stripMargin
+
+  val madAnomaly: String =
+    """WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, med, round(quantile_cont(adev, 0.5), 4) AS mad
+      |  FROM dev GROUP BY 1, 2)
+      |SELECT d.event_type, d.med, m.mad,
+      |  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |  count(*) AS n
+      |FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |GROUP BY 1, 2, 3
+      |ORDER BY d.event_type""".stripMargin
+
   val userRetention: String =
     """WITH daily AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

@@ -230,8 +230,40 @@ object ScaleOps {
         round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"),
         round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"))
 
+  /** Activity-decile bucketing of users WITHOUT a global window.
+    * `ntile(10)` is the textbook formulation and a classic scale trap:
+    * a window with no PARTITION BY collapses the whole table into one
+    * partition. Here the decile CUTPOINTS are computed first (nine
+    * exact percentiles of the per-user count distribution — one tiny
+    * aggregate over one row per user), broadcast, and each user is
+    * bucketed by counting cutpoints strictly below its activity — a
+    * scan-stage CASE chain. Equal-probability bins rather than exactly
+    * equal-size bins: heavy ties at a cutpoint land in one bucket
+    * (documented tradeoff; cutpoints rounded to 4dp first so the
+    * comparison is engine-stable).
+    */
+  def userDeciles(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val cutCols = (1 to 9).map(k =>
+      round(expr(s"percentile(n_events, 0.$k)"), 4).as(s"c$k"))
+    val cuts = counts.agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).map(k =>
+      when(col("n_events") > col(s"c$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    counts.crossJoin(broadcast(cuts))
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("total_events"),
+        min(col("n_events")).as("min_events"),
+        max(col("n_events")).as("max_events"))
+      .orderBy(col("decile"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_skew_profile"        -> QueryDef(skewProfile, Some(ScaleOracles.skewProfile)),
+    "q_user_deciles"        -> QueryDef(userDeciles, Some(ScaleOracles.userDeciles)),
     "q_fullouter_compare"   -> QueryDef(fullOuterCompare, Some(ScaleOracles.fullOuterCompare)),
     "q_value_histogram"     -> QueryDef(valueHistogram, Some(ScaleOracles.valueHistogram)),
     "q_mips_topk"           -> QueryDef(mipsTopK, Some(ScaleOracles.mipsTopK)),
@@ -243,6 +275,26 @@ object ScaleOps {
 
 /** DuckDB oracles for [[ScaleOps]] — same aliases, ORDER BY, rounding. */
 object ScaleOracles {
+
+  val userDeciles: String = {
+    val cutDefs = (1 to 9)
+      .map(k => s"round(quantile_cont(n_events, 0.$k), 4) AS c$k").mkString(",\n      |    ")
+    val bucket = (1 to 9)
+      .map(k => s"CASE WHEN n_events > c$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH counts AS (
+       |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+       |cuts AS (
+       |  SELECT $cutDefs
+       |  FROM counts)
+       |SELECT ($bucket) AS decile,
+       |  count(*) AS n_users,
+       |  CAST(sum(n_events) AS BIGINT) AS total_events,
+       |  min(n_events) AS min_events,
+       |  max(n_events) AS max_events
+       |FROM counts, cuts
+       |GROUP BY 1
+       |ORDER BY decile""".stripMargin
+  }
 
   val skewProfile: String =
     """WITH counts AS (
