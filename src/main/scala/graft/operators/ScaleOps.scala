@@ -230,6 +230,42 @@ object ScaleOps {
         round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"),
         round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"))
 
+  /** N-gram-overlap decontamination — the contamination check exact
+    * matching misses: a training document that paraphrases around a
+    * verbatim benchmark PASSAGE shares word n-grams with it even
+    * though no full text matches (the standard eval-contamination
+    * methodology for LLM corpora; [[bloomDecontaminate]] and
+    * `decontaminate` handle the exact-copy case). Flags every
+    * training doc sharing at least one word 5-gram with any benchmark
+    * doc, with collision counts.
+    *
+    * Shape at scale: benchmark grams are the SMALL side (held-out
+    * suites are fixed-size; the corpus is not) — distinct'd and
+    * broadcast, so the 100 TB training side streams through a
+    * scan-stage explode + broadcast semi-ish join and only colliding
+    * grams reach the per-doc count exchange. Gram strings would be
+    * xxhash64'd at real scale (8-byte probes, same collisions-only
+    * cost); kept as strings here so the oracle replays them verbatim.
+    */
+  def ngramDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val n = 5
+    def gramsOf(df: DataFrame): DataFrame = df
+      .withColumn("ws", expr("filter(split(text, ' '), w -> w != '')"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
+        .as("g"))
+    val docs = Tables.documents(s, d)
+    val benchGrams = gramsOf(docs.filter(graft.GoldenHash.isTestDoc(col("doc_id"))))
+      .select(col("g")).distinct()
+    gramsOf(docs.filter(!graft.GoldenHash.isTestDoc(col("doc_id"))))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_grams_hit"),
+        count(lit(1)).as("n_positions"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Activity-decile bucketing of users WITHOUT a global window.
     * `ntile(10)` is the textbook formulation and a classic scale trap:
     * a window with no PARTITION BY collapses the whole table into one
@@ -264,6 +300,7 @@ object ScaleOps {
   val defs: Map[String, QueryDef] = Map(
     "q_skew_profile"        -> QueryDef(skewProfile, Some(ScaleOracles.skewProfile)),
     "q_user_deciles"        -> QueryDef(userDeciles, Some(ScaleOracles.userDeciles)),
+    "q_ngram_decontaminate" -> QueryDef(ngramDecontaminate, Some(ScaleOracles.ngramDecontaminate)),
     "q_fullouter_compare"   -> QueryDef(fullOuterCompare, Some(ScaleOracles.fullOuterCompare)),
     "q_value_histogram"     -> QueryDef(valueHistogram, Some(ScaleOracles.valueHistogram)),
     "q_mips_topk"           -> QueryDef(mipsTopK, Some(ScaleOracles.mipsTopK)),
@@ -275,6 +312,28 @@ object ScaleOps {
 
 /** DuckDB oracles for [[ScaleOps]] — same aliases, ORDER BY, rounding. */
 object ScaleOracles {
+
+  val ngramDecontaminate: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+       |  FROM documents),
+       |eligible AS (SELECT doc_id, ws FROM ws WHERE len(ws) >= 5),
+       |pos AS (
+       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+       |  FROM eligible),
+       |grams AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS g
+       |  FROM pos),
+       |bench AS (
+       |  SELECT DISTINCT g FROM grams WHERE ${graft.GoldenHash.isTestDocSql})
+       |SELECT t.doc_id,
+       |  count(DISTINCT t.g) AS n_grams_hit,
+       |  count(*) AS n_positions
+       |FROM grams t JOIN bench b ON t.g = b.g
+       |WHERE ${graft.GoldenHash.isTrainDocSql.replace("doc_id", "t.doc_id")}
+       |GROUP BY 1
+       |ORDER BY t.doc_id""".stripMargin
 
   val userDeciles: String = {
     val cutDefs = (1 to 9)
