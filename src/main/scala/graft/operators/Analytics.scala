@@ -596,6 +596,36 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Time-series gap filling: the dense (event_type × hour) grid with
+    * zero-filled missing cells — what every downstream chart, forecast,
+    * or moving average silently assumes and raw GROUP BY does not
+    * provide (an hour with no events has no row, which a naive
+    * trailing window then skips). The grid is generated, not stored:
+    * distinct types × a broadcast 2-value bounds row exploded by
+    * `sequence(h0, h1, 1 hour)` inside the scan stage, then one left
+    * join against the observed hourly counts. Grid size is
+    * types × hours — thousands of rows regardless of corpus size — so
+    * the join's build side stays broadcastable forever.
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(
+      min(date_trunc("hour", col("ts"))).as("h0"),
+      max(date_trunc("hour", col("ts"))).as("h1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.as("filled"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   def userRetention(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
@@ -729,6 +759,7 @@ object Analytics {
     "q_user_retention"   -> QueryDef(userRetention, Some(OracleSql.userRetention)),
     "q_moving_avg"       -> QueryDef(movingAvg, Some(OracleSql.movingAvg)),
     "q_mad_anomaly"      -> QueryDef(madAnomaly, Some(OracleSql.madAnomaly)),
+    "q_gap_fill"         -> QueryDef(gapFill, Some(OracleSql.gapFill)),
     "q_funnel"           -> QueryDef(funnel, Some(OracleSql.funnel)),
     "q_stats_profile"    -> QueryDef(statsProfile, Some(OracleSql.statsProfile)))
 }

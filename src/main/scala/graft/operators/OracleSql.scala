@@ -276,6 +276,24 @@ object OracleSql {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  val gapFill: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT min(date_trunc('hour', ts)) AS h0, max(date_trunc('hour', ts)) AS h1
+      |  FROM events),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM types, bounds)
+      |SELECT g.event_type, g.hour,
+      |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+      |  h.n IS NULL AS filled
+      |FROM grid g LEFT JOIN hourly h
+      |  ON g.event_type = h.event_type AND g.hour = h.hour
+      |ORDER BY g.event_type, g.hour""".stripMargin
+
   val movingAvg: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
