@@ -376,6 +376,29 @@ object Analytics {
         exactSum(col("o_totalprice"), 100).as("revenue"))
       .orderBy(col("c_mktsegment"), col("n_name"))
 
+  /** TPC-H Q3-shape shipping priority: the classic selective
+    * fact-fact-dim join → aggregate → top-k. The filtered customer
+    * segment broadcasts explicitly; the orders side carries its date
+    * filter into the scan (pushed-down, plan-audited class) and AQE
+    * picks the lineitem⋈orders strategy from runtime sizes. Revenue is
+    * exact-cents (order-independent LONG sum), so the DESC ordering
+    * never depends on float summation order; l_orderkey breaks ties
+    * deterministically in both engines.
+    */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = "1998-01-01 00:00:00"
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(cut))
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < lit(cut)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Set operations (absent from reference, SURVEY.md §2.6): keys seen in
     * the current window but absent from history = EXCEPT (anti-join
     * under the hood), plus an INTERSECT sanity branch via union of
@@ -760,6 +783,7 @@ object Analytics {
     "q_moving_avg"       -> QueryDef(movingAvg, Some(OracleSql.movingAvg)),
     "q_mad_anomaly"      -> QueryDef(madAnomaly, Some(OracleSql.madAnomaly)),
     "q_gap_fill"         -> QueryDef(gapFill, Some(OracleSql.gapFill)),
+    "q_shipping_priority" -> QueryDef(shippingPriority, Some(OracleSql.shippingPriority)),
     "q_funnel"           -> QueryDef(funnel, Some(OracleSql.funnel)),
     "q_stats_profile"    -> QueryDef(statsProfile, Some(OracleSql.statsProfile)))
 }

@@ -276,6 +276,19 @@ object OracleSql {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  val shippingPriority: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000e0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   val gapFill: String =
     """WITH hourly AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
