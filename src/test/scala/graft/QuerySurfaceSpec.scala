@@ -12,6 +12,30 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("round-7 additions keep their scale-critical plan properties") {
+    // ngram decontamination: the benchmark gram side must be BROADCAST
+    // (the training side streams; a shuffle join here would reshuffle
+    // the 100 TB side on gram strings)
+    val decon = operators.ScaleOps.ngramDecontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(decon.contains("BroadcastHashJoin") || decon.contains("BroadcastExchange"),
+      s"benchmark grams not broadcast:\n$decon")
+    // shipping priority: both date filters must reach their parquet
+    // scans as pushed filters, not post-scan Filter-only predicates
+    val ship = operators.Analytics.shippingPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ship.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate,"),
+      s"l_shipdate filter not pushed:\n$ship")
+    assert(ship.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate,"),
+      s"o_orderdate filter not pushed:\n$ship")
+    // user deciles: the nine cutpoints join as a broadcast nested loop
+    // over ONE row — never a shuffle of the per-user counts
+    val dec = operators.ScaleOps.userDeciles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(dec.contains("BroadcastNestedLoopJoin") || dec.contains("BroadcastExchange"),
+      s"cutpoints not broadcast:\n$dec")
+  }
+
   test("every query runs non-empty at sf0.001") {
     // The anomaly-row extractions are legitimately empty at sf0.001
     // (no |z|>3 hour in 1k events; their DuckDB oracles agree) — they
