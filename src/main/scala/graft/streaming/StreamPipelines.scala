@@ -92,6 +92,26 @@ object StreamPipelines {
       .agg(count(lit(1)).as("request_count"),
         avg(col("request_time_seconds")).as("avg_request_time"))
 
+  /** Distinct visitors per tumbling window via the HLL++ sketch —
+    * `approx_count_distinct` inside a watermarked streaming aggregate.
+    * The sketch is the ONLY viable distinct in a stream at scale:
+    * exact distinct per window means per-window state linear in
+    * distinct keys, where the HLL partial is constant-size, mergeable
+    * across micro-batches by the same partial-merge machinery as any
+    * algebraic aggregate, and closes with the window at the watermark.
+    * The spec bounds the estimate against the known planted
+    * cardinality (batch twin of the bound: DedupSpec's HLL error spec).
+    */
+  def windowedDistinctUsers(
+      parsed: DataFrame,
+      windowLen: String = "1 minute",
+      watermark: String = "1 minute"): DataFrame =
+    parsed
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), windowLen))
+      .agg(approx_count_distinct(col("remote_addr")).as("approx_users"),
+        count(lit(1)).as("n_requests"))
+
   /** z-score classifier over per-key batch counts vs a historical
     * baseline — the reference's foreachBatch body
     * (predictions/anomaly_detection.py:56-75) as a pure batch function.

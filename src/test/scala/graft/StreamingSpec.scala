@@ -399,6 +399,34 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows(3L)._4 == 0, finalRows(3L).toString)
   }
 
+  test("windowed HLL distinct users closes windows with bounded error") {
+    val mem = MemoryStream[String](spark)
+    val parsed = graft.parse.LogParse.ingestChain(mem.toDF())
+    val q = StreamPipelines.windowedDistinctUsers(parsed,
+        windowLen = "1 minute", watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hll_win").start()
+    // 40 distinct addrs in minute 10:00 (some repeated), 5 in 10:01
+    val batch = (1 to 40).map(i =>
+      logLine(f"2025-07-25T10:00:${i % 60}%02d+00:00", s"ip-$i")) ++
+      (1 to 10).map(i => logLine("2025-07-25T10:00:30+00:00", s"ip-${i}")) ++
+      (1 to 5).map(i => logLine(f"2025-07-25T10:01:0$i+00:00", s"x-$i"))
+    mem.addData(batch: _*)
+    q.processAllAvailable()
+    mem.addData(logLine("2025-07-25T10:30:00+00:00", "closer"))
+    q.processAllAvailable()
+    q.stop()
+    val byWin = spark.table("hll_win")
+      .selectExpr("CAST(window.start AS STRING)", "approx_users", "n_requests")
+      .as[(String, Long, Long)].collect()
+      .map { case (w, u, n) => w -> ((u, n)) }.toMap
+    val (u0, n0) = byWin("2025-07-25 10:00:00")
+    assert(n0 == 50, s"window rows $n0")
+    assert(math.abs(u0 - 40) <= 4, s"HLL estimate $u0 vs 40 distinct (10% bound)")
+    val (u1, n1) = byWin("2025-07-25 10:01:00")
+    assert(n1 == 5 && math.abs(u1 - 5) <= 1, s"small window: $u1/$n1")
+  }
+
   test("streaming as-of join converges to the batch twin across out-of-order batches") {
     // both sides arrive out of order: a purchase before any click, late
     // clicks that must IMPROVE already-emitted answers (but never past
