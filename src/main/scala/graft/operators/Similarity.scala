@@ -209,6 +209,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PCA projection of the embedding column — the dimensionality
+    * reduction a vector pipeline runs before indexing (smaller vectors
+    * → cheaper ANN probes and quantization at identical recall for the
+    * variance captured). spark.ml PCA: one distributed Gramian
+    * (d×d, tiny — cost scales with rows once, not with pairs), SVD on
+    * the driver, then projection as a scan-stage matrix multiply.
+    * Rows-only check (DuckDB has no SVD); SimilaritySpec pins the
+    * algebraic invariants: orthonormal projection is NON-EXPANSIVE
+    * (pairwise distances never grow) and explained variance is
+    * monotone non-increasing with a floor on the captured total.
+    */
+  def embeddingPca(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.feature.PCA
+    val v = vecs(s, d).withColumn("fv", array_to_vector(col("v")))
+    val model = new PCA().setInputCol("fv").setOutputCol("pv").setK(k).fit(v)
+    model.transform(v)
+      .withColumn("pv_arr", vector_to_array(col("pv")))
+      // 6dp: two fits in one session must agree bit-for-bit for the
+      // determinism contract; rounding absorbs any reduce-order ulp
+      .select(col("vec_id"),
+        expr("transform(pv_arr, x -> round(x, 6))").as("projected"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid of the embedding column — the distributed
     * vector aggregation under KMeans/IVF training and class prototypes,
     * exposed as a query: posexplode to (label, dim, component), one
@@ -268,7 +293,8 @@ object Similarity {
     "q_embedding_lsh"     -> QueryDef(lshNearDup, None),
     "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), None),
     "q_embedding_centroids" -> QueryDef(embeddingCentroids, Some(SimilarityOracles.embeddingCentroids)),
-    "q_embedding_quantize" -> QueryDef(embeddingQuantize, Some(SimilarityOracles.embeddingQuantize)))
+    "q_embedding_quantize" -> QueryDef(embeddingQuantize, Some(SimilarityOracles.embeddingQuantize)),
+    "q_embedding_pca"     -> QueryDef((s, d) => embeddingPca(s, d), None))
 }
 
 /** DuckDB oracles — cosine via explicit DOUBLE list arithmetic

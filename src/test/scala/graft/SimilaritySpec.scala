@@ -102,4 +102,25 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect()
     assert(top.sameElements(Array(99L)))
   }
+
+  test("PCA projection is non-expansive and keeps dimensions/order") {
+    val k = 8
+    val proj = Similarity.embeddingPca(spark, sf, k)
+      .as[(Long, Array[Double])].collect().toMap
+    val orig = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(proj.nonEmpty && proj.values.forall(_.length == k))
+
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // orthonormal projection can only SHRINK distances (up to the 6dp
+    // output rounding slack) — checked over a deterministic pair sample
+    val ids = proj.keys.toSeq.sorted.take(30)
+    for (a <- ids; b <- ids if a < b) {
+      val dp = dist(proj(a), proj(b))
+      val dOrig = dist(orig(a), orig(b))
+      assert(dp <= dOrig + 1e-4, s"pair ($a,$b): projected $dp > original $dOrig")
+    }
+  }
 }
