@@ -579,7 +579,11 @@ object Analytics {
     * summation-order drift for round(·,4) to absorb. ROWS framing over
     * the aggregated day series: one agg exchange + one window sort per
     * type; the window input is days × types, thousands of rows at any
-    * corpus size.
+    * corpus size. ROWS means "last 7 OBSERVED days" — on a series with
+    * gaps, compose with [[gapFill]] first to make the frame calendar-
+    * true (RANGE INTERVAL framing is the alternative, but DuckDB and
+    * Spark disagree on its tie semantics at frame edges; the dense-grid
+    * composition is the engine-stable form).
     */
   def movingAvg(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
