@@ -294,4 +294,28 @@ class LayoutSpec extends SparkSpec {
     val rows = graft.sources.CatalogTables.catalogScan(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum == direct.count())
   }
+
+  test("schema evolution: widened batches merge, old rows null-extend") {
+    // a long-lived at-rest store accretes columns; the contract a
+    // 100 TB lake depends on is that old footers and new footers read
+    // as ONE schema with nulls where history predates a column, and
+    // that the default (no mergeSchema) still reads — on whichever
+    // file's schema wins — rather than corrupting
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 9.5), (4L, "d", 7.25)).toDF("id", "k", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.sameElements(Array("id", "k", "score")))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId.size == 4, "rows lost across schema versions")
+    assert(byId(1L).isNullAt(merged.columns.indexOf("score")),
+      "pre-evolution row must null-extend the new column")
+    assert(byId(3L).getDouble(merged.columns.indexOf("score")) == 9.5)
+    // pruned single-column read stays valid across both file schemas
+    assert(merged.select("k").as[String].collect().sorted
+      .sameElements(Array("a", "b", "c", "d")))
+  }
 }
