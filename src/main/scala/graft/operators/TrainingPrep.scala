@@ -134,6 +134,28 @@ object TrainingPrep {
         .as(Seq("chunk_idx", "chunk")))
       .withColumn("chunk_len", length(col("chunk")))
 
+  private val WordsPerChunk = 40
+
+  /** Token-budget chunking — the tokenizer-aligned sibling of
+    * [[docChunks]]: fixed word-count windows (40 words, no overlap)
+    * that never split mid-word, the form used when the budget is
+    * tokens rather than characters. Same scan-stage
+    * sequence/transform/posexplode machinery over the word array; the
+    * final chunk is the only short one. Word boundaries are the
+    * single-space split shared with the rest of the text stack.
+    */
+  def tokenChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", expr("filter(split(text, ' '), w -> w != '')"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(ws) - 1) DIV $WordsPerChunk AS INT)),
+           |          i -> concat_ws(' ', slice(ws, i * $WordsPerChunk + 1, $WordsPerChunk)))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_words",
+        (size(expr("filter(split(chunk, ' '), w -> w != '')"))).cast("int"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   private val PackBudget = 512
 
   /** Sequence packing: assign chunks to fixed-budget context windows —
@@ -350,6 +372,7 @@ object TrainingPrep {
     "q_stratified_sample" -> QueryDef(stratifiedSample, Some(TrainingOracles.stratifiedSample)),
     "q_doc_chunks"        -> QueryDef(docChunks, Some(TrainingOracles.docChunks)),
     "q_seq_pack"          -> QueryDef(seqPack, Some(TrainingOracles.seqPack)),
+    "q_token_chunks"      -> QueryDef(tokenChunks, Some(TrainingOracles.tokenChunks)),
     "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms)),
     "q_tfidf_cached"      -> QueryDef(tfidfTopTermsCached, Some(TrainingOracles.tfidfTopTerms)),
     "q_pii_redact"        -> QueryDef(piiRedact, Some(TrainingOracles.piiRedact)))
@@ -412,6 +435,26 @@ object TrainingOracles {
       |FROM cums
       |GROUP BY 1, 2
       |ORDER BY source, window_id""".stripMargin
+
+  /** Same word array, 1-based list_slice windows of 40; DuckDB's
+    * list_slice end index is inclusive, hence i*40+40 for 40 words.
+    */
+  val tokenChunks: String =
+    """WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      |  FROM documents),
+      |nonempty AS (SELECT doc_id, ws FROM ws WHERE len(ws) > 0),
+      |pos AS (
+      |  SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // 40)) AS i
+      |  FROM nonempty),
+      |chunks AS (
+      |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |    array_to_string(list_slice(ws, CAST(i * 40 + 1 AS INT), CAST(i * 40 + 40 AS INT)), ' ') AS chunk
+      |  FROM pos)
+      |SELECT doc_id, chunk_idx, chunk,
+      |  CAST(len(list_filter(string_split(chunk, ' '), w -> w != '')) AS INT) AS n_words
+      |FROM chunks
+      |ORDER BY doc_id, chunk_idx""".stripMargin
 
   val docChunks: String =
     """WITH pos AS (
