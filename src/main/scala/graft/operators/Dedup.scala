@@ -115,8 +115,8 @@ object Dedup {
     * the scan arrives already split and the repartition is moot-to-cheap
     * relative to the map it parallelizes.
     */
-  private val MinhashH = 32
-  private val MinhashBands = 16
+  private[operators] val MinhashH = 32
+  private[operators] val MinhashBands = 16
 
   private def minhashIndex(s: SparkSession, d: String): DataFrame =
     minhashIndexOf(Tables.documents(s, d))
@@ -299,7 +299,7 @@ object Dedup {
   def simhashDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
     val bands = 4
-    val tokens = expr("filter(split(text, ' '), t -> t != '')")
+    val tokens = TextAnalysis.words
     Tables.documents(s, d)
       .select(col("doc_id"), size(tokens).as("n_tokens"),
         graft.functions.TextHashFunctions.simhash(tokens).as("simhash"))
@@ -517,7 +517,7 @@ object DedupOracles {
        |  FROM read_parquet('${Dedup.MinhashIndexPath}/*.parquet')),
        |banded AS (
        |  SELECT doc_id, i AS band, bands[i + 1] AS key
-       |  FROM art, (SELECT unnest(generate_series(0, 15)) AS i)),
+       |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i)),
        |gsets AS (
        |  SELECT doc_id, grams FROM art),
        |mins AS (

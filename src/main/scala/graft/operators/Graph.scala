@@ -37,7 +37,7 @@ object Graph {
     * Returns ("id", "component").
     */
   def connectedComponents(
-      vertices: DataFrame, edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+      vertices: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     val undirected = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
@@ -57,6 +57,14 @@ object Graph {
       changed = next.filter(col("component") =!= col("old_component")).count()
       labels = next.select(col("id"), col("component"))
     }
+    // the loop always converges in <= component-diameter rounds, so the
+    // cap is a runaway backstop, not an expected exit: hitting it means
+    // TRUNCATED (wrong) labels, and the exact-closure oracles would
+    // catch the divergence — make the cause loud rather than silent
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxRounds=$maxRounds before convergence " +
+          s"($changed labels still changing) — labels are truncated; raise maxRounds")
     labels
   }
 

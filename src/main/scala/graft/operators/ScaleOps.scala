@@ -250,7 +250,7 @@ object ScaleOps {
   def ngramDecontaminate(s: SparkSession, d: String): DataFrame = {
     val n = 5
     def gramsOf(df: DataFrame): DataFrame = df
-      .withColumn("ws", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("ws", TextAnalysis.words)
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
@@ -315,7 +315,7 @@ object ScaleOracles {
 
   val ngramDecontaminate: String =
     s"""WITH ws AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+       |  SELECT doc_id, ${TextOracles.wordsSql} AS ws
        |  FROM documents),
        |eligible AS (SELECT doc_id, ws FROM ws WHERE len(ws) >= 5),
        |pos AS (

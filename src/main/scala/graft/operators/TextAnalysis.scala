@@ -20,6 +20,15 @@ import graft.{QueryDef, Tables}
   */
 object TextAnalysis {
 
+  /** THE word tokenization of the text stack — single-space split,
+    * empties dropped — as one definition for every operator
+    * (repetition gate, n-gram decontamination, token chunking, simhash
+    * tokens); [[TextOracles.wordsSql]] is its DuckDB twin. One edit
+    * here (plus its twin) retunes tokenization everywhere.
+    */
+  private[operators] def words: org.apache.spark.sql.Column =
+    expr("filter(split(text, ' '), w -> w != '')")
+
   /** Whitespace token count: len(text) - len(text without spaces) + 1.
     * Avoids split()+size (allocates an array per row) — pure length
     * arithmetic stays in whole-stage codegen.
@@ -149,7 +158,7 @@ object TextAnalysis {
     */
   def repetitionFilter(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .withColumn("ws", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("ws", TextAnalysis.words)
       .filter(size(col("ws")) >= 2)
       .withColumn("n_words", size(col("ws")))
       .withColumn("n_distinct", size(array_distinct(col("ws"))))
@@ -184,14 +193,18 @@ object TextAnalysis {
   */
 object TextOracles {
 
+  /** DuckDB twin of [[TextAnalysis.words]]. */
+  private[operators] val wordsSql =
+    "list_filter(string_split(text, ' '), w -> w != '')"
+
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
 
   /** Same bigram/vocab algebra as [[TextAnalysis.repetitionFilter]];
     * the keep gate is the same exact-integer comparison.
     */
   val repetitionFilter: String =
-    """WITH words AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+    s"""WITH words AS (
+      |  SELECT doc_id, $wordsSql AS ws
       |  FROM documents),
       |docs AS (
       |  SELECT doc_id, ws,

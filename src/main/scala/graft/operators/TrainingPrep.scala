@@ -102,8 +102,8 @@ object TrainingPrep {
       .orderBy(col("event_id"))
   }
 
-  private val ChunkStride = 100
-  private val ChunkSize = 150
+  private[operators] val ChunkStride = 100
+  private[operators] val ChunkSize = 150
 
   /** Fixed-window document chunking: overlapping character windows of
     * size 150 at stride 100 (50-char overlap) — the context-packing
@@ -134,7 +134,7 @@ object TrainingPrep {
         .as(Seq("chunk_idx", "chunk")))
       .withColumn("chunk_len", length(col("chunk")))
 
-  private val WordsPerChunk = 40
+  private[operators] val WordsPerChunk = 40
 
   /** Token-budget chunking — the tokenizer-aligned sibling of
     * [[docChunks]]: fixed word-count windows (40 words, no overlap)
@@ -146,7 +146,7 @@ object TrainingPrep {
     */
   def tokenChunks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("ws", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("ws", TextAnalysis.words)
       .filter(size(col("ws")) > 0)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST((size(ws) - 1) DIV $WordsPerChunk AS INT)),
@@ -156,7 +156,7 @@ object TrainingPrep {
         (size(expr("filter(split(chunk, ' '), w -> w != '')"))).cast("int"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
-  private val PackBudget = 512
+  private[operators] val PackBudget = 512
 
   /** Sequence packing: assign chunks to fixed-budget context windows —
     * the step between [[docChunks]] and the tokenizer that decides
@@ -415,20 +415,20 @@ object TrainingOracles {
     * Spark's truncating DIV and DuckDB's flooring `//` agree.
     */
   val seqPack: String =
-    """WITH pos AS (
+    s"""WITH pos AS (
       |  SELECT doc_id, source, text,
-      |    unnest(generate_series(0, (length(text)-1)//100)) AS i
+      |    unnest(generate_series(0, (length(text)-1)//${TrainingPrep.ChunkStride})) AS i
       |  FROM documents WHERE length(text) > 0),
       |chunks AS (
       |  SELECT doc_id, source, CAST(i AS INT) AS chunk_idx,
-      |    CAST(length(substring(text, CAST(i*100+1 AS INT), 150)) AS INT) AS chunk_len
+      |    CAST(length(substring(text, CAST(i*${TrainingPrep.ChunkStride}+1 AS INT), ${TrainingPrep.ChunkSize})) AS INT) AS chunk_len
       |  FROM pos),
       |cums AS (
       |  SELECT source, doc_id, chunk_idx, chunk_len,
       |    sum(chunk_len) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM chunks)
-      |SELECT source, CAST((cum - chunk_len) // 512 AS BIGINT) AS window_id,
+      |SELECT source, CAST((cum - chunk_len) // ${TrainingPrep.PackBudget} AS BIGINT) AS window_id,
       |  count(*) AS n_chunks,
       |  CAST(sum(chunk_len) AS BIGINT) AS n_chars,
       |  count(DISTINCT doc_id) AS n_docs
@@ -439,32 +439,36 @@ object TrainingOracles {
   /** Same word array, 1-based list_slice windows of 40; DuckDB's
     * list_slice end index is inclusive, hence i*40+40 for 40 words.
     */
-  val tokenChunks: String =
-    """WITH ws AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+  val tokenChunks: String = {
+    val w = TrainingPrep.WordsPerChunk
+    s"""WITH ws AS (
+      |  SELECT doc_id, ${TextOracles.wordsSql} AS ws
       |  FROM documents),
       |nonempty AS (SELECT doc_id, ws FROM ws WHERE len(ws) > 0),
       |pos AS (
-      |  SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // 40)) AS i
+      |  SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // $w)) AS i
       |  FROM nonempty),
       |chunks AS (
       |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-      |    array_to_string(list_slice(ws, CAST(i * 40 + 1 AS INT), CAST(i * 40 + 40 AS INT)), ' ') AS chunk
+      |    array_to_string(list_slice(ws, CAST(i * $w + 1 AS INT), CAST(i * $w + $w AS INT)), ' ') AS chunk
       |  FROM pos)
       |SELECT doc_id, chunk_idx, chunk,
       |  CAST(len(list_filter(string_split(chunk, ' '), w -> w != '')) AS INT) AS n_words
       |FROM chunks
       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 
-  val docChunks: String =
-    """WITH pos AS (
-      |  SELECT doc_id, text, unnest(generate_series(0, (length(text)-1)//100)) AS i
+  val docChunks: String = {
+    val st = TrainingPrep.ChunkStride; val sz = TrainingPrep.ChunkSize
+    s"""WITH pos AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, (length(text)-1)//$st)) AS i
       |  FROM documents WHERE length(text) > 0)
       |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-      |  substring(text, CAST(i*100+1 AS INT), 150) AS chunk,
-      |  CAST(length(substring(text, CAST(i*100+1 AS INT), 150)) AS INT) AS chunk_len
+      |  substring(text, CAST(i*$st+1 AS INT), $sz) AS chunk,
+      |  CAST(length(substring(text, CAST(i*$st+1 AS INT), $sz)) AS INT) AS chunk_len
       |FROM pos
       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 
   val tfidfTopTerms: String =
     """WITH toks AS (

@@ -24,6 +24,11 @@ import graft.{QueryDef, Tables}
   *     lossless, micros timestamps included (pinned via epoch-micros
   *     min/max, the raw-ts oracle convention).
   *
+  * The value rollups use the exact-cents convention (sum scaled LONGs,
+  * divide once) — a raw double sum is shuffle-order-dependent in its
+  * last ulps and can land on a rounding boundary differently per
+  * engine (the drift the repo-wide convention exists to prevent).
+  *
   * Scale posture: both reads are schema-pinned (no inference scan —
   * at 100 TB a schema-inference pass over CSV is a full extra read);
   * CSV is written with an explicit microsecond timestamp format
@@ -35,6 +40,11 @@ import graft.{QueryDef, Tables}
   */
 object FileFormats {
 
+  /** Artifact paths are fixed per JVM tmpdir — the driver contract is
+    * one sequential Verify-then-DuckDB pass per scale factor on one
+    * machine, so a single writer owns each path at a time (the same
+    * single-writer assumption as the dedup/simhash oracle artifacts).
+    */
   val CsvPath: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_csv_events"
   val OrcPath: String =
@@ -69,7 +79,7 @@ object FileFormats {
       .csv(CsvPath)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 4).as("sum_value"),
+        (sum(expr("CAST(round(value * 100) AS BIGINT)")) / lit(100e0)).as("sum_value"),
         unix_micros(min(col("ts"))).as("min_ts_us"),
         unix_micros(max(col("ts"))).as("max_ts_us"))
       .orderBy(col("event_type"), col("day"))
@@ -87,7 +97,7 @@ object FileFormats {
     s.read.orc(OrcPath)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 4).as("sum_value"),
+        (sum(expr("CAST(round(value * 100) AS BIGINT)")) / lit(100e0)).as("sum_value"),
         unix_micros(min(col("ts"))).as("min_ts_us"),
         unix_micros(max(col("ts"))).as("max_ts_us"))
       .orderBy(col("event_type"))
@@ -96,7 +106,7 @@ object FileFormats {
   private val csvOracle: String =
     s"""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
        |  count(*) AS n,
-       |  round(sum(value), 4) AS sum_value,
+       |  sum(CAST(round(value * 100) AS BIGINT)) / 100e0 AS sum_value,
        |  epoch_us(min(ts)) AS min_ts_us,
        |  epoch_us(max(ts)) AS max_ts_us
        |FROM read_csv('${CsvPath}/*.csv', header = true,
@@ -109,7 +119,7 @@ object FileFormats {
 
   private val orcOracle: String =
     """SELECT event_type, count(*) AS n,
-      |  round(sum(value), 4) AS sum_value,
+      |  sum(CAST(round(value * 100) AS BIGINT)) / 100e0 AS sum_value,
       |  epoch_us(min(ts)) AS min_ts_us,
       |  epoch_us(max(ts)) AS max_ts_us
       |FROM events

@@ -378,7 +378,10 @@ object StreamPipelines {
     *     final, drop from state.
     * Per key the state is one long + two watermark-squeezed lists:
     * bounded by the lateness horizon, not by stream length — the same
-    * argument as [[streamingFunnel]], applied to both join sides.
+    * argument as [[streamingFunnel]], applied to both join sides. An
+    * event-time timer per key (earliest pending purchase + 1 ms)
+    * finalizes KEYS THAT GO QUIET too: emission and state compression
+    * never depend on the key receiving more input.
     */
   def streamingAsOf(
       events: DataFrame,
@@ -710,6 +713,7 @@ class StreamingAsOfProcessor
   @transient private var recentClicks: ListState[Long] = _
   @transient private var pending: ListState[(Long, Long)] = _   // (event_id, purchase micros)
   @transient private var updates: ValueState[Long] = _
+  @transient private var openTimer: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     maxOldClick = getHandle.getValueState[Long]("max_old_click", Encoders.scalaLong, TTLConfig.NONE)
@@ -717,6 +721,57 @@ class StreamingAsOfProcessor
     pending = getHandle.getListState[(Long, Long)]("pending",
       Encoders.product[(Long, Long)], TTLConfig.NONE)
     updates = getHandle.getValueState[Long]("updates", Encoders.scalaLong, TTLConfig.NONE)
+    openTimer = getHandle.getValueState[Long]("open_timer", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  /** One event-time timer per key at the EARLIEST pending purchase +1 ms
+    * — without it, a key that goes quiet would never emit its finals or
+    * drop its state even as the watermark passes everything (the
+    * finalize/prune path only ran on touched keys). The timer fires as
+    * soon as the watermark clears the earliest pending purchase,
+    * finalizes whatever is below the watermark, and re-arms for the
+    * next pending one.
+    */
+  private def armTimer(pendingMin: Option[Long]): Unit = {
+    val prev = if (openTimer.exists()) Some(openTimer.get()) else None
+    pendingMin match {
+      case Some(pm) =>
+        val want = math.floorDiv(pm, 1000L) + 1L
+        if (!prev.contains(want)) {
+          prev.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(want)
+          openTimer.update(want)
+        }
+      case None =>
+        prev.foreach { p => getHandle.deleteTimer(p); openTimer.clear() }
+    }
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[AsOfUpdate] = {
+    val w = timerValues.getCurrentWatermarkInMs() * 1000L
+    val maxOld = if (maxOldClick.exists()) Some(maxOldClick.get()) else None
+    val clicks = scala.collection.mutable.ArrayBuffer[Long]() ++ recentClicks.get()
+    val purchases = scala.collection.mutable.ArrayBuffer[(Long, Long)]() ++ pending.get()
+    var seq = if (updates.exists()) updates.get() else 0L
+    val (done, keep) = purchases.partition(_._2 < w)
+    val out = done.sortBy(_._2).map { case (eventId, pm) =>
+      val best = (clicks.filter(_ <= pm) ++ maxOld.filter(_ <= pm)).maxOption
+      seq += 1L
+      AsOfUpdate(eventId, key, toTs(pm), best.map(toTs),
+        best.map(b => math.floorDiv(pm, 1000000L) - math.floorDiv(b, 1000000L)),
+        is_final = true, seq)
+    }
+    val (oldC, keptC) = clicks.partition(_ < w)
+    if (oldC.nonEmpty || maxOld.isDefined)
+      maxOldClick.update((oldC ++ maxOld).max)
+    val keptClicks = keptC.distinct.sorted
+    if (keptClicks.isEmpty) recentClicks.clear() else recentClicks.put(keptClicks.toArray)
+    if (keep.isEmpty) pending.clear() else pending.put(keep.toArray)
+    updates.update(seq)
+    openTimer.clear()
+    armTimer(keep.map(_._2).minOption)
+    out.iterator
   }
 
   // epoch micros, as in StreamingFunnelProcessor (millis would equate
@@ -768,6 +823,7 @@ class StreamingAsOfProcessor
     val keptP = purchases.distinct.filter(_._2 >= w)
     if (keptP.isEmpty) pending.clear() else pending.put(keptP.toArray)
     updates.update(seq)
+    armTimer(keptP.map(_._2).minOption)
     out.iterator
   }
 }

@@ -490,6 +490,11 @@ class StreamingSpec extends SparkSpec {
     }
     // the watermark-touched purchase was emitted final and dropped
     assert(all.filter(_._1 == 101L).maxBy(_._7)._6, "101 should be final after batch4")
+    // user 2 receives NO input after batch3 — its purchase must still
+    // be finalized by the per-key event-time timer once the watermark
+    // (advanced by other keys) clears it
+    assert(all.filter(_._1 == 201L).maxBy(_._7)._6,
+      "201 should be finalized by its timer without being touched")
   }
 
   test("streaming heavy hitters: merged shard summaries bound exact counts") {
