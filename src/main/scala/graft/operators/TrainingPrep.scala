@@ -157,6 +157,7 @@ object TrainingPrep {
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   private[operators] val PackBudget = 512
+  private[operators] val PackWords = 256
 
   /** Sequence packing: assign chunks to fixed-budget context windows —
     * the step between [[docChunks]] and the tokenizer that decides
@@ -320,6 +321,59 @@ object TrainingPrep {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** The MODERN corpus-prep pipeline — [[corpusPrep]]'s round-7
+    * successor composing this round's operators as ONE declarative
+    * plan, the full sequence a current LLM data run chains:
+    *
+    *   repetition gate (top-bigram share ≤0.2, vocab collapse ≤0.7,
+    *   exact integer thresholds) → exact dedup (min doc_id per
+    *   identical text) → benchmark exclusion (test split dropped,
+    *   plus any train doc sharing a word 5-gram with the benchmark)
+    *   → token-budget chunking (40 words) → sequence packing into
+    *   256-word context windows per source shard.
+    *
+    * Emits one row per packed chunk (no chunk text — the window
+    * assignment is the product; chunk text reconstruction is
+    * [[tokenChunks]]). Every stage is the operator proven individually
+    * elsewhere in this package, and the DuckDB oracle replays the
+    * entire five-stage composition, so the pipeline is hash-checked
+    * END TO END — stage wiring included, the part per-operator checks
+    * cannot see. Shuffle ledger: one text-digest window (dedup), one
+    * gram join (decontamination, bench side broadcast), one window
+    * sort (packing) — the repetition gate's bigram aggregate, and
+    * nothing else.
+    */
+  def corpusPrep2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val repKeep = TextAnalysis.repetitionFilter(s, d)
+      .filter(col("keep")).select(col("doc_id"))
+    val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+    val dedupKeep = docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"))
+    val contaminated = ScaleOps.ngramDecontaminate(s, d).select(col("doc_id"))
+    val wpc = WordsPerChunk
+    val chunks = docs
+      .join(repKeep, Seq("doc_id"), "left_semi")
+      .join(dedupKeep, Seq("doc_id"), "left_semi")
+      .filter(!graft.GoldenHash.isTestDoc(col("doc_id")))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("ws", TextAnalysis.words)
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"), size(col("ws")).as("nw"))
+      .withColumn("chunk_idx",
+        explode(expr(s"sequence(0, CAST((nw - 1) DIV $wpc AS INT))")))
+      .withColumn("n_words", least(lit(wpc), col("nw") - col("chunk_idx") * wpc))
+    val pw = Window.partitionBy("source").orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col("n_words")).over(pw))
+      .withColumn("window_id", expr(s"(cum - n_words) DIV $PackWords"))
+      .select(col("doc_id"), col("chunk_idx"), col("source"),
+        col("window_id"), col("n_words").cast("int").as("n_words"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Train/test decontamination — the standard pre-training check that
     * a held-out document's content does not appear in the training
     * split (word 8-gram containment, the construction published with
@@ -373,6 +427,7 @@ object TrainingPrep {
     "q_doc_chunks"        -> QueryDef(docChunks, Some(TrainingOracles.docChunks)),
     "q_seq_pack"          -> QueryDef(seqPack, Some(TrainingOracles.seqPack)),
     "q_token_chunks"      -> QueryDef(tokenChunks, Some(TrainingOracles.tokenChunks)),
+    "q_corpus_prep2"      -> QueryDef(corpusPrep2, Some(TrainingOracles.corpusPrep2)),
     "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms)),
     "q_tfidf_cached"      -> QueryDef(tfidfTopTermsCached, Some(TrainingOracles.tfidfTopTerms)),
     "q_pii_redact"        -> QueryDef(piiRedact, Some(TrainingOracles.piiRedact)))
@@ -408,6 +463,72 @@ object TrainingOracles {
        |  CASE event_type WHEN 'purchase' THEN 1000 WHEN 'click' THEN 100
        |                  WHEN 'view' THEN 10 ELSE 50 END
        |ORDER BY event_id""".stripMargin
+
+  /** Replays the five-stage [[TrainingPrep.corpusPrep2]] composition:
+    * repetition gate, text-partition dedup (the engine partitions on
+    * the sha2 digest — identical grouping modulo negligible
+    * collisions), benchmark 5-gram exclusion, 40-word chunk counts,
+    * and the per-source 256-word packing window.
+    */
+  val corpusPrep2: String = {
+    val wpc = TrainingPrep.WordsPerChunk; val pw = TrainingPrep.PackWords
+    s"""WITH ws AS (
+      |  SELECT doc_id, source, text, ${TextOracles.wordsSql} AS ws FROM documents),
+      |repdocs AS (
+      |  SELECT doc_id, ws FROM ws WHERE len(ws) >= 2),
+      |rpos AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM repdocs),
+      |rgrams AS (
+      |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g FROM rpos),
+      |rgc AS (SELECT doc_id, g, count(*) AS c FROM rgrams GROUP BY 1, 2),
+      |rtg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams FROM rgc GROUP BY 1),
+      |repkeep AS (
+      |  SELECT d.doc_id
+      |  FROM repdocs d JOIN rtg t USING (doc_id)
+      |  WHERE t.top_c * 5 <= t.n_grams
+      |    AND (len(d.ws) - len(list_distinct(d.ws))) * 10 <= len(d.ws) * 7),
+      |dedupkeep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |    FROM documents)
+      |  WHERE rn = 1),
+      |g5docs AS (SELECT doc_id, ws FROM ws WHERE len(ws) >= 5),
+      |g5pos AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM g5docs),
+      |g5 AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS g
+      |  FROM g5pos),
+      |bench AS (SELECT DISTINCT g FROM g5 WHERE ${graft.GoldenHash.isTestDocSql}),
+      |contaminated AS (
+      |  SELECT DISTINCT t.doc_id FROM g5 t JOIN bench b ON t.g = b.g
+      |  WHERE ${graft.GoldenHash.isTrainDocSql.replace("doc_id", "t.doc_id")}),
+      |surv AS (
+      |  SELECT w.doc_id, w.source, len(w.ws) AS nw
+      |  FROM ws w
+      |  JOIN repkeep USING (doc_id)
+      |  JOIN dedupkeep USING (doc_id)
+      |  WHERE ${graft.GoldenHash.isTrainDocSql.replace("doc_id", "w.doc_id")}
+      |    AND len(w.ws) > 0
+      |    AND w.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |chunks AS (
+      |  SELECT doc_id, source, nw,
+      |    unnest(generate_series(0, (nw - 1) // $wpc)) AS ci
+      |  FROM surv),
+      |sized AS (
+      |  SELECT doc_id, source, CAST(ci AS INT) AS chunk_idx,
+      |    CAST(least($wpc, nw - ci * $wpc) AS INT) AS n_words
+      |  FROM chunks),
+      |cums AS (
+      |  SELECT source, doc_id, chunk_idx, n_words,
+      |    sum(n_words) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM sized)
+      |SELECT doc_id, chunk_idx, source,
+      |  CAST((cum - n_words) // $pw AS BIGINT) AS window_id, n_words
+      |FROM cums
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 
   /** Same chunk algebra as [[TrainingOracles.docChunks]], same
     * start-position window assignment and shard-local running sum as
