@@ -10,11 +10,13 @@ import graft.{QueryDef, Tables}
   * over ANY similarity/relation edge set (near-dup clusters, account
   * linking, co-click graphs).
   *
-  * Algorithm: every vertex starts as its own label; each round, each
-  * vertex takes the minimum label among itself and its neighbors; the
-  * loop stops when a round changes zero labels (delta-counted on the
-  * round's checkpoint — a cheap second job), capped to bound adversarial
-  * diameters. At convergence every vertex holds its component's global
+  * Algorithm: every vertex starts as its own label; each round applies
+  * TWO propagation hops (vertex := min over itself and neighbors) and
+  * the loop stops when a round changes zero labels (delta-counted on
+  * the round's checkpoint — a cheap second job), capped to bound
+  * adversarial diameters. Rounds therefore cover component RADIUS/2;
+  * the two-hop step exists because at propagation data volumes the
+  * round cost is job latency, not join work. At convergence every vertex holds its component's global
   * minimum vertex id — exact connected components, which is what lets a
   * recursive-CTE transitive closure in DuckDB serve as the oracle.
   *
@@ -41,18 +43,32 @@ object Graph {
     val undirected = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+
+    // one propagation hop: component := min(component, neighbors').
+    // Passes through every non-component column (the loop threads
+    // old_component for the delta count).
+    def hop(lbl: DataFrame): DataFrame = {
+      val nbrMin = undirected
+        .join(lbl.select(col("id").as("dst"), col("component").as("nbr")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
+      lbl.join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
+        .select(lbl.columns.filterNot(_ == "component").map(col) :+
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"): _*)
+    }
+
     var labels = vertices.select(col("id"), col("id").as("component"))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       rounds += 1
-      val nbrMin = undirected
-        .join(labels.select(col("id").as("dst"), col("component").as("nbr")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
-        .select(col("id"), col("component").as("old_component"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+      // TWO hops per materialized round: at this data volume the cost
+      // of a round is job latency (checkpoint + delta count), not the
+      // tiny joins, so covering distance 2 per round halves the round
+      // count for chains and leaves the star-hub fast path at one
+      // changing round + one confirming round. Convergence detection
+      // is unaffected: a two-hop fixpoint is a one-hop fixpoint
+      // (labels are monotone non-increasing).
+      val next = hop(hop(labels.withColumn("old_component", col("component"))))
         .localCheckpoint(true)
       changed = next.filter(col("component") =!= col("old_component")).count()
       labels = next.select(col("id"), col("component"))
