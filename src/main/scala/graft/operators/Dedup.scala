@@ -170,7 +170,7 @@ object Dedup {
     * a second, locality-biased verification chance, and the hub still
     * short-circuits label propagation for everything it does verify.
     */
-  private def candidateEdges(banded: DataFrame): DataFrame = {
+  private[operators] def candidateEdges(banded: DataFrame): DataFrame = {
     val mins = banded.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("bmin"))
     val star = banded.join(mins, Seq("band", "key"))
@@ -270,10 +270,15 @@ object Dedup {
     * Round 1 grouped on the full 64-bit signature, so documents whose
     * signatures differ by even 1 bit — the whole point of SimHash —
     * never became candidates (VERDICT r1 item 4). Banding fixes recall
-    * *exactly*: by pigeonhole, any pair within hamming distance 3 agrees
-    * on at least one of the 4 16-bit bands, so candidate generation has
-    * recall 1.0 for the verified predicate (hamming ≤ 3) — this is the
-    * classic Manku/Jain/Sarma web-dedup construction. Candidates come
+    * *at the bucket level*: by pigeonhole, any pair within hamming
+    * distance 3 agrees on at least one of the 4 16-bit bands — the
+    * classic Manku/Jain/Sarma web-dedup construction — so every true
+    * pair SHARES a bucket. Emitted-pair recall then depends on the
+    * star-edge construction: a pair is linked directly when one side
+    * is its bucket's minimum, and transitively when both verify
+    * against the hub; a pair whose bucket-mates all fail verification
+    * can be missed (the linear-edge tradeoff, same as [[minhashDedup]],
+    * where path edges narrow it). Candidates come
     * from per-bucket star edges (bucket-min doc → member), as in
     * [[minhashDedup]]: linear in docs × bands, never a within-bucket
     * pair materialization. Oracle-checked end-to-end: the signatures

@@ -273,20 +273,28 @@ object Multimodal {
     * operator re-applied: 4×16-bit in-place band masks, per-bucket star
     * edges (linear in images × bands, never a pair materialization),
     * xor+bit_count hamming verification ≤ 3. By pigeonhole any pair
-    * within hamming 3 shares a band, so candidate recall for the
-    * verified predicate is exactly 1. Everything after the hash is
+    * within hamming 3 SHARES a band bucket; emitted-pair recall then
+    * follows the star+path construction (direct edge via the bucket
+    * minimum or an id-adjacent neighbor, transitive connection
+    * otherwise — the linear-edge tradeoff documented on the text
+    * operators, pinned here by the planted-duplicate spec rather than
+    * claimed exact). Everything after the hash is
     * declarative and engine-shaped like [[Dedup.simhashDedup]] —
     * at 100 TB the decode pass is the embarrassingly-parallel scan and
     * the banding join is the only (tiny, hash-keyed) shuffle.
     */
   def imageNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // checkpoint the decode+hash pass: it is referenced by banding and
+    // both verification sides, and the ImageIO scan is the expensive
+    // stage — the minhashIndex pattern applied to pixels
     val hashed = syntheticImagesWithDups(s, 120)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.flatMap(m => ImageIoCodec.decode(m.bytes).map(img => (m.media_id, aHash(img))))
       }
       .toDF("media_id", "phash")
+      .localCheckpoint(true)
     val bands = 4
     val bk = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -297,24 +305,13 @@ object Multimodal {
       .select(col("media_id"),
         explode(array((0 until bands).map(b => col(s"bk$b")): _*)).as("bk"))
       .select(col("media_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // star (bucket-min hub) + path (bucket-order successor) edges — the
-    // same recall construction as the MinHash candidate generator: a
-    // member whose hash does not verify against the bucket MIN still
-    // gets a second, locality-biased chance via its neighbor (a planted
-    // duplicate adjacent to its base in id order is caught even when a
-    // coincidental bucket-mate hub verifies with neither)
-    val mins = banded.groupBy(col("band"), col("key"))
-      .agg(min(col("media_id")).as("bmin"))
-    val star = banded.join(mins, Seq("band", "key"))
-      .filter(col("media_id") =!= col("bmin"))
-      .select(col("bmin").as("media_a"), col("media_id").as("media_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key")).orderBy(col("media_id"))
-    val path = banded
-      .withColumn("prev", lag(col("media_id"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col("prev").as("media_a"), col("media_id").as("media_b"))
-    val edges = star.union(path).distinct()
+    // star + path candidate edges: THE construction from the MinHash
+    // dedup pipeline, reused (not re-implemented) — a member whose hash
+    // does not verify against the bucket MIN still gets a second,
+    // locality-biased chance via its id-adjacent neighbor
+    val edges = Dedup.candidateEdges(
+        banded.withColumnRenamed("media_id", "doc_id"))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"))
     val ha = hashed.select(col("media_id").as("media_a"), col("phash").as("ph_a"))
     val hb = hashed.select(col("media_id").as("media_b"), col("phash").as("ph_b"))
     edges.join(ha, Seq("media_a")).join(hb, Seq("media_b"))

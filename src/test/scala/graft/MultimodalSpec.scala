@@ -69,13 +69,19 @@ class MultimodalSpec extends SparkSpec {
     // with its base — a one-pixel change moves at most a couple of
     // aHash cells, well inside the hamming<=3 verification
     val planted = (0L until 120L by 3).map(i => (i, i + 10000L)).toSet
-    val missed = planted.filterNot { case (a, b) =>
-      pairs.contains((a, b)) || pairs.contains((b, a)) ||
-        // star edges route through the bucket min: accept transitive
-        // pairing via any common partner as connectivity evidence
-        pairs.exists(p => (p._1 == a || p._2 == a) &&
-          pairs.exists(q => (q._1 == b || q._2 == b)))
+    // star edges route through the bucket min: accept TRANSITIVE
+    // connectivity over verified edges as evidence (union-find), the
+    // same standard the LSH cluster spec uses
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
     }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val missed = planted.filterNot { case (a, b) => find(a) == find(b) }
     assert(missed.isEmpty, s"planted dups not caught: $missed")
     // precision: every emitted pair really is within hamming 3 (the
     // verification is part of the plan; assert it held)
