@@ -623,6 +623,30 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Spark's NATIVE session-window aggregation — `session_window(ts,
+    * gap)` in a plain groupBy, the engine-provided form of gap-based
+    * sessionization (the existing `sessionStats`/`typedSessions`
+    * formulations build the same semantics from window functions and
+    * typed state; this query exercises the built-in TVF itself, which
+    * is also the streaming-native form). Cross-checked against a
+    * DuckDB oracle that knows nothing of session windows: it
+    * re-derives sessions as lag-gap islands with a running session
+    * counter — two independent formulations of one semantics.
+    * Session window = [first event, last event + gap); the gap'd END
+    * is the Spark definition, so the oracle adds the gap to its last
+    * event explicitly.
+    */
+  def sessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "5 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
   /** Time-series gap filling: the dense (event_type × hour) grid with
     * zero-filled missing cells — what every downstream chart, forecast,
     * or moving average silently assumes and raw GROUP BY does not
@@ -787,6 +811,7 @@ object Analytics {
     "q_moving_avg"       -> QueryDef(movingAvg, Some(OracleSql.movingAvg)),
     "q_mad_anomaly"      -> QueryDef(madAnomaly, Some(OracleSql.madAnomaly)),
     "q_gap_fill"         -> QueryDef(gapFill, Some(OracleSql.gapFill)),
+    "q_session_window"   -> QueryDef(sessionWindow, Some(OracleSql.sessionWindow)),
     "q_shipping_priority" -> QueryDef(shippingPriority, Some(OracleSql.shippingPriority)),
     "q_funnel"           -> QueryDef(funnel, Some(OracleSql.funnel)),
     "q_stats_profile"    -> QueryDef(statsProfile, Some(OracleSql.statsProfile)))

@@ -289,6 +289,32 @@ object OracleSql {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Sessions as lag-gap islands — an independent formulation of
+    * Spark's session_window semantics: a new session starts where the
+    * gap to the previous event exceeds 5 minutes; window end = last
+    * event + gap (the Spark definition).
+    */
+  val sessionWindow: String =
+    """WITH lagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+      |           OR lag(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM lagged)
+      |SELECT user_id,
+      |  epoch_us(min(ts)) AS start_us,
+      |  epoch_us(max(ts)) + 300000000 AS end_us,
+      |  count(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   val gapFill: String =
     """WITH hourly AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
