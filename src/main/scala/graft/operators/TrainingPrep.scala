@@ -338,10 +338,13 @@ object TrainingPrep {
     * elsewhere in this package, and the DuckDB oracle replays the
     * entire five-stage composition, so the pipeline is hash-checked
     * END TO END — stage wiring included, the part per-operator checks
-    * cannot see. Shuffle ledger: one text-digest window (dedup), one
-    * gram join (decontamination, bench side broadcast), one window
-    * sort (packing) — the repetition gate's bigram aggregate, and
-    * nothing else.
+    * cannot see. Shuffle ledger (plan-audited): the repetition
+    * bigram two-level aggregate (2 exchanges), the sha2-digest dedup
+    * window (1), the benchmark gram distinct + per-doc contamination
+    * rollup (2), the packing window sort (1), and the reporting
+    * ORDER BY (1) — and every join in the plan is BROADCAST (the
+    * doc-id keep/drop sets and the bench gram set are the small sides
+    * by construction), so no stage ever reshuffles the corpus itself.
     */
   def corpusPrep2(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
