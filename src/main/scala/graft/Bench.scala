@@ -11,10 +11,15 @@ import org.apache.spark.sql.SparkSession
   * class-loading (which was ~6 s on whichever query happened to run
   * first).
   *
-  * The JSON line goes to stdout AND to `bench_out.json` in the working
-  * directory — sbt wraps stdout in `[info]`/WARN decoration that broke
-  * the driver's parse in round 1 (BENCH_r01 `parsed: null`); the file
-  * is the machine-readable copy.
+  * The JSON goes to stdout AND to `bench_out.json` in the working
+  * directory. The file carries the FULL per-query map; the stdout line
+  * is a COMPACT record (total + the slowest 25 queries at 3 decimals)
+  * because the driver captures only the last ~2000 chars of stdout and
+  * sbt's trailing `[success]` line eats ~75 of them: rounds 6-7 grew
+  * the full map past the window and the driver recorded `parsed: null`
+  * (r4/r5, with fewer queries, parsed fine — VERDICT r7 item 3). The
+  * compact line stays parseable at any future query count; per-query
+  * history lives in the committed bench_out.json.
   *
   * Optional args are query names: `runMain graft.Bench q_log_ingest`
   * times only those (dev loop); no args = full suite (driver contract).
@@ -56,14 +61,22 @@ object Bench {
       }
       name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
-      .mkString("{", ",", "}")
+    def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def qJson(m: Seq[(String, Option[Double])]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
+        .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
+    def line(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$extra"errors":$errJson,"sf":"$sfDir"}"""
+
+    val full = line(qJson(results.toSeq), s""""n_queries":${results.size},""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val slowest = results.toSeq.sortBy(-_._2.getOrElse(0.0)).take(25)
+    println(line(qJson(slowest),
+      s""""n_queries":${results.size},"queries_shown":${slowest.size},"full_record":"bench_out.json","""))
     spark.stop()
   }
 }

@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // force every registry (and its Artifacts.path registrations) to
+    // initialize, THEN delete all oracle artifact dirs: a query that
+    // fails before its pinning write leaves no file, so its oracle
+    // fails loudly instead of consuming a stale artifact from a prior
+    // run or scale factor (ADVICE r7)
+    val queries = SparkEntry.queries
+    Artifacts.cleanAll()
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

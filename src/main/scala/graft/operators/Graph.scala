@@ -75,12 +75,13 @@ object Graph {
     }
     // the loop always converges in <= component-diameter rounds, so the
     // cap is a runaway backstop, not an expected exit: hitting it means
-    // TRUNCATED (wrong) labels, and the exact-closure oracles would
-    // catch the divergence — make the cause loud rather than silent
+    // TRUNCATED (wrong) labels. This is a public operator — a caller
+    // without an oracle behind it would silently consume wrong component
+    // ids off a WARN, so exhaustion throws instead (ADVICE r7)
     if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      throw new IllegalStateException(
         s"connectedComponents hit maxRounds=$maxRounds before convergence " +
-          s"($changed labels still changing) — labels are truncated; raise maxRounds")
+          s"($changed labels still changing) — labels would be truncated; raise maxRounds")
     labels
   }
 

@@ -215,12 +215,11 @@ object Similarity {
     * variance captured). spark.ml PCA: one distributed Gramian
     * (d×d, tiny — cost scales with rows once, not with pairs), SVD on
     * the driver, then projection as a scan-stage matrix multiply.
-    * Rows-only check (DuckDB has no SVD); SimilaritySpec pins the
-    * algebraic invariants: orthonormal projection is NON-EXPANSIVE
-    * (pairwise distances never grow) and explained variance is
-    * monotone non-increasing with a floor on the captured total.
+    * Internal form: (vec_id, projected array<double>) — the SPEC's
+    * surface for the distance invariants; the query surface is the
+    * scalarized [[embeddingPca]] below.
     */
-  def embeddingPca(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+  private[graft] def embeddingPcaProjected(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.feature.PCA
     val v = vecs(s, d).withColumn("fv", array_to_vector(col("v")))
@@ -231,6 +230,63 @@ object Similarity {
       // determinism contract; rounding absorbs any reduce-order ulp
       .select(col("vec_id"),
         expr("transform(pv_arr, x -> round(x, 6))").as("projected"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Artifact path shared by [[embeddingPca]] and its DuckDB oracle:
+    * the per-vector projected coordinates, pinned once per (session,
+    * sfDir) — DuckDB has no SVD, so the projection itself is data; what
+    * DuckDB independently recomputes is everything DOWNSTREAM of it
+    * (the integer checksums) plus the algebraic invariant that makes
+    * the check meaningful: an orthonormal projection is NON-EXPANSIVE,
+    * so each vector's projected norm must not exceed its original norm
+    * (computed by DuckDB from the RAW embeddings table, not the
+    * artifact). A wrong projection — scaled, sheared, or mismatched to
+    * its vector id — fails `norm_ok` or the checksums.
+    */
+  val PcaProjPath: String = graft.Artifacts.path("pca_proj")
+
+  /** Quantization scale for the PCA checksums (1e-6 resolution — one
+    * output-rounding step finer than the artifact's 6dp, so the
+    * round-trip is exact) and the integer slack the norm invariant
+    * allows for quantization error: per component the squared-norm
+    * error is ≤ 2·|x|·q/2 + q²/4 in q-units; at 64 original dims and
+    * |x| ≲ 10 that bounds well under 1e9.
+    */
+  private[operators] val PcaQ = 1000000L
+  private[operators] val PcaNormSlack = 1000000000L
+
+  /** Scalarized PCA query (VERDICT r7 item 1: the array<double> output
+    * crashed the driver's pandas verify sort). Output is the
+    * [[embeddingQuantize]] integer-checksum convention over the
+    * projected coordinates — n_components, sum/min/max of the 1e-6
+    * quantized components, the quantized squared norm — plus `norm_ok`,
+    * the SQL-checkable non-expansiveness invariant against the raw
+    * embedding's quantized squared norm. Exact integer algebra end to
+    * end, so the oracle compare is bit-stable across engines.
+    */
+  def embeddingPca(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val proj = embeddingPcaProjected(s, d, k).localCheckpoint(true)
+    graft.Artifacts.writeOnce(s, d, "pca_proj") {
+      proj.write.mode("overwrite").parquet(PcaProjPath)
+    }
+    val p = proj
+      .withColumn("q", expr(s"transform(projected, x -> CAST(round(x * $PcaQ) AS BIGINT))"))
+      .select(col("vec_id"),
+        expr("size(q)").as("n_components"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("pq_sum"),
+        expr("array_min(q)").as("pq_min"),
+        expr("array_max(q)").as("pq_max"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("pnorm2_q"))
+    val o = Tables.embeddings(s, d)
+      .withColumn("oq",
+        expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * $PcaQ) AS BIGINT))"))
+      .select(col("vec_id"),
+        expr("aggregate(oq, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("onorm2_q"))
+    p.join(o, Seq("vec_id"))
+      .select(col("vec_id"), col("n_components"), col("pq_sum"),
+        col("pq_min"), col("pq_max"), col("pnorm2_q"),
+        (col("pnorm2_q") <= col("onorm2_q") + lit(PcaNormSlack)).as("norm_ok"))
       .orderBy(col("vec_id"))
   }
 
@@ -294,7 +350,7 @@ object Similarity {
     "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), None),
     "q_embedding_centroids" -> QueryDef(embeddingCentroids, Some(SimilarityOracles.embeddingCentroids)),
     "q_embedding_quantize" -> QueryDef(embeddingQuantize, Some(SimilarityOracles.embeddingQuantize)),
-    "q_embedding_pca"     -> QueryDef((s, d) => embeddingPca(s, d), None))
+    "q_embedding_pca"     -> QueryDef((s, d) => embeddingPca(s, d), Some(SimilarityOracles.embeddingPca)))
 }
 
 /** DuckDB oracles — cosine via explicit DOUBLE list arithmetic
@@ -307,6 +363,39 @@ object SimilarityOracles {
     """list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1] * x[2]))
       | / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
       |     * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))""".stripMargin
+
+  /** Replays [[Similarity.embeddingPca]] downstream of the SVD: reads
+    * the pinned projection artifact, re-derives the 1e-6 integer
+    * checksums, and independently checks the non-expansiveness
+    * invariant (projected squared norm ≤ original squared norm + slack)
+    * against the RAW embeddings table — only the projection matrix
+    * itself, being driver-side SVD output, is pinned as data.
+    */
+  val embeddingPca: String =
+    s"""WITH proj AS (
+       |  SELECT vec_id,
+       |    list_transform(projected,
+       |      x -> CAST(round(x * ${Similarity.PcaQ}) AS BIGINT)) AS q
+       |  FROM read_parquet('${Similarity.PcaProjPath}/*.parquet')),
+       |p AS (
+       |  SELECT vec_id,
+       |    CAST(len(q) AS INT) AS n_components,
+       |    CAST(list_sum(q) AS BIGINT) AS pq_sum,
+       |    CAST(list_min(q) AS BIGINT) AS pq_min,
+       |    CAST(list_max(q) AS BIGINT) AS pq_max,
+       |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS pnorm2_q
+       |  FROM proj),
+       |o AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(
+       |      CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * ${Similarity.PcaQ}) AS BIGINT)
+       |           * CAST(round(x * ${Similarity.PcaQ}) AS BIGINT))) AS BIGINT) AS onorm2_q
+       |  FROM embeddings)
+       |SELECT p.vec_id, p.n_components, p.pq_sum, p.pq_min, p.pq_max, p.pnorm2_q,
+       |  p.pnorm2_q <= o.onorm2_q + ${Similarity.PcaNormSlack} AS norm_ok
+       |FROM p JOIN o USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
 
   val bruteTopK: String =
     s"""WITH scored AS (

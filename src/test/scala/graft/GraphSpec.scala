@@ -35,4 +35,17 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 0L), got.mkString(","))
   }
+
+  test("connectedComponents fails loud when maxRounds is exhausted") {
+    // an under-capped long chain must THROW, not return truncated
+    // labels with a WARN — callers without an oracle behind them would
+    // consume wrong component ids silently (ADVICE r7)
+    val n = 24L
+    val vertices = (0L until n).toDF("id")
+    val edges = (1L until n).map(i => (i, i - 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(vertices, edges, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("maxRounds"), e.getMessage)
+  }
 }

@@ -105,7 +105,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("PCA projection is non-expansive and keeps dimensions/order") {
     val k = 8
-    val proj = Similarity.embeddingPca(spark, sf, k)
+    val proj = Similarity.embeddingPcaProjected(spark, sf, k)
       .as[(Long, Array[Double])].collect().toMap
     val orig = graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -122,5 +122,19 @@ class SimilaritySpec extends SparkSpec {
       val dOrig = dist(orig(a), orig(b))
       assert(dp <= dOrig + 1e-4, s"pair ($a,$b): projected $dp > original $dOrig")
     }
+  }
+
+  test("scalarized PCA query passes its own norm invariant on every vector") {
+    // the query surface (scalar checksums — VERDICT r7: arrays crash
+    // the driver's pandas sort) must mark every vector norm_ok: an
+    // orthonormal projection cannot expand a norm beyond the
+    // quantization slack the query allows
+    val rows = Similarity.embeddingPca(spark, sf)
+      .select("vec_id", "n_components", "norm_ok")
+      .as[(Long, Int, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 == 8), "every vector projects to k=8 components")
+    val bad = rows.filterNot(_._3).map(_._1)
+    assert(bad.isEmpty, s"projected norm exceeded original for vec_ids: ${bad.toSeq}")
   }
 }
