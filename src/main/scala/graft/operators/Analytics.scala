@@ -689,14 +689,26 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Artifact path shared by [[logIngest]] and its DuckDB oracle: the
+    * rendered JSON-lines wire payload, pinned once per (session, sfDir)
+    * as text files. The oracle `read_json`s the same lines and replays
+    * the ENTIRE parse chain — required-key validity gate, agent filter,
+    * try-cast derivations, endpoint regex, exact-cents rollup — so the
+    * engine's flagship ingest path (P1-P6) graduates from rows-only to
+    * a triple-match (VERDICT r7 item 4). Only the wire RENDERING
+    * (to_json field order being engine-specific) is pinned as data; the
+    * parse is independently recomputed by DuckDB.
+    */
+  val WireLogsPath: String = graft.Artifacts.path("wire_logs")
+
   /** End-to-end log ingest at scale-factor volume: events rendered to
     * the nginx JSON wire format (to_json over the 38-field shape), then
     * the FULL parse chain (validity gate, agent filter, typed
     * derivations, endpoint regex) and a rollup — the reference's whole
-    * ingestor (ingestor/main.py) as one benched batch query. Rows-only
-    * check (the JSON round-trip's field order is engine-specific); the
+    * ingestor (ingestor/main.py) as one benched batch query. The
     * parse-chain semantics are pinned by LogParseSpec + the streaming
-    * round-trip spec. For throughput context: the reference's ingest
+    * round-trip spec AND the wire-artifact oracle ([[WireLogsPath]]).
+    * For throughput context: the reference's ingest
     * ceiling is ~16.7 lines/s (Loki poll limit, producer/main.py:42,101).
     */
   def logIngest(s: SparkSession, d: String): DataFrame = {
@@ -720,7 +732,13 @@ object Analytics {
       get_json_object(col("props"), "$.k").as("request_length"))).as("value"))
       // render+parse stays fused and pipelined: ComputeOnce inside
       // parseJson pins the from_json to one evaluation per row, so no
-      // materialization barrier (round 1's localCheckpoint) is needed
+      // materialization barrier (round 1's localCheckpoint) is needed.
+      // The wire artifact is a second, deterministic evaluation of the
+      // same render — pinned once per (session, sfDir) for the oracle
+      // while the engine keeps the fused in-memory path.
+    graft.Artifacts.writeOnce(s, d, "wire_logs") {
+      wire.write.mode("overwrite").text(WireLogsPath)
+    }
     graft.parse.LogParse.ingestChain(wire)
       .groupBy(col("endpoint"), col("status_code"))
       .agg(count(lit(1)).as("n"),
@@ -806,7 +824,7 @@ object Analytics {
     "q_pivot_daily"      -> QueryDef(pivotDaily, Some(OracleSql.pivotDaily)),
     "q_hopping_traffic"  -> QueryDef(hoppingTraffic, Some(OracleSql.hoppingTraffic)),
     "q_latency_percentiles_approx" -> QueryDef(latencyPercentilesApprox, None),
-    "q_log_ingest"       -> QueryDef(logIngest, None),
+    "q_log_ingest"       -> QueryDef(logIngest, Some(OracleSql.logIngest)),
     "q_user_retention"   -> QueryDef(userRetention, Some(OracleSql.userRetention)),
     "q_moving_avg"       -> QueryDef(movingAvg, Some(OracleSql.movingAvg)),
     "q_mad_anomaly"      -> QueryDef(madAnomaly, Some(OracleSql.madAnomaly)),

@@ -203,21 +203,39 @@ object Multimodal {
       .withColumn("target_height", ceil(col("decoded_height") * col("scale")).cast("int"))
       .drop("scale")
 
-  /** Rows-only query entry: synthetic corpus → features → resize plan →
-    * per-kind rollup. Exercises the full multimodal plumbing: real PNG
-    * decode for images (n_real_decoded counts them), binary payloads,
-    * mapPartitions batch shape, typed Encoders, metadata rollup — with
-    * deterministic output.
+  /** Artifact path shared by [[mediaPipeline]] and its DuckDB oracle:
+    * the per-item post-decode feature metadata (dims, byte counts,
+    * frame counts, decode flags), pinned once per (session, sfDir).
+    * The binary decode itself can't be oracled (DuckDB has no PNG
+    * codec — the decode stays spec-verified against the generator's
+    * true dims), but everything DOWNSTREAM of it — the aspect-ratio
+    * resize plan and the per-kind rollup — is scalar algebra DuckDB
+    * re-derives independently over the pinned rows (VERDICT r7 item 5).
+    */
+  val MediaFeaturesPath: String = graft.Artifacts.path("media_features")
+
+  /** Query entry: synthetic corpus → features → resize plan → per-kind
+    * rollup. Exercises the full multimodal plumbing: real PNG decode
+    * for images (n_real_decoded counts them), binary payloads,
+    * mapPartitions batch shape, typed Encoders, metadata rollup.
+    * Rollup columns are exact integer sums (counts, bytes, widths,
+    * frames) — the exact-cents stance applied to metadata, so the
+    * oracle hash compare is bit-stable with no rounding convention.
     */
   def mediaPipeline(s: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(syntheticMedia(s, 300)).toDF()
+      .drop("feature") // per-item embedding: spec-checked, not rollup input
+      .localCheckpoint(true)
+    graft.Artifacts.writeOnce(s, d, "media_features") {
+      feats.write.mode("overwrite").parquet(MediaFeaturesPath)
+    }
     resizePlan(feats)
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_items"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("decoded_width")), 4).as("avg_width"),
-        round(avg(col("target_width")), 4).as("avg_target_width"),
+        sum(col("decoded_width")).as("total_width"),
+        sum(col("target_width")).as("total_target_width"),
         sum(col("n_frames_sampled")).as("total_frames"),
         sum(col("decoded_real").cast("long")).as("n_real_decoded"))
       .orderBy(col("kind"))
@@ -283,6 +301,16 @@ object Multimodal {
     * at 100 TB the decode pass is the embarrassingly-parallel scan and
     * the banding join is the only (tiny, hash-keyed) shuffle.
     */
+  /** Artifact path shared by [[imageNearDup]] and its DuckDB oracle:
+    * the per-image perceptual hashes, pinned once per (session, sfDir)
+    * — the pixel decode is engine-specific (no DuckDB PNG codec), which
+    * is exactly why the hash is data; DuckDB independently re-derives
+    * the banding, the star+path candidate edges, and the hamming
+    * verification over the byte-identical signature column (the
+    * [[Dedup.SimhashSigsPath]] technique applied to pixels).
+    */
+  val ImagePhashPath: String = graft.Artifacts.path("image_phash")
+
   def imageNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // checkpoint the decode+hash pass: it is referenced by banding and
@@ -295,6 +323,9 @@ object Multimodal {
       }
       .toDF("media_id", "phash")
       .localCheckpoint(true)
+    graft.Artifacts.writeOnce(s, d, "image_phash") {
+      hashed.write.mode("overwrite").parquet(ImagePhashPath)
+    }
     val bands = 4
     val bk = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -322,6 +353,77 @@ object Multimodal {
   }
 
   val defs: Map[String, graft.QueryDef] = Map(
-    "q_media_pipeline" -> graft.QueryDef(mediaPipeline, None),
-    "q_image_neardup"  -> graft.QueryDef(imageNearDup, None))
+    "q_media_pipeline" -> graft.QueryDef(mediaPipeline, Some(MultimodalOracles.mediaPipeline)),
+    "q_image_neardup"  -> graft.QueryDef(imageNearDup, Some(MultimodalOracles.imageNearDup)))
+}
+
+/** DuckDB oracles for the [[Multimodal]] queries — everything downstream
+  * of the engine-specific pixel work (PNG decode, aHash) is replayed
+  * independently over the pinned artifacts (VERDICT r7 item 5).
+  */
+object MultimodalOracles {
+
+  /** Replays [[Multimodal.mediaPipeline]] downstream of the decode:
+    * reads the pinned per-item feature metadata and re-derives the
+    * aspect-ratio resize plan (same least/ceil algebra) and the exact
+    * integer per-kind rollup.
+    */
+  val mediaPipeline: String =
+    s"""WITH f AS (
+       |  SELECT kind, n_bytes, n_frames_sampled, decoded_real,
+       |    decoded_width, decoded_height
+       |  FROM read_parquet('${Multimodal.MediaFeaturesPath}/*.parquet')),
+       |r AS (
+       |  SELECT kind, n_bytes, n_frames_sampled, decoded_real, decoded_width,
+       |    least(256.0 / decoded_width, 256.0 / decoded_height, 1.0) AS scale
+       |  FROM f)
+       |SELECT kind, count(*) AS n_items,
+       |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |  CAST(sum(decoded_width) AS BIGINT) AS total_width,
+       |  CAST(sum(CAST(ceil(decoded_width * scale) AS INT)) AS BIGINT) AS total_target_width,
+       |  CAST(sum(n_frames_sampled) AS BIGINT) AS total_frames,
+       |  CAST(sum(CASE WHEN decoded_real THEN 1 ELSE 0 END) AS BIGINT) AS n_real_decoded
+       |FROM r
+       |GROUP BY 1
+       |ORDER BY kind""".stripMargin
+
+  /** Replays [[Multimodal.imageNearDup]] downstream of the hash: reads
+    * the pinned perceptual signatures, re-derives the 4×16-bit in-place
+    * band masks, the per-bucket STAR (bucket-min → member) + PATH
+    * (id-adjacent neighbor) candidate edges — the same
+    * [[Dedup.candidateEdges]] construction, in SQL — and the
+    * xor+bit_count hamming ≤ 3 verification.
+    */
+  val imageNearDup: String = {
+    val masks = (0 until 4)
+      .map(b => s"($b, CAST(${65535L << (16 * b)} AS BIGINT))").mkString(", ")
+    s"""WITH sigs AS (
+       |  SELECT media_id, phash
+       |  FROM read_parquet('${Multimodal.ImagePhashPath}/*.parquet')),
+       |banded AS (
+       |  SELECT s.media_id, b.band, s.phash & b.mask AS key
+       |  FROM sigs s, (VALUES $masks) AS b(band, mask)),
+       |mins AS (
+       |  SELECT band, key, min(media_id) AS bmin FROM banded GROUP BY 1, 2),
+       |star AS (
+       |  SELECT m.bmin AS media_a, bd.media_id AS media_b
+       |  FROM banded bd JOIN mins m USING (band, key)
+       |  WHERE bd.media_id <> m.bmin),
+       |pathe AS (
+       |  SELECT prev AS media_a, media_id AS media_b FROM (
+       |    SELECT media_id,
+       |      lag(media_id) OVER (PARTITION BY band, key ORDER BY media_id) AS prev
+       |    FROM banded)
+       |  WHERE prev IS NOT NULL),
+       |cand AS (
+       |  SELECT DISTINCT media_a, media_b
+       |  FROM (SELECT * FROM star UNION ALL SELECT * FROM pathe))
+       |SELECT c.media_a, c.media_b,
+       |  CAST(bit_count(xor(sa.phash, sb.phash)) AS INT) AS hamming
+       |FROM cand c
+       |JOIN sigs sa ON c.media_a = sa.media_id
+       |JOIN sigs sb ON c.media_b = sb.media_id
+       |WHERE bit_count(xor(sa.phash, sb.phash)) <= 3
+       |ORDER BY media_a, media_b""".stripMargin
+  }
 }

@@ -411,6 +411,43 @@ object OracleSql {
       |       LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** Replays [[Analytics.logIngest]] downstream of the wire render:
+    * `read_json`s the pinned JSON-lines artifact with every field typed
+    * VARCHAR (the Kafka wire contract — strings on the wire, types
+    * derived by the parse chain), then re-derives the required-key
+    * validity gate, the monitoring-agent filter (SQL `<>` null
+    * semantics, same as the engine's `=!=`), the try-cast typed
+    * derivations, the endpoint regex, and the exact-cents rollup.
+    * Constants (required keys, agent string, endpoint pattern) are
+    * interpolated from [[graft.model.NginxLog]] so engine and oracle
+    * cannot drift.
+    */
+  val logIngest: String = {
+    val gate = graft.model.NginxLog.requiredKeys
+      .map(k => s"$k IS NOT NULL").mkString(" AND ")
+    s"""WITH wire AS (
+       |  SELECT * FROM read_json('${Analytics.WireLogsPath}/*.txt',
+       |    format = 'newline_delimited',
+       |    columns = {'time_iso8601': 'VARCHAR', 'remote_addr': 'VARCHAR',
+       |               'request': 'VARCHAR', 'request_uri': 'VARCHAR',
+       |               'request_method': 'VARCHAR', 'status': 'VARCHAR',
+       |               'request_time': 'VARCHAR', 'http_user_agent': 'VARCHAR',
+       |               'request_length': 'VARCHAR'})),
+       |parsed AS (
+       |  SELECT TRY_CAST(status AS INT) AS status_code,
+       |    TRY_CAST(request_time AS DOUBLE) AS request_time_seconds,
+       |    regexp_extract(request_uri, '${graft.model.NginxLog.endpointPattern}', 1) AS endpoint
+       |  FROM wire
+       |  WHERE $gate
+       |    AND http_user_agent <> '${graft.model.NginxLog.monitoringAgent}')
+       |SELECT endpoint, status_code, count(*) AS n,
+       |  round(sum(CAST(round(request_time_seconds * 100000) AS BIGINT)) / 100000e0, 5)
+       |    AS total_time
+       |FROM parsed
+       |GROUP BY 1, 2
+       |ORDER BY endpoint, status_code""".stripMargin
+  }
+
   val statsProfile: String =
     """SELECT event_type,
       |  round(corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 4) AS corr_value_hour,

@@ -163,11 +163,50 @@ object ScaleOps {
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
     Tables.events(s, d)
-      .agg(graft.functions.SketchFunctions.spaceSaving(col("user_id"), 64).as("summary"))
+      .agg(graft.functions.SketchFunctions.spaceSaving(col("user_id"), HhCapacity).as("summary"))
       .select(explode(col("summary")).as("h"))
       .select(col("h.item").as("user_id"), col("h.est").as("est_count"),
         col("h.err").as("max_overcount"))
       .orderBy(col("est_count").desc, col("user_id"))
+  }
+
+  private[operators] val HhCapacity = 64
+
+  /** The DETERMINISTIC companion of [[heavyHitters]] (VERDICT r7 item
+    * 6): Space-Saving output depends on partition merge order through
+    * its est/err bounds — except in the EXACT regime, where key
+    * cardinality ≤ capacity means no counter is ever evicted under ANY
+    * merge order, so est collapses to the true count and err to 0.
+    * `event_type` (5 keys ≪ 64 counters) is that regime; the query runs
+    * the sketch, keeps the guaranteed-heavy subset (est − err above the
+    * N/capacity support threshold — the filter a sketch consumer
+    * applies in the approximate regime too), and emits est AS the
+    * count. The DuckDB oracle computes the same set with an exact
+    * GROUP BY … HAVING — a hash-exact check of the sketch's per-
+    * partition counting and pairwise merge, complementing the
+    * PropertySpec bracket bounds that cover the eviction regime
+    * (user_id at capacity < cardinality stays rows-only, as any
+    * order-dependent sketch must).
+    */
+  def heavyHittersExact(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
+    val ev = Tables.events(s, d)
+    val total = ev.agg(count(lit(1)).as("total"))
+    // the sketch keys on xxhash64(event_type): the primitive-array
+    // summary holds LONGs (at 100 TB the sketched key is a hash anyway);
+    // the 5-row distinct dim recovers the string after the sketch
+    val keyed = ev.withColumn("k", xxhash64(col("event_type")))
+    val dim = keyed.select(col("event_type"), col("k")).distinct()
+    keyed.agg(graft.functions.SketchFunctions.spaceSaving(col("k"), HhCapacity)
+        .as("summary"))
+      .select(explode(col("summary")).as("h"))
+      .select(col("h.item").as("k"),
+        col("h.est").as("n_events"), col("h.err").as("err"))
+      .join(broadcast(dim), Seq("k"))
+      .crossJoin(broadcast(total))
+      .filter((col("n_events") - col("err")) * lit(HhCapacity.toLong) > col("total"))
+      .select(col("event_type"), col("n_events"))
+      .orderBy(col("n_events").desc, col("event_type"))
   }
 
   /** Fixed-width value histogram — the dashboard distribution panel
@@ -307,7 +346,8 @@ object ScaleOps {
     "q_bloom_decontaminate" -> QueryDef(bloomDecontaminate, Some(ScaleOracles.bloomDecontaminate)),
     "q_data_mixture"        -> QueryDef(dataMixture, Some(ScaleOracles.dataMixture)),
     "q_grouping_sets"       -> QueryDef(groupingSets, Some(groupingSetsSql)),
-    "q_heavy_hitters"       -> QueryDef(heavyHitters, None))
+    "q_heavy_hitters"       -> QueryDef(heavyHitters, None),
+    "q_heavy_hitters_exact" -> QueryDef(heavyHittersExact, Some(ScaleOracles.heavyHittersExact)))
 }
 
 /** DuckDB oracles for [[ScaleOps]] — same aliases, ORDER BY, rounding. */
@@ -354,6 +394,19 @@ object ScaleOracles {
        |GROUP BY 1
        |ORDER BY decile""".stripMargin
   }
+
+  /** Exact counterpart of [[ScaleOps.heavyHittersExact]]: the
+    * guaranteed-heavy set is {keys with true count · capacity > N},
+    * which the sketch must emit with exact est / zero err in the
+    * cardinality ≤ capacity regime — so a plain GROUP BY … HAVING
+    * reproduces it bit-for-bit.
+    */
+  val heavyHittersExact: String =
+    s"""SELECT event_type, count(*) AS n_events
+       |FROM events
+       |GROUP BY event_type
+       |HAVING count(*) * ${ScaleOps.HhCapacity} > (SELECT count(*) FROM events)
+       |ORDER BY n_events DESC, event_type""".stripMargin
 
   val skewProfile: String =
     """WITH counts AS (
