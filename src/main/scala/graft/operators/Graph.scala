@@ -40,39 +40,83 @@ object Graph {
     */
   def connectedComponents(
       vertices: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // symmetrized edges PLUS a self-loop per vertex. The self-loops are
+    // the load-bearing trick (profiled r8): they make one propagation
+    // hop a single join + min-aggregate that references the label frame
+    // ONCE — `component := min over in-neighbors∪self of component` —
+    // so k hops stack into one linear plan. The earlier least/left-join
+    // hop referenced its input twice, so stacking k hops grew the plan
+    // (and the recomputation) 2^k-fold; measured at 4 stacked hops it
+    // DOUBLED the loop's wall clock instead of halving it. Self-loops
+    // add |V| rows to a 2|E| edge list — linear, and they also carry
+    // isolated vertices through the aggregate (no null-extending join
+    // needed).
+    // hash-partitioned by the join key BEFORE the checkpoint pins it:
+    // every hop joins this list against a label frame that is itself the
+    // output of a groupBy(src)-as-id aggregate (hash-partitioned on id),
+    // so the per-hop join needs NO exchange on either side — one
+    // partitioning bought once, reused every round (the bucketed-join
+    // stance applied to the loop; at 100 TB both sides would be bucketed
+    // tables). Profiled r8: the unpartitioned form re-shuffled both
+    // sides every hop, and the loop is job-latency-bound.
     val undirected = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .union(vertices.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(true)
 
-    // one propagation hop: component := min(component, neighbors').
-    // Passes through every non-component column (the loop threads
-    // old_component for the delta count).
-    def hop(lbl: DataFrame): DataFrame = {
-      val nbrMin = undirected
-        .join(lbl.select(col("id").as("dst"), col("component").as("nbr")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
-      lbl.join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
-        .select(lbl.columns.filterNot(_ == "component").map(col) :+
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"): _*)
-    }
+    // one hop, label frame referenced once (linear stacking)
+    def hop(lbl: DataFrame): DataFrame = undirected
+      .join(lbl.select(col("id").as("dst"), col("component").as("nbr")), Seq("dst"))
+      .groupBy(col("src")).agg(min(col("nbr")).as("component"))
+      .select(col("src").as("id"), col("component"))
 
+    // initial labels co-partitioned with the edge list (subsequent label
+    // frames inherit id-partitioning from the hop aggregate)
     var labels = vertices.select(col("id"), col("id").as("component"))
+      .repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       rounds += 1
-      // TWO hops per materialized round: at this data volume the cost
-      // of a round is job latency (checkpoint + delta count), not the
-      // tiny joins, so covering distance 2 per round halves the round
-      // count for chains and leaves the star-hub fast path at one
-      // changing round + one confirming round. Convergence detection
-      // is unaffected: a two-hop fixpoint is a one-hop fixpoint
-      // (labels are monotone non-increasing).
-      val next = hop(hop(labels.withColumn("old_component", col("component"))))
-        .localCheckpoint(true)
-      changed = next.filter(col("component") =!= col("old_component")).count()
-      labels = next.select(col("id"), col("component"))
+      // At propagation data volumes the cost of a round is JOB LATENCY,
+      // not the tiny joins (profiled r8), so:
+      //   - hop SCHEDULE: the first round stacks 4 hops — LSH bucket
+      //     graphs (star hub + id-adjacent path chains) have diameter
+      //     ≤ ~4 in practice, so one materialization usually reaches the
+      //     fixpoint and the second round merely confirms; later rounds
+      //     drop to 2 hops (adversarially deep components pay extra
+      //     rounds, not extra per-round latency). Convergence detection
+      //     is unaffected: a k-hop fixpoint is a one-hop fixpoint
+      //     (labels are monotone non-increasing).
+      //   - ONE job per round: persist() + the delta count (a join of
+      //     two cached label frames) materializes the round in a single
+      //     action, where the earlier eager localCheckpoint spent a
+      //     separate job per round before the count. Lineage grows
+      //     across cached rounds (analysis cost, not execution), so it
+      //     is truncated every 4th round.
+      val hops = if (rounds == 1) 4 else 2
+      var cur = labels
+      (1 to hops).foreach(_ => cur = hop(cur))
+      val next = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("id"), col("component").as("old_component")), Seq("id"))
+        .filter(col("component") =!= col("old_component")).count()
+      labels.unpersist(false)
+      labels = next
+      if (rounds % 4 == 0) {
+        val pinned = labels.localCheckpoint(true)
+        labels.unpersist(false)
+        labels = pinned
+      }
     }
+    // pin the result and release the loop cache: callers compose this
+    // frame into larger plans, which must not depend on loop-scoped
+    // cache entries
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(false)
+    labels = out
     // the loop always converges in <= component-diameter rounds, so the
     // cap is a runaway backstop, not an expected exit: hitting it means
     // TRUNCATED (wrong) labels. This is a public operator — a caller
