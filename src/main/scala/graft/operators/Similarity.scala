@@ -107,6 +107,15 @@ object Similarity {
   def lshNearDup(s: SparkSession, d: String): DataFrame =
     lshNearDup(s, d, bands = 16, bitsPerBand = 8)
 
+  /** Artifact path shared by the default [[lshNearDup]] and its DuckDB
+    * oracle: the per-vector positional band-key array (the
+    * [[graft.operators.Dedup.MinhashIndexPath]] technique) — the sign
+    * projections are engine-specific hash mixes, so they are pinned as
+    * data; DuckDB independently re-derives banding, star edges, and the
+    * exact DOUBLE-cosine verification against the RAW embeddings table.
+    */
+  val LshBandsPath: String = graft.Artifacts.path("lsh_bands_16_8")
+
   def lshNearDup(s: SparkSession, d: String, bands: Int, bitsPerBand: Int): DataFrame = {
     val v = vecs(s, d)
     // All bands×bitsPerBand sign projections come from ONE fused native
@@ -116,9 +125,16 @@ object Similarity {
     // (much slower) per-hyperplane expression-tree formulation it
     // replaced (VERDICT r2 "What's wrong" #1). posexplode position =
     // band id, value = that band's packed sign signature.
-    val banded = v.select(col("vec_id"),
-        posexplode(VectorFunctions.lshBandKeys(col("v"), bands, bitsPerBand))
-          .as(Seq("band", "key")))
+    val keyed = v.select(col("vec_id"),
+      VectorFunctions.lshBandKeys(col("v"), bands, bitsPerBand).as("bands"))
+    // only the default (16, 8) parameterization — the query surface —
+    // pins its keys for the oracle
+    if (bands == 16 && bitsPerBand == 8)
+      graft.Artifacts.writeOnce(s, d, "lsh_bands_16_8") {
+        keyed.write.mode("overwrite").parquet(LshBandsPath)
+      }
+    val banded = keyed.select(col("vec_id"),
+      posexplode(col("bands")).as(Seq("band", "key")))
 
     // star edges: bucket-min -> member, deduped across bands; linear in
     // vectors x bands regardless of bucket sizes
@@ -174,12 +190,27 @@ object Similarity {
         assigned)
     })
 
+  /** Artifact paths shared by [[ivfTopK]] and its DuckDB oracle: the
+    * per-vector cell assignments and the k-row centroid sidecar — the
+    * KMeans fit is engine-specific (seeded Lloyd iterations), so the
+    * INDEX is pinned as data, and DuckDB independently replays the
+    * whole PROBE: nprobe cell ranking by centroid cosine, the
+    * cell-restricted candidate join, and the exact DOUBLE-cosine top-k
+    * against the raw embeddings table. This is exactly the at-rest
+    * form the scaladoc above describes for 100 TB (cell-bucketed
+    * assignment table + centroid sidecar) — the oracle consumes the
+    * operational artifact, not a bespoke test dump.
+    */
+  val IvfAssignPath: String = graft.Artifacts.path("ivf_assign")
+  val IvfCentroidsPath: String = graft.Artifacts.path("ivf_centroids")
+
   /** IVF (inverted-file) top-k probe: queries search only their
     * `nprobe` nearest cells of the prebuilt [[ivfIndex]]. The join is
     * query × cell-subset instead of query × corpus: each query touches
     * ~nprobe/k of the data, and the only corpus-wide work (fit +
-    * assignment shuffle) lives in the index build. Rows-only check; the
-    * spec asserts recall against [[bruteTopK]].
+    * assignment shuffle) lives in the index build. Oracle: DuckDB
+    * replays the probe over the pinned index ([[IvfAssignPath]]); the
+    * spec additionally asserts recall against [[bruteTopK]].
     */
   def ivfTopK(s: SparkSession, d: String, k: Int = 8, nprobe: Int = 3): DataFrame = {
     val idx = ivfIndex(s, d, k)
@@ -187,6 +218,15 @@ object Similarity {
 
     // centroids as a small DataFrame (k rows) — broadcast everywhere
     val cdf = s.createDataFrame(idx.centroids).toDF("cell", "centroid")
+
+    // pin the index for the oracle (default parameterization only —
+    // the query surface); one write job per (session, sfDir)
+    if (k == 8)
+      graft.Artifacts.writeOnce(s, d, "ivf_index") {
+        assigned.select(col("vec_id"), col("cell"))
+          .write.mode("overwrite").parquet(IvfAssignPath)
+        cdf.write.mode("overwrite").parquet(IvfCentroidsPath)
+      }
 
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -346,8 +386,8 @@ object Similarity {
   val defs: Map[String, QueryDef] = Map(
     "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK)),
     "q_embedding_neardup" -> QueryDef(nearDupPairs, Some(SimilarityOracles.nearDupPairs)),
-    "q_embedding_lsh"     -> QueryDef(lshNearDup, None),
-    "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), None),
+    "q_embedding_lsh"     -> QueryDef(lshNearDup, Some(SimilarityOracles.lshNearDup)),
+    "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), Some(SimilarityOracles.ivfTopK)),
     "q_embedding_centroids" -> QueryDef(embeddingCentroids, Some(SimilarityOracles.embeddingCentroids)),
     "q_embedding_quantize" -> QueryDef(embeddingQuantize, Some(SimilarityOracles.embeddingQuantize)),
     "q_embedding_pca"     -> QueryDef((s, d) => embeddingPca(s, d), Some(SimilarityOracles.embeddingPca)))
@@ -396,6 +436,75 @@ object SimilarityOracles {
        |  p.pnorm2_q <= o.onorm2_q + ${Similarity.PcaNormSlack} AS norm_ok
        |FROM p JOIN o USING (vec_id)
        |ORDER BY vec_id""".stripMargin
+
+  /** Replays [[Similarity.lshNearDup]] downstream of the sign
+    * projections: reads the pinned positional band-key arrays,
+    * re-derives the banding, the per-bucket star edges, and the exact
+    * DOUBLE-cosine ≥ 0.3 verification against the raw embeddings table
+    * — only the hash mix itself is pinned as data (the minhash-oracle
+    * technique applied to vectors).
+    */
+  val lshNearDup: String =
+    s"""WITH art AS (
+       |  SELECT vec_id, bands
+       |  FROM read_parquet('${Similarity.LshBandsPath}/*.parquet')),
+       |banded AS (
+       |  SELECT vec_id, i AS band, bands[i + 1] AS key
+       |  FROM art, (SELECT unnest(generate_series(0, 15)) AS i)),
+       |mins AS (
+       |  SELECT band, key, min(vec_id) AS vec_a FROM banded GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT DISTINCT m.vec_a, bd.vec_id AS vec_b
+       |  FROM banded bd JOIN mins m USING (band, key)
+       |  WHERE bd.vec_id <> m.vec_a)
+       |SELECT e.vec_a, e.vec_b, round($cosSql, 4) AS cosine
+       |FROM edges e
+       |JOIN embeddings a ON e.vec_a = a.vec_id
+       |JOIN embeddings b ON e.vec_b = b.vec_id
+       |WHERE $cosSql >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Replays [[Similarity.ivfTopK]]'s entire PROBE over the pinned
+    * index (assignments + centroid sidecar): nprobe=3 cell ranking by
+    * query-centroid cosine, the cell-restricted candidate join, and the
+    * exact top-3 cosine ranking — the KMeans FIT is the only pinned
+    * step (seeded Lloyd iterations are engine-specific).
+    */
+  val ivfTopK: String = {
+    val qcCos =
+      """list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), c.centroid), x -> x[1] * x[2]))
+        | / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)))
+        |     * sqrt(list_sum(list_transform(c.centroid, x -> x * x))))""".stripMargin
+    s"""WITH assign AS (
+       |  SELECT vec_id, cell FROM read_parquet('${Similarity.IvfAssignPath}/*.parquet')),
+       |cent AS (
+       |  SELECT cell, centroid FROM read_parquet('${Similarity.IvfCentroidsPath}/*.parquet')),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ($qcCos) DESC, c.cell) AS crank
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE crank <= 3),
+       |scored AS (
+       |  SELECT p.query_id, s.vec_id, $cosSql AS cos
+       |  FROM probes p
+       |  JOIN assign s ON p.cell = s.cell
+       |  JOIN embeddings a ON p.query_id = a.vec_id
+       |  JOIN embeddings b ON s.vec_id = b.vec_id
+       |  WHERE s.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
+       |FROM ranked
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   val bruteTopK: String =
     s"""WITH scored AS (
