@@ -59,10 +59,21 @@ object Graph {
     // stance applied to the loop; at 100 TB both sides would be bucketed
     // tables). Profiled r8: the unpartitioned form re-shuffled both
     // sides every hop, and the loop is job-latency-bound.
-    val undirected = edges.select(col("src"), col("dst"))
+    val undirectedRaw = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .union(vertices.select(col("id").as("src"), col("id").as("dst")))
-      .repartition(col("dst"))
+      .localCheckpoint(true)
+    // SIZE-PROPORTIONAL parallelism for the loop: every hop is a shuffle
+    // whose cost at small graph sizes is pure per-partition scheduling
+    // latency × rounds — a 17k-row edge list gains nothing from 32-way
+    // shuffles but pays their latency every hop (profiled r8). Target
+    // ~64k rows per partition, capped at the session default so a
+    // 100 TB edge list keeps full cluster parallelism; the label frames
+    // inherit the same width through the hop aggregate below.
+    val loopParts = math.max(1L, math.min(
+      undirectedRaw.rdd.getNumPartitions.toLong,
+      undirectedRaw.count() / 65536L + 1L)).toInt
+    val undirected = undirectedRaw.repartition(loopParts, col("dst"))
       .localCheckpoint(true)
 
     // one hop, label frame referenced once (linear stacking)
@@ -74,7 +85,7 @@ object Graph {
     // initial labels co-partitioned with the edge list (subsequent label
     // frames inherit id-partitioning from the hop aggregate)
     var labels = vertices.select(col("id"), col("id").as("component"))
-      .repartition(col("id"))
+      .repartition(loopParts, col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var rounds = 0
@@ -89,7 +100,11 @@ object Graph {
       //     drop to 2 hops (adversarially deep components pay extra
       //     rounds, not extra per-round latency). Convergence detection
       //     is unaffected: a k-hop fixpoint is a one-hop fixpoint
-      //     (labels are monotone non-increasing).
+      //     (labels are monotone non-increasing). (Measured and
+      //     rejected: folding the convergence test into the working
+      //     round by delta-counting hop⁴ against hop³ — the comparison
+      //     side duplicates the 3-hop subtree inside the job and cost
+      //     MORE than the separate cheap confirming round.)
       //   - ONE job per round: persist() + the delta count (a join of
       //     two cached label frames) materializes the round in a single
       //     action, where the earlier eager localCheckpoint spent a
