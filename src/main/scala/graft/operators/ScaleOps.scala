@@ -305,6 +305,79 @@ object ScaleOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source document cap — the domain-cap admission rule of web
+    * corpus prep ("keep at most N pages per domain"): an unbiased
+    * deterministic sample per source, ranked by a Knuth multiplicative
+    * hash of the doc id (NOT by doc_id order, which would bias toward
+    * early crawl ids; the hash is plain modular integer algebra so the
+    * oracle replicates it exactly — the engine-hash-free twin of the
+    * [[graft.operators.TrainingPrep]] hash-sampling stance).
+    *
+    * Shape: one window per source partition (shuffle on source, sort by
+    * rank key within). The documented skew hazard is a giant source at
+    * 100 TB: the escalation is the two-phase salted cap — cap per
+    * (source, salt) at N, then re-cap the ≤ N·salts survivors — same
+    * algebra, bounded partitions; at fixture scale the single window is
+    * the honest plan.
+    */
+  private[operators] val SourceCapN = 20
+  private[operators] val CapHashPrime = 2654435761L
+  private[operators] val CapHashMod = 4294967296L
+
+  def sourceCap(s: SparkSession, d: String): DataFrame = {
+    val rankKey = (col("doc_id") * lit(CapHashPrime)) % lit(CapHashMod)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(rankKey.asc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= SourceCapN)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document boilerplate n-gram detection — the C4/RefinedWeb
+    * class of cleanup: word 8-grams appearing in ≥ `minDocs` DISTINCT
+    * documents are boilerplate (headers, templates, licence blocks);
+    * each document reports its gram count, boilerplate-gram count, and
+    * ratio, which a downstream gate thresholds.
+    *
+    * Shape: per-doc DISTINCT grams built in the scan stage
+    * (transform + array_distinct — no duplicate gram rows ever leave
+    * the scan), one count per gram (map-side combinable: the shuffle
+    * carries one row per distinct (gram, doc) pair, then one per gram),
+    * the hot set joined back, one final per-doc aggregate. The gram KEY
+    * here is the string itself so the DuckDB oracle is exact; at
+    * 100 TB the key is xxhash64(gram) — 8-byte shuffle rows instead of
+    * strings, with collisions only ever adding a false boilerplate
+    * mark (the direction a cleanup gate tolerates).
+    */
+  private[operators] val BoilerN = 8
+  private[operators] val BoilerMinDocs = 3
+
+  def boilerplateNgrams(s: SparkSession, d: String): DataFrame = {
+    val n = BoilerN
+    val grams = Tables.documents(s, d)
+      .withColumn("ws", TextAnalysis.words)
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n))))"))
+        .as("g"))
+    val hot = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= BoilerMinDocs)
+      .select(col("g"))
+    grams
+      .join(hot, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boilerplate"))
+      .join(grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        round(coalesce(col("n_boilerplate"), lit(0L)) / col("n_grams"), 4)
+          .as("boilerplate_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Activity-decile bucketing of users WITHOUT a global window.
     * `ntile(10)` is the textbook formulation and a classic scale trap:
     * a window with no PARTITION BY collapses the whole table into one
@@ -347,7 +420,9 @@ object ScaleOps {
     "q_data_mixture"        -> QueryDef(dataMixture, Some(ScaleOracles.dataMixture)),
     "q_grouping_sets"       -> QueryDef(groupingSets, Some(groupingSetsSql)),
     "q_heavy_hitters"       -> QueryDef(heavyHitters, None),
-    "q_heavy_hitters_exact" -> QueryDef(heavyHittersExact, Some(ScaleOracles.heavyHittersExact)))
+    "q_heavy_hitters_exact" -> QueryDef(heavyHittersExact, Some(ScaleOracles.heavyHittersExact)),
+    "q_source_cap"          -> QueryDef(sourceCap, Some(ScaleOracles.sourceCap)),
+    "q_boilerplate_ngrams"  -> QueryDef(boilerplateNgrams, Some(ScaleOracles.boilerplateNgrams)))
 }
 
 /** DuckDB oracles for [[ScaleOps]] — same aliases, ORDER BY, rounding. */
@@ -374,6 +449,57 @@ object ScaleOracles {
        |WHERE ${graft.GoldenHash.isTrainDocSql.replace("doc_id", "t.doc_id")}
        |GROUP BY 1
        |ORDER BY t.doc_id""".stripMargin
+
+  /** Same multiplicative-hash rank and per-source row_number cap as
+    * [[ScaleOps.sourceCap]] — plain modular BIGINT algebra, so both
+    * engines rank identically with no pinned artifact.
+    */
+  val sourceCap: String =
+    s"""SELECT doc_id, source,
+       |  CAST(sample_rank AS INT) AS sample_rank
+       |FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY (doc_id * ${ScaleOps.CapHashPrime}) % ${ScaleOps.CapHashMod}, doc_id)
+       |      AS sample_rank
+       |  FROM documents)
+       |WHERE sample_rank <= ${ScaleOps.SourceCapN}
+       |ORDER BY doc_id""".stripMargin
+
+  /** Same distinct-8-gram construction as
+    * [[ScaleOps.boilerplateNgrams]] (the [[ngramDecontaminate]] slice
+    * idiom), hot set re-derived with the same ≥ min-docs threshold.
+    */
+  val boilerplateNgrams: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, ${TextOracles.wordsSql} AS ws
+       |  FROM documents),
+       |eligible AS (SELECT doc_id, ws FROM ws WHERE len(ws) >= ${ScaleOps.BoilerN}),
+       |pos AS (
+       |  SELECT doc_id, ws,
+       |    unnest(generate_series(1, len(ws) - ${ScaleOps.BoilerN - 1})) AS i
+       |  FROM eligible),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(list_slice(ws, CAST(i AS INT),
+       |      CAST(i AS INT) + ${ScaleOps.BoilerN - 1}), ' ') AS g
+       |  FROM pos),
+       |hot AS (
+       |  SELECT g FROM grams GROUP BY g
+       |  HAVING count(*) >= ${ScaleOps.BoilerMinDocs}),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+       |boiler AS (
+       |  SELECT gr.doc_id, count(*) AS n_boilerplate
+       |  FROM grams gr JOIN hot h ON gr.g = h.g
+       |  GROUP BY 1)
+       |SELECT p.doc_id,
+       |  p.n_grams,
+       |  CAST(COALESCE(b.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       |  round(CAST(COALESCE(b.n_boilerplate, 0) AS DOUBLE) / p.n_grams, 4)
+       |    AS boilerplate_ratio
+       |FROM per_doc p LEFT JOIN boiler b USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
 
   val userDeciles: String = {
     val cutDefs = (1 to 9)

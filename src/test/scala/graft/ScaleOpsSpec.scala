@@ -210,4 +210,62 @@ class ScaleOpsSpec extends SparkSpec {
       assert(got(q) == best._1, s"query $q")
     }
   }
+
+  test("heavy-hitters exact companion equals the true guaranteed-heavy set") {
+    // event_type cardinality (5) <= capacity (64): Space-Saving is
+    // provably exact under any merge order, so the companion must equal
+    // the exact GROUP BY ... HAVING set with exact counts
+    val got = ScaleOps.heavyHittersExact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val expected = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (_, n) => n * 64 > total }.toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("source cap keeps at most N docs per source, deterministically") {
+    val out = ScaleOps.sourceCap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySource = out.groupBy(_._2)
+    assert(bySource.values.forall(_.length <= 20))
+    // ranks within a source are exactly 1..k (a real sample, no gaps)
+    bySource.values.foreach { docs =>
+      assert(docs.map(_._3).sorted.toSeq == (1 to docs.length).toSeq)
+    }
+    // deterministic: a second invocation returns the identical set
+    val again = ScaleOps.sourceCap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSet == again.toSet)
+    // the hash rank is not doc_id order: some source must keep a doc
+    // whose doc_id is NOT among its 20 smallest (unbiased sampling)
+    val all = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val biased = all.groupBy(_._2).values.flatMap(ds =>
+      ds.map(_._1).sorted.take(20)).toSet
+    assert(out.map(_._1).toSet != biased, "cap degenerated to doc_id order")
+  }
+
+  test("boilerplate n-grams: planted template is flagged, unique text is not") {
+    import spark.implicits._
+    val template = (1 to 8).map(i => s"tpl$i").mkString(" ")
+    def unique(seed: Int) = (1 to 12).map(i => s"w${seed}_$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$template ${unique(0)}", "en", "s", 0L),
+      (1L, s"$template ${unique(1)}", "en", "s", 0L),
+      (2L, s"$template ${unique(2)}", "en", "s", 0L),
+      (3L, unique(3), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-boiler").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ScaleOps.boilerplateNgrams(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the template 8-gram appears in 3 docs (>= minDocs): exactly one
+    // boilerplate gram in each carrier, none in the unique doc
+    (0L to 2L).foreach { id =>
+      assert(out(id)._2 == 1L, s"doc $id: ${out(id)}")
+    }
+    assert(out(3L)._2 == 0L && out(3L)._1 > 0L, out(3L).toString)
+  }
 }
