@@ -305,8 +305,17 @@ object Similarity {
     * embedding's quantized squared norm. Exact integer algebra end to
     * end, so the oracle compare is bit-stable across engines.
     */
+  /** The projected frame is cached per (session, sfDir, k) — a PCA
+    * model, like the IVF index, is trained once and projected many
+    * times; repeat query invocations must not re-pay the Gramian+SVD
+    * (the [[ivfCache]] stance).
+    */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
   def embeddingPca(s: SparkSession, d: String, k: Int = 8): DataFrame = {
-    val proj = embeddingPcaProjected(s, d, k).localCheckpoint(true)
+    val proj = pcaCache.computeIfAbsent((s, d, k),
+      _ => embeddingPcaProjected(s, d, k).localCheckpoint(true))
     graft.Artifacts.writeOnce(s, d, "pca_proj") {
       proj.write.mode("overwrite").parquet(PcaProjPath)
     }
