@@ -155,6 +155,30 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Hard-negative mining — the contrastive-training sampler: for each
+    * query vector, the top-3 most similar vectors with a DIFFERENT
+    * label (similar-but-wrong examples are what contrastive and
+    * reranker training needs; easy random negatives teach nothing).
+    * Same broadcast-query/one-corpus-scan shape as [[bruteTopK]] with
+    * the label-mismatch predicate fused into the scan filter — at
+    * 100 TB the query side is the training batch (always small), the
+    * corpus is scanned once, and the ranking window partitions by query.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), col("label"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF index artifact: KMeans coarse quantizer (fixed seed) +
     * per-vector cell assignments. An IVF index is built once and probed
     * many times — round 1 re-fit the KMeans inside every query
@@ -394,6 +418,7 @@ object Similarity {
 
   val defs: Map[String, QueryDef] = Map(
     "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK)),
+    "q_hard_negatives"    -> QueryDef(hardNegatives, Some(SimilarityOracles.hardNegatives)),
     "q_embedding_neardup" -> QueryDef(nearDupPairs, Some(SimilarityOracles.nearDupPairs)),
     "q_embedding_lsh"     -> QueryDef(lshNearDup, Some(SimilarityOracles.lshNearDup)),
     "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), Some(SimilarityOracles.ivfTopK)),
@@ -514,6 +539,26 @@ object SimilarityOracles {
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** [[Similarity.hardNegatives]]'s exact twin: the [[bruteTopK]]
+    * ranking restricted to label-mismatched candidates.
+    */
+  val hardNegatives: String =
+    s"""WITH scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS label,
+       |    $cosSql AS cos
+       |  FROM embeddings a JOIN embeddings b
+       |    ON b.vec_id <> a.vec_id AND b.label <> a.label
+       |  WHERE a.vec_id < 5),
+       |ranked AS (
+       |  SELECT query_id, vec_id, label, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, label, round(cos, 4) AS cosine
+       |FROM ranked
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
 
   val bruteTopK: String =
     s"""WITH scored AS (

@@ -247,6 +247,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.map(_._1).toSet != biased, "cap degenerated to doc_id order")
   }
 
+  test("new corpus ops keep scale-safe plans (no pair materialization)") {
+    // boilerplate: gram joins are equality joins on the gram key; the
+    // source cap is one window over the source partitioning — neither
+    // may degenerate into a cross product
+    Seq(ScaleOps.boilerplateNgrams(spark, sf), ScaleOps.sourceCap(spark, sf))
+      .foreach { q =>
+        val phys = q.queryExecution.executedPlan.toString
+        assert(!phys.contains("CartesianProduct") &&
+          !phys.contains("BroadcastNestedLoopJoin"), phys.take(2000))
+      }
+  }
+
   test("boilerplate n-grams: planted template is flagged, unique text is not") {
     import spark.implicits._
     val template = (1 to 8).map(i => s"tpl$i").mkString(" ")

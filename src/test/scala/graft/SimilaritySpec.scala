@@ -124,6 +124,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives exclude the query's own label and broadcast the query side") {
+    val q = Similarity.hardNegatives(spark, sf)
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, vid, lbl) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(lbl != labels(qid), s"query $qid got same-label negative $vid")
+      assert(lbl == labels(vid))
+    }
+    // the corpus is scanned once with the query side broadcast — no
+    // shuffle of the corpus, no pair materialization beyond the scan
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastExchange"), phys.take(2000))
+  }
+
   test("scalarized PCA query passes its own norm invariant on every vector") {
     // the query surface (scalar checksums — VERDICT r7: arrays crash
     // the driver's pandas sort) must mark every vector norm_ok: an
