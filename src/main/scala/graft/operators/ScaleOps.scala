@@ -354,9 +354,15 @@ object ScaleOps {
   private[operators] val BoilerN = 8
   private[operators] val BoilerMinDocs = 3
 
-  def boilerplateNgrams(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, n_grams, n_boilerplate) over ANY (doc_id, text) frame —
+    * the hot set is computed WITHIN the given corpus (boilerplate is a
+    * corpus-relative notion: a composed pipeline must detect templates
+    * among the documents it is actually preparing, not the pre-filter
+    * superset). [[corpusPrep3]]-composable core of [[boilerplateNgrams]].
+    */
+  private[operators] def boilerplateOf(docs: DataFrame): DataFrame = {
     val n = BoilerN
-    val grams = Tables.documents(s, d)
+    val grams = docs
       .withColumn("ws", TextAnalysis.words)
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(expr(
@@ -372,11 +378,14 @@ object ScaleOps {
       .join(grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
         Seq("doc_id"), "right")
       .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
-        round(coalesce(col("n_boilerplate"), lit(0L)) / col("n_grams"), 4)
-          .as("boilerplate_ratio"))
-      .orderBy(col("doc_id"))
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"))
   }
+
+  def boilerplateNgrams(s: SparkSession, d: String): DataFrame =
+    boilerplateOf(Tables.documents(s, d))
+      .withColumn("boilerplate_ratio",
+        round(col("n_boilerplate") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
 
   /** Activity-decile bucketing of users WITHOUT a global window.
     * `ntile(10)` is the textbook formulation and a classic scale trap:

@@ -170,4 +170,25 @@ class TrainingPrepSpec extends SparkSpec {
     assert(masked(1) == "from <ip> port #", masked(1))
     assert(masked(2) == "v# build #", masked(2))
   }
+
+  test("corpusPrep3 stage wiring: cap subset, gates bite, packing stays dense") {
+    import graft.operators.ScaleOps
+    val out = TrainingPrep.corpusPrep3(spark, sf).collect()
+    assert(out.nonEmpty)
+    val outDocs = out.map(_.getLong(0)).toSet
+    // stage 1: every surviving doc was admitted by the source cap
+    val capped = ScaleOps.sourceCap(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(outDocs.subsetOf(capped), s"${(outDocs -- capped).take(5)} escaped the cap")
+    // stage wiring vs corpusPrep2: the added gates can only SHRINK the
+    // survivor set (prep3 docs ⊆ prep2 docs ∩ capped)
+    val prep2Docs = TrainingPrep.corpusPrep2(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(outDocs.subsetOf(prep2Docs), "prep3 admitted a doc prep2's gates rejected")
+    assert(outDocs.size < prep2Docs.size, "the acquisition gates never fired")
+    // packing invariant carried over: window ids per source are dense from 0
+    out.groupBy(_.getString(2)).values.foreach { rows =>
+      val wids = rows.map(_.getLong(3)).distinct.sorted
+      assert(wids.head == 0L && wids.sameElements(wids.head to wids.last),
+        s"sparse window ids: ${wids.take(10).toSeq}")
+    }
+  }
 }
