@@ -228,6 +228,19 @@ object Similarity {
   val IvfAssignPath: String = graft.Artifacts.path("ivf_assign")
   val IvfCentroidsPath: String = graft.Artifacts.path("ivf_centroids")
 
+  /** Pin the default (k=8) index for the oracles — shared by every query
+    * that consumes the IVF index ([[ivfTopK]], [[semanticDedup]],
+    * [[prototypePrune]]), so whichever runs first in a session pays the
+    * one write job and the rest reuse it ([[graft.Artifacts.writeOnce]]).
+    */
+  private def pinIvfIndex(s: SparkSession, d: String, idx: IvfIndex): Unit =
+    graft.Artifacts.writeOnce(s, d, "ivf_index") {
+      idx.assigned.select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").parquet(IvfAssignPath)
+      s.createDataFrame(idx.centroids).toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(IvfCentroidsPath)
+    }
+
   /** IVF (inverted-file) top-k probe: queries search only their
     * `nprobe` nearest cells of the prebuilt [[ivfIndex]]. The join is
     * query × cell-subset instead of query × corpus: each query touches
@@ -245,12 +258,7 @@ object Similarity {
 
     // pin the index for the oracle (default parameterization only —
     // the query surface); one write job per (session, sfDir)
-    if (k == 8)
-      graft.Artifacts.writeOnce(s, d, "ivf_index") {
-        assigned.select(col("vec_id"), col("cell"))
-          .write.mode("overwrite").parquet(IvfAssignPath)
-        cdf.write.mode("overwrite").parquet(IvfCentroidsPath)
-      }
+    if (k == 8) pinIvfIndex(s, d, idx)
 
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -271,6 +279,83 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("vec_id"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SemDeDup-style semantic deduplication: coarse-cluster the corpus
+    * with the prebuilt [[ivfIndex]] (the same k-means cells the ANN probe
+    * uses), then compare embeddings PAIRWISE ONLY WITHIN EACH CELL and
+    * flag any vector with a lower-id cell-mate above the cosine
+    * threshold as a semantic duplicate of the minimum such mate. This is
+    * the embedding-space near-dup gate an LLM corpus runs after the
+    * lexical passes ([[Dedup.minhashDedup]]): paraphrases and
+    * re-renderings share no n-grams but land on near-identical vectors.
+    *
+    * Scale shape: the clustering bounds the pair space — pairs are
+    * |cell|² per cell, never corpus², and at 100 TB k grows with the
+    * corpus (k ≈ N/target_cell_size) so cell sizes stay bounded and the
+    * within-cell join both stays quadratic-in-a-constant and hash-
+    * partitions across executors by cell id. The fit is paid once in the
+    * cached/pinned index build, exactly like the ANN probe. The fixture
+    * runs k=8 at τ=0.4 (the fixture embeddings are well-spread — see
+    * [[nearDupPairs]]'s 0.3 operating note).
+    */
+  def semanticDedup(s: SparkSession, d: String, k: Int = 8, tau: Double = 0.4): DataFrame = {
+    val idx = ivfIndex(s, d, k)
+    if (k == 8) pinIvfIndex(s, d, idx)
+    semanticDedupOf(idx.assigned, tau)
+  }
+
+  /** Frame-parametric core of [[semanticDedup]] (specs plant controlled
+    * clusters): `assigned` is (vec_id, v array<double>, cell).
+    */
+  private[graft] def semanticDedupOf(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id"), col("v"))
+    val b = assigned.select(col("cell"), col("vec_id").as("prev_id"), col("v").as("pv"))
+    // lower-id mates only: each vector's canonical representative is the
+    // MINIMUM cell-mate above threshold, so kept/duplicate is stable
+    // under any execution order
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("prev_id") < col("vec_id"))
+      .withColumn("cos", cosine(col("v"), col("pv")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("prev_id")).as("dup_of0"),
+        round(max(col("cos")), 4).as("max_cos0"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of0").isNotNull.as("is_duplicate"),
+        coalesce(col("dup_of0"), col("vec_id")).as("dup_of"),
+        coalesce(col("max_cos0"), lit(0.0)).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** SSL-prototypes / D4-style prototype pruning: within each [[ivfIndex]]
+    * cell, rank vectors by cosine to their own centroid and prune the
+    * most prototypical 20% (`rank ≤ cell_n DIV 5` — integer arithmetic,
+    * so the cut is bit-identical across engines). Near-centroid examples
+    * are the cluster's redundant "easy core"; dropping them (after
+    * [[semanticDedup]] removes outright duplicates) is the
+    * diversity-preserving data-pruning step of the D4 recipe.
+    *
+    * One broadcast of the k-row centroid sidecar, one scan of the
+    * assignment table, a per-cell window — no corpus-wide shuffle beyond
+    * the window's hash partition by cell (bounded cells at scale, as
+    * [[semanticDedup]] documents).
+    */
+  def prototypePrune(s: SparkSession, d: String, k: Int = 8, dropDenom: Int = 5): DataFrame = {
+    val idx = ivfIndex(s, d, k)
+    if (k == 8) pinIvfIndex(s, d, idx)
+    val cdf = s.createDataFrame(idx.centroids).toDF("cell", "centroid")
+    val w = Window.partitionBy(col("cell")).orderBy(col("ccos").desc, col("vec_id"))
+    idx.assigned.join(broadcast(cdf), Seq("cell"))
+      .withColumn("ccos", cosine(col("v"), col("centroid")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .select(col("vec_id"), col("cell"), round(col("ccos"), 4).as("centroid_cos"),
+        col("rank"), col("cell_n"),
+        (col("rank") <= expr(s"cell_n DIV $dropDenom")).as("pruned"))
+      .orderBy(col("vec_id"))
   }
 
   /** PCA projection of the embedding column — the dimensionality
@@ -424,7 +509,9 @@ object Similarity {
     "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), Some(SimilarityOracles.ivfTopK)),
     "q_embedding_centroids" -> QueryDef(embeddingCentroids, Some(SimilarityOracles.embeddingCentroids)),
     "q_embedding_quantize" -> QueryDef(embeddingQuantize, Some(SimilarityOracles.embeddingQuantize)),
-    "q_embedding_pca"     -> QueryDef((s, d) => embeddingPca(s, d), Some(SimilarityOracles.embeddingPca)))
+    "q_embedding_pca"     -> QueryDef((s, d) => embeddingPca(s, d), Some(SimilarityOracles.embeddingPca)),
+    "q_semantic_dedup"    -> QueryDef((s, d) => semanticDedup(s, d), Some(SimilarityOracles.semanticDedup)),
+    "q_embedding_prune"   -> QueryDef((s, d) => prototypePrune(s, d), Some(SimilarityOracles.prototypePrune)))
 }
 
 /** DuckDB oracles — cosine via explicit DOUBLE list arithmetic
@@ -597,6 +684,64 @@ object SimilarityOracles {
       |FROM vals
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
+
+  /** Replays [[Similarity.semanticDedup]] downstream of the k-means fit:
+    * reads the pinned cell assignments, re-derives the within-cell pairs,
+    * the exact DOUBLE-cosine threshold, and the min-mate aggregation
+    * against the RAW embeddings table — only the clustering (seeded Lloyd
+    * iterations) is pinned as data, the dedup decision itself is
+    * independently recomputed.
+    */
+  val semanticDedup: String =
+    s"""WITH assign AS (
+       |  SELECT vec_id, cell FROM read_parquet('${Similarity.IvfAssignPath}/*.parquet')),
+       |pairs AS (
+       |  SELECT sa.vec_id, sb.vec_id AS prev_id, $cosSql AS cos
+       |  FROM assign sa JOIN assign sb
+       |    ON sa.cell = sb.cell AND sb.vec_id < sa.vec_id
+       |  JOIN embeddings a ON sa.vec_id = a.vec_id
+       |  JOIN embeddings b ON sb.vec_id = b.vec_id),
+       |dups AS (
+       |  SELECT vec_id, min(prev_id) AS dup_of0, round(max(cos), 4) AS max_cos0
+       |  FROM pairs WHERE cos >= 0.4 GROUP BY 1)
+       |SELECT s.vec_id, s.cell,
+       |  d.dup_of0 IS NOT NULL AS is_duplicate,
+       |  COALESCE(d.dup_of0, s.vec_id) AS dup_of,
+       |  COALESCE(d.max_cos0, 0.0) AS max_cos
+       |FROM assign s LEFT JOIN dups d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
+  /** Replays [[Similarity.prototypePrune]] over the pinned index
+    * (assignments + centroid sidecar): per-cell centroid-cosine ranking
+    * and the integer 20% cut — `//` floors like Spark's DIV on the
+    * non-negative counts involved.
+    */
+  val prototypePrune: String = {
+    val vcCos =
+      """list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), c.centroid), x -> x[1] * x[2]))
+        | / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
+        |     * sqrt(list_sum(list_transform(c.centroid, x -> x * x))))""".stripMargin
+    s"""WITH assign AS (
+       |  SELECT vec_id, cell FROM read_parquet('${Similarity.IvfAssignPath}/*.parquet')),
+       |cent AS (
+       |  SELECT cell, centroid FROM read_parquet('${Similarity.IvfCentroidsPath}/*.parquet')),
+       |scored AS (
+       |  SELECT s.vec_id, s.cell, $vcCos AS ccos
+       |  FROM assign s
+       |  JOIN cent c ON s.cell = c.cell
+       |  JOIN embeddings a ON s.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, cell, ccos,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY ccos DESC, vec_id) AS INT) AS rank,
+       |    count(*) OVER (PARTITION BY cell) AS cell_n
+       |  FROM scored)
+       |SELECT vec_id, cell, round(ccos, 4) AS centroid_cos, rank,
+       |  CAST(cell_n AS BIGINT) AS cell_n,
+       |  rank <= cell_n // 5 AS pruned
+       |FROM ranked
+       |ORDER BY vec_id""".stripMargin
+  }
 
   // same double-widened algebra as the Spark builder: float→double is
   // lossless, so scale/round/quantize are bit-identical; checksums are

@@ -179,8 +179,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary build with cumulative-coverage curve — the tokenizer-prep
+    * rollup: global word counts ranked by frequency (count desc, token
+    * asc — fully deterministic), each with its running share of total
+    * corpus tokens. The coverage curve is what picks a vocab size ("the
+    * top V types cover 99.5% of tokens").
+    *
+    * Scale shape: the corpus-wide work is ONE map-side-combinable hash
+    * aggregate (shuffle carries (token, partial count), never token
+    * instances); the ranking window then runs over the AGGREGATED vocab
+    * table — |vocab| rows (≤ a few million for any natural corpus),
+    * orders of magnitude smaller than the corpus, so its single-partition
+    * global sort is a deliberate non-issue, not a scale trap.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(explode(words).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val byFreq = Window.orderBy(col("n_occurrences").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(byFreq).cast("int"))
+      .withColumn("cum_occurrences", sum(col("n_occurrences")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("coverage", round(
+        col("cum_occurrences").cast("double") /
+          sum(col("n_occurrences")).over(Window.partitionBy()), 6))
+      .select(col("rank"), col("token"), col("n_occurrences"),
+        col("cum_occurrences"), col("coverage"))
+      .orderBy(col("rank"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_token_count"  -> QueryDef(tokenCount, Some(TextOracles.tokenCount)),
+    "q_vocab_coverage" -> QueryDef(vocabCoverage, Some(TextOracles.vocabCoverage)),
     "q_repetition_filter" -> QueryDef(repetitionFilter, Some(TextOracles.repetitionFilter)),
     "q_bpe_token_count" -> QueryDef(bpeTokenCount, Some(TextOracles.bpeTokenCount)),
     "q_text_quality" -> QueryDef(textQuality, Some(TextOracles.textQuality)),
@@ -198,6 +231,29 @@ object TextOracles {
     "list_filter(string_split(text, ' '), w -> w != '')"
 
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+  /** Same count/rank/cumsum algebra as [[TextAnalysis.vocabCoverage]];
+    * the coverage ratio divides as DOUBLE in both dialects before the
+    * round(6).
+    */
+  val vocabCoverage: String =
+    s"""WITH counts AS (
+      |  SELECT tok AS token, count(*) AS n_occurrences FROM (
+      |    SELECT unnest($wordsSql) AS tok FROM documents)
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT token, n_occurrences,
+      |    CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rank,
+      |    sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_occurrences,
+      |    sum(n_occurrences) OVER () AS total
+      |  FROM counts)
+      |SELECT rank, token,
+      |  CAST(n_occurrences AS BIGINT) AS n_occurrences,
+      |  CAST(cum_occurrences AS BIGINT) AS cum_occurrences,
+      |  round(CAST(cum_occurrences AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+      |FROM ranked
+      |ORDER BY rank""".stripMargin
 
   /** Same bigram/vocab algebra as [[TextAnalysis.repetitionFilter]];
     * the keep gate is the same exact-integer comparison.

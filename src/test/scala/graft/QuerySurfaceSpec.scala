@@ -165,4 +165,19 @@ class QuerySurfaceSpec extends SparkSpec {
       }
     assert(got == expected)
   }
+
+  test("vocab coverage curve is a valid CDF over the corpus token mass") {
+    val rows = operators.TextAnalysis.vocabCoverage(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // ranks are 1..V in frequency order; cumsum is the running total of
+    // the counts; coverage ends at exactly 1.0 and never decreases
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "counts not descending")
+    assert(rows.map(_._3).toSeq == counts.scanLeft(0L)(_ + _).tail.toSeq, "cumsum mismatch")
+    val cov = rows.map(_._4)
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage decreased")
+    assert(cov.last == 1.0, s"coverage must end at 1.0, got ${cov.last}")
+  }
 }

@@ -154,4 +154,62 @@ class SimilaritySpec extends SparkSpec {
     val bad = rows.filterNot(_._3).map(_._1)
     assert(bad.isEmpty, s"projected norm exceeded original for vec_ids: ${bad.toSeq}")
   }
+
+  test("semantic dedup flags within-cell near pairs and only those") {
+    import graft.operators.Similarity
+    graft.functions.Registry.ensure(spark)
+    // controlled cells: 0/1 share cell A and are near-parallel (must
+    // flag 1 as dup of 0); 2 is near-parallel to 0 but in ANOTHER cell
+    // (the clustering blind spot — must NOT flag); 3 shares cell A but
+    // is orthogonal noise (must NOT flag)
+    val assigned = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0), 0),
+      (1L, Array(0.999, 0.01, 0.0, 0.0), 0),
+      (2L, Array(1.0, 0.001, 0.0, 0.0), 1),
+      (3L, Array(0.0, 0.0, 1.0, 0.0), 0))
+      .toDF("vec_id", "v", "cell")
+    val out = Similarity.semanticDedupOf(assigned, 0.9)
+      .select("vec_id", "is_duplicate", "dup_of")
+      .as[(Long, Boolean, Long)].collect()
+      .map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(out(1L) == ((true, 0L)), s"near same-cell mate not flagged: $out")
+    assert(out(2L) == ((false, 2L)), "cross-cell pair must not be compared")
+    assert(out(3L) == ((false, 3L)), "orthogonal cell-mate wrongly flagged")
+    assert(out(0L) == ((false, 0L)), "the minimum id is the kept representative")
+  }
+
+  test("semantic dedup end-to-end flags a planted duplicate on a real index") {
+    val dim = 64
+    def vec(seed: Long, jitter: Double): Array[Float] =
+      Array.tabulate(dim) { j =>
+        (math.sin(seed * 7919.0 + j * 13.37) + jitter * math.cos(j)).toFloat
+      }
+    // 0 and 99 nearly identical (cosine ~1); the rest spread noise
+    val rows =
+      Seq((0L, vec(1, 0.0), 0), (99L, vec(1, 0.005), 0)) ++
+        (2L to 40L).map(i => (i, vec(i * 131 + 17, 0.0), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.semanticDedup(spark, dir)
+      .filter(col("vec_id") === 99L)
+      .select("is_duplicate", "dup_of").as[(Boolean, Long)].collect()
+    // nearly-identical vectors land in the same k-means cell, so the
+    // planted pair must be caught despite the cell restriction
+    assert(out.sameElements(Array((true, 0L))), s"planted dup missed: ${out.toSeq}")
+  }
+
+  test("prototype prune cuts exactly cell_n DIV 5 per cell, top-ranked first") {
+    val out = Similarity.prototypePrune(spark, sf)
+      .select("cell", "rank", "cell_n", "pruned")
+      .as[(Int, Int, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (cell, rows) =>
+      val n = rows.head._3
+      val pruned = rows.filter(_._4)
+      assert(pruned.length == (n / 5).toInt, s"cell $cell pruned ${pruned.length} of $n")
+      // the pruned set is exactly the most-prototypical prefix
+      assert(pruned.forall(_._2 <= n / 5), s"cell $cell pruned a non-prefix rank")
+    }
+  }
 }
