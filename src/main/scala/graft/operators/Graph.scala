@@ -144,6 +144,105 @@ object Graph {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the structural escalation documented in
+    * [[connectedComponents]]' scaladoc, implemented as a first-class
+    * alternative:
+    *
+    *   - large-star: every vertex links its LARGER neighbors to the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: every vertex links its smaller-or-equal neighbors
+    *     to that minimum;
+    *   - alternate until the edge set stops changing — at the fixpoint
+    *     the edges form stars rooted at each component's global minimum,
+    *     and labeling is one min-neighbor aggregate.
+    *
+    * Where it wins: rounds contract components at ~squaring rate
+    * (O(log² n) worst case, independent of DIAMETER), so adversarially
+    * long chains and web-scale giant components converge in a bounded
+    * round count where label propagation pays rounds ∝ diameter. Where
+    * it loses: each round REWRITES the edge multiset (shuffle carries
+    * the full edge list, twice per alternation, plus the fixpoint test
+    * scans it again), where a propagation round only moves |V| labels
+    * over a pinned edge list — on hub-shaped banded-LSH dedup graphs
+    * (diameter ≤ ~4) propagation does strictly less work per round and
+    * fewer rounds, which is why [[connectedComponents]] stays the
+    * default engine path and this operator is the deep-graph escape
+    * hatch. Both return identical exact components
+    * ([[docComponentsLss]] triple-matches the same recursive-CTE oracle
+    * as `q_doc_components`; GraphSpec pins agreement on planted deep
+    * and star topologies).
+    */
+  def largeSmallStarComponents(
+      vertices: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // canonical undirected edge set: (u < v), deduped. Isolated vertices
+    // never enter the rewrite; the final left join labels them.
+    var e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    // large-star: over the SYMMETRIZED neighbor list, every vertex a
+    // links its larger neighbors to m = min(N(a) ∪ {a}). One groupBy +
+    // one join, both keyed on a — one shuffle of the edge list.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val nbrs = cur.select(col("u").as("a"), col("v").as("b"))
+        .union(cur.select(col("v").as("a"), col("u").as("b")))
+      val mins = nbrs.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+      nbrs.filter(col("b") > col("a"))
+        .join(mins, Seq("a"))
+        .select(least(col("b"), col("m")).as("u"),
+          greatest(col("b"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star: edges ORIENTED toward their larger endpoint (with the
+    // canonical u<v layout that is just a=v, b=u); every vertex a links
+    // each smaller neighbor AND ITSELF to m = min(N_smaller(a) ∪ {a}).
+    // The (a, m) self-link is load-bearing: it re-attaches a to the new
+    // root so stars re-root instead of dissolving.
+    def smallStar(cur: DataFrame): DataFrame = {
+      val nbrs = cur.select(col("v").as("a"), col("u").as("b"))
+      val mins = nbrs.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+      nbrs.join(mins, Seq("a"))
+        .select(col("b"), col("m"))
+        .union(mins.select(col("a").as("b"), col("m")))
+        .select(least(col("b"), col("m")).as("u"),
+          greatest(col("b"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      rounds += 1
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint = identical canonical edge sets (both are distinct
+      // (u,v) with u<v, so two anti-joins decide set equality)
+      changed = next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
+        e.join(next, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      e = next
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"largeSmallStarComponents hit maxRounds=$maxRounds before the edge " +
+          "set stabilized — labels would be wrong; raise maxRounds")
+
+    // at the fixpoint every non-root neighbors its root directly; roots
+    // (and isolated vertices) label themselves
+    val nbrs = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+    val mins = nbrs.groupBy(col("a")).agg(min(col("b")).as("mn"))
+    vertices
+      .join(mins.select(col("a").as("id"), col("mn")), Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("mn"), col("id"))).as("component"))
+  }
+
   /** Near-dup document clusters over the EXACT blocked n-gram Jaccard
     * edge set ([[Dedup.ngramJaccard]] at its 0.2 threshold): component
     * id + size per document. Fully SQL-expressible end to end — the
@@ -153,11 +252,25 @@ object Graph {
     * (the technique [[DedupOracles.minhashDedup]] applies to the hashed
     * pipeline, applied here hash-free).
     */
-  def docComponents(s: SparkSession, d: String): DataFrame = {
+  def docComponents(s: SparkSession, d: String): DataFrame =
+    docComponentsWith(s, d)((v, e) => connectedComponents(v, e))
+
+  /** [[docComponents]] computed by [[largeSmallStarComponents]] instead
+    * of label propagation — same exact components, so it shares the same
+    * recursive-CTE oracle (the correctness gate triple-matches BOTH
+    * propagation styles independently). Not a bench headline: the
+    * default engine path is propagation (see the tradeoff scaladoc);
+    * this query exists to keep the escalation path oracle-verified.
+    */
+  def docComponentsLss(s: SparkSession, d: String): DataFrame =
+    docComponentsWith(s, d)((v, e) => largeSmallStarComponents(v, e))
+
+  private def docComponentsWith(s: SparkSession, d: String)(
+      cc: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val edges = Dedup.ngramJaccardEdges(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
-    val labels = connectedComponents(vertices, edges)
+    val labels = cc(vertices, edges)
     val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("component_size"))
     labels.join(sizes, Seq("component"))
       .select(col("id").as("doc_id"), col("component"), col("component_size"))
@@ -165,7 +278,9 @@ object Graph {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "q_doc_components" -> QueryDef(docComponents, Some(GraphOracles.docComponents)))
+    "q_doc_components" -> QueryDef(docComponents, Some(GraphOracles.docComponents)),
+    "q_doc_components_lss" -> QueryDef(docComponentsLss, Some(GraphOracles.docComponents),
+      headline = false))
 }
 
 /** DuckDB oracles for [[Graph]]. */

@@ -48,4 +48,48 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxRounds"), e.getMessage)
   }
+
+  test("large-star/small-star labels ring, chain, and singletons exactly") {
+    val vertices = (0L to 9L).toDF("id")
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L),
+      (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val got = Graph.largeSmallStarComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L)
+    assert(got == expected, got.toString)
+  }
+
+  test("large-star/small-star collapses a deep chain in few alternations") {
+    // diameter 63: propagation needs ~16 two-hop rounds; the squaring
+    // contraction must land well inside 10 alternations (this is the
+    // regime the escalation exists for)
+    val n = 64L
+    val vertices = (0L until n).toDF("id")
+    val edges = (1L until n).map(i => (i, i - 1)).toDF("src", "dst")
+    val got = Graph.largeSmallStarComponents(vertices, edges, maxRounds = 10)
+      .as[(Long, Long)].collect()
+    assert(got.length == n.toInt && got.forall(_._2 == 0L),
+      got.filter(_._2 != 0L).mkString(","))
+  }
+
+  test("both propagation styles agree on a seeded random graph") {
+    // 120 vertices, 90 random edges (seeded) → a mix of small trees,
+    // cycles, and singletons; the two algorithms must produce identical
+    // exact labels
+    val rnd = new scala.util.Random(2026)
+    val n = 120L
+    val vertices = (0L until n).toDF("id")
+    val edges = Seq.fill(90)((rnd.nextLong(n).abs, rnd.nextLong(n).abs))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val prop = Graph.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val lss = Graph.largeSmallStarComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(prop == lss,
+      s"disagreements: ${prop.collect { case (k, v) if lss(k) != v => (k, v, lss(k)) }}")
+  }
 }
