@@ -199,6 +199,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sameElements(Array((true, 0L))), s"planted dup missed: ${out.toSeq}")
   }
 
+  test("semantic dedup and prototype prune keep their scale-plan properties") {
+    // the within-cell pair join must be a hash join on cell, never a
+    // pair-materializing cross product over the corpus
+    val sd = Similarity.semanticDedup(spark, sf)
+    val sdPhys = sd.queryExecution.executedPlan.toString
+    assert(!sdPhys.contains("CartesianProduct") && !sdPhys.contains("BroadcastNestedLoopJoin"),
+      s"pair-materializing join in semantic-dedup plan:\n${sdPhys.take(2000)}")
+    // the k-row centroid sidecar must broadcast, not shuffle the scan
+    val pp = Similarity.prototypePrune(spark, sf)
+    val ppPhys = pp.queryExecution.executedPlan.toString
+    assert(ppPhys.contains("BroadcastExchange"),
+      s"centroid sidecar not broadcast:\n${ppPhys.take(2000)}")
+  }
+
   test("prototype prune cuts exactly cell_n DIV 5 per cell, top-ranked first") {
     val out = Similarity.prototypePrune(spark, sf)
       .select("cell", "rank", "cell_n", "pruned")
