@@ -178,4 +178,38 @@ class PropertySpec extends SparkSpec {
         s"source $src windows not dense from 0: ${ids.toSeq}")
     }
   }
+
+  test("both CC propagation styles match driver-side union-find on generated graphs") {
+    // sparse (forest-heavy), balanced, and dense (one giant component)
+    // regimes; ground truth is an independent driver-side union-find,
+    // not agreement between the two distributed implementations
+    val regimes = Seq((80L, 40), (80L, 100), (60L, 200))
+    regimes.zipWithIndex.foreach { case ((n, m), r) =>
+      val edgeGen = for {
+        a <- Gen.chooseNum(0L, n - 1)
+        b <- Gen.chooseNum(0L, n - 1) if a != b
+      } yield (a, b)
+      val es = sample(edgeGen, m)
+
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val root = find(p); parent(x) = root; root }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val expected = (0L until n).map(v => v -> find(v)).toMap
+
+      val vertices = (0L until n).toDF("id")
+      val edges = es.toDF("src", "dst")
+      val prop = graft.operators.Graph.connectedComponents(vertices, edges)
+        .as[(Long, Long)].collect().toMap
+      val lss = graft.operators.Graph.largeSmallStarComponents(vertices, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(prop == expected, s"regime $r: propagation diverged from union-find")
+      assert(lss == expected, s"regime $r: large/small-star diverged from union-find")
+    }
+  }
 }
