@@ -199,6 +199,17 @@ object Dedup {
     */
   val MinhashIndexPath: String = graft.Artifacts.path("minhash_index")
 
+  /** Pin the per-doc band-key/gram-set index for the oracles — shared by
+    * every query that consumes it ([[minhashDedup]],
+    * [[minhashDecontaminate]]): whichever runs first in a session pays
+    * the one write job ([[graft.Artifacts.writeOnce]]).
+    */
+  private def pinMinhashIndex(s: SparkSession, d: String, index: DataFrame): Unit =
+    graft.Artifacts.writeOnce(s, d, "minhash_index") {
+      index.select(col("doc_id"), bandKeyArray.as("bands"), col("grams"))
+        .write.mode("overwrite").parquet(MinhashIndexPath)
+    }
+
   def minhashDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
     // one checkpointed per-doc index (signatures + sorted gram hashes)
@@ -216,10 +227,7 @@ object Dedup {
     // fixture table, so only the first invocation pays the write job
     // (VERDICT r7 item 2: reclaim the r6 minimum).
     val index = minhashIndex(s, d)
-    graft.Artifacts.writeOnce(s, d, "minhash_index") {
-      index.select(col("doc_id"), bandKeyArray.as("bands"), col("grams"))
-        .write.mode("overwrite").parquet(MinhashIndexPath)
-    }
+    pinMinhashIndex(s, d, index)
     val banded = minhashBanded(index)
     val cand = candidateEdges(banded)
 
@@ -264,6 +272,46 @@ object Dedup {
         col("label").as("kept_doc_id"),
         (col("label") =!= col("doc_id")).as("is_duplicate"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fuzzy (MinHash) benchmark decontamination — the near-duplicate
+    * sibling of [[ScaleOps]]'s exact/Bloom/5-gram trio: drop-flag every
+    * TRAINING document whose char-3-gram Jaccard against some BENCHMARK
+    * document ([[graft.GoldenHash.isTestDoc]] split, same rule as the
+    * exact variants) reaches the dedup threshold. Exact-text and 5-gram
+    * overlap miss paraphrased or lightly-mutated benchmark leakage;
+    * this is the gate that catches it.
+    *
+    * Shape: the corpus-side work is the ONE fused index pass shared
+    * with [[minhashDedup]]; candidates come from a band-key equality
+    * join where the benchmark side (a test suite — always tiny next to
+    * the corpus) is BROADCAST, so the corpus is never shuffled; only
+    * band-collision candidates pay the exact merge-intersect
+    * verification. Output: one row per contaminated training doc with
+    * its minimum matching benchmark doc and best Jaccard.
+    */
+  def minhashDecontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
+    val index = minhashIndex(s, d)
+    pinMinhashIndex(s, d, index)
+    val banded = minhashBanded(index)
+    val isTest = graft.GoldenHash.isTestDoc(col("doc_id"))
+    val testBanded = banded.filter(isTest)
+      .select(col("band"), col("key"), col("doc_id").as("test_id"))
+    val cand = banded.filter(!isTest)
+      .join(broadcast(testBanded), Seq("band", "key"))
+      .select(col("doc_id"), col("test_id")).distinct()
+    val grams = index.select(col("doc_id"), col("grams"))
+    cand
+      .join(grams, Seq("doc_id"))
+      .join(grams.select(col("doc_id").as("test_id"), col("grams").as("gt")), Seq("test_id"))
+      .withColumn("j",
+        graft.functions.NgramJaccardFunctions.jaccardSorted(col("grams"), col("gt")))
+      .filter(col("j") >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(min(col("test_id")).as("contaminated_by"),
+        round(max(col("j")), 4).as("max_jaccard"))
       .orderBy(col("doc_id"))
   }
 
@@ -463,6 +511,8 @@ object Dedup {
     "q_exact_distinct"  -> QueryDef(exactDistinct, Some(DedupOracles.exactDistinct)),
     "q_approx_distinct" -> QueryDef(approxDistinct, None),
     "q_minhash_dedup"   -> QueryDef(minhashDedup, Some(DedupOracles.minhashDedup)),
+    "q_minhash_decontaminate" -> QueryDef(minhashDecontaminate,
+      Some(DedupOracles.minhashDecontaminate)),
     "q_simhash_dedup"   -> QueryDef(simhashDedup, Some(DedupOracles.simhashDedup)),
     "q_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(DedupOracles.ngramJaccard)))
 }
@@ -578,6 +628,37 @@ object DedupOracles {
        |  l.label <> l.doc_id AS is_duplicate,
        |  CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates
        |FROM labels l LEFT JOIN ncand n USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Replays [[Dedup.minhashDecontaminate]] downstream of the hashes
+    * over the same pinned index artifact: re-derives the
+    * [[graft.GoldenHash]] train/test split, the cross-split band-key
+    * candidate join, and the exact merge-intersect Jaccard gate.
+    */
+  val minhashDecontaminate: String =
+    s"""WITH art AS (
+       |  SELECT doc_id, bands, grams
+       |  FROM read_parquet('${Dedup.MinhashIndexPath}/*.parquet')),
+       |banded AS (
+       |  SELECT doc_id, i AS band, bands[i + 1] AS key,
+       |    ${graft.GoldenHash.isTestDocSql} AS is_test
+       |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i)),
+       |cand AS (
+       |  SELECT DISTINCT tr.doc_id, te.doc_id AS test_id
+       |  FROM banded tr JOIN banded te USING (band, key)
+       |  WHERE NOT tr.is_test AND te.is_test),
+       |ver AS (
+       |  SELECT c.doc_id, c.test_id,
+       |    CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |      / (len(ga.grams) + len(gb.grams)
+       |         - len(list_intersect(ga.grams, gb.grams))) AS j
+       |  FROM cand c
+       |  JOIN art ga ON c.doc_id = ga.doc_id
+       |  JOIN art gb ON c.test_id = gb.doc_id)
+       |SELECT doc_id, min(test_id) AS contaminated_by,
+       |  round(max(j), 4) AS max_jaccard
+       |FROM ver WHERE j >= 0.5
+       |GROUP BY 1
        |ORDER BY doc_id""".stripMargin
 
   val ngramJaccard: String =

@@ -317,4 +317,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)),
       s"planted bit-flip pair not found; hamming=${java.lang.Long.bitCount(variantSig ^ baseSig)} pairs=$pairs")
   }
+
+  test("minhash decontamination flags planted paraphrase leakage, broadcast test side") {
+    // the GoldenHash split puts ids ≡ 0 (mod 10) in the benchmark set:
+    // doc 10 is a benchmark doc; doc 11 is a training doc one word away
+    // (exact-text decon would MISS it); docs 12-13 are clean training
+    val docs = Seq(
+      (10L, "question what is the capital of france answer paris of course indeed", "en", "s", 68L),
+      (11L, "question what is the capital of france answer paris of course truly", "en", "s", 67L),
+      (12L, "training text about gradient descent and learning rate schedules here", "en", "s", 69L),
+      (13L, "another clean training document on tokenizers and byte pair encoding", "en", "s", 68L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhdecon").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = Dedup.minhashDecontaminate(spark, dir)
+    val out = q.select("doc_id", "contaminated_by")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(11L -> 10L), s"expected only 11→10, got $out")
+    // benchmark side broadcast: the corpus is never shuffled for the join
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+  }
 }
