@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -118,8 +119,19 @@ object Dedup {
   private[operators] val MinhashH = 32
   private[operators] val MinhashBands = 16
 
+  /** The fixture-table index is cached per (session, sfDir) — a dedup
+    * index, like the IVF index and the PCA fit, is built once per corpus
+    * version and probed by every consumer ([[minhashDedup]],
+    * [[minhashDecontaminate]]); repeat invocations must not re-pay the
+    * fused signature pass. At 100 TB this cache IS the at-rest bucketed
+    * index of [[writeDedupIndex]]; the in-memory checkpoint is the
+    * local stand-in.
+    */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def minhashIndex(s: SparkSession, d: String): DataFrame =
-    minhashIndexOf(Tables.documents(s, d))
+    indexCache.computeIfAbsent((s, d), _ => minhashIndexOf(Tables.documents(s, d)))
 
   /** Per-doc dedup index (signatures + sorted gram hashes) for any
     * (doc_id, text) frame — the table-agnostic core of [[minhashIndex]].
@@ -284,24 +296,42 @@ object Dedup {
     * this is the gate that catches it.
     *
     * Shape: the corpus-side work is the ONE fused index pass shared
-    * with [[minhashDedup]]; candidates come from a band-key equality
-    * join where the benchmark side (a test suite — always tiny next to
-    * the corpus) is BROADCAST, so the corpus is never shuffled; only
-    * band-collision candidates pay the exact merge-intersect
-    * verification. Output: one row per contaminated training doc with
-    * its minimum matching benchmark doc and best Jaccard.
+    * with [[minhashDedup]]. Candidates are LINEAR, never the within-
+    * bucket train × test product (a first cut materialized that product
+    * and went quadratic in bucket size on this dup-dense corpus — the
+    * exact trap [[candidateEdges]]' star+path design avoids, so the
+    * same construction is applied across the split): per train doc per
+    * band, the bucket's MINIMUM test doc plus the nearest test docs on
+    * either side in bucket id-order — ≤ 3 × bands candidates per doc,
+    * each exact-verified by merge-intersect Jaccard. Like the dedup
+    * star+path, this trades exhaustive bucket-pair recall for
+    * linearity; a true match still gets ~3 shots in each of the ~16
+    * bands it co-buckets in (the spec pins planted-leak detection).
+    * Output: one row per contaminated training doc with its minimum
+    * verified benchmark doc and best Jaccard.
     */
   def minhashDecontaminate(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
     val index = minhashIndex(s, d)
     pinMinhashIndex(s, d, index)
-    val banded = minhashBanded(index)
     val isTest = graft.GoldenHash.isTestDoc(col("doc_id"))
-    val testBanded = banded.filter(isTest)
-      .select(col("band"), col("key"), col("doc_id").as("test_id"))
-    val cand = banded.filter(!isTest)
-      .join(broadcast(testBanded), Seq("band", "key"))
-      .select(col("doc_id"), col("test_id")).distinct()
+    val banded = minhashBanded(index).withColumn("is_t", isTest)
+    val bucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+    val byId = bucket.orderBy(col("doc_id"))
+    val testId = when(col("is_t"), col("doc_id"))
+    val cand = banded
+      .withColumn("prev_t", last(testId, ignoreNulls = true)
+        .over(byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_t", first(testId, ignoreNulls = true)
+        .over(byId.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("min_t", min(testId).over(bucket))
+      .filter(!col("is_t"))
+      .select(col("doc_id"),
+        explode(array_distinct(array(col("prev_t"), col("next_t"), col("min_t"))))
+          .as("test_id"))
+      .filter(col("test_id").isNotNull)
+      .distinct()
     val grams = index.select(col("doc_id"), col("grams"))
     cand
       .join(grams, Seq("doc_id"))
@@ -632,8 +662,10 @@ object DedupOracles {
 
   /** Replays [[Dedup.minhashDecontaminate]] downstream of the hashes
     * over the same pinned index artifact: re-derives the
-    * [[graft.GoldenHash]] train/test split, the cross-split band-key
-    * candidate join, and the exact merge-intersect Jaccard gate.
+    * [[graft.GoldenHash]] train/test split, the linear star+path
+    * cross-split candidate construction (bucket test-min + nearest
+    * test neighbors in id-order, the same window algebra), and the
+    * exact merge-intersect Jaccard gate.
     */
   val minhashDecontaminate: String =
     s"""WITH art AS (
@@ -643,10 +675,22 @@ object DedupOracles {
        |  SELECT doc_id, i AS band, bands[i + 1] AS key,
        |    ${graft.GoldenHash.isTestDocSql} AS is_test
        |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i)),
+       |neigh AS (
+       |  SELECT doc_id, is_test,
+       |    last_value(CASE WHEN is_test THEN doc_id END IGNORE NULLS) OVER (
+       |      PARTITION BY band, key ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+       |    first_value(CASE WHEN is_test THEN doc_id END IGNORE NULLS) OVER (
+       |      PARTITION BY band, key ORDER BY doc_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t,
+       |    min(CASE WHEN is_test THEN doc_id END) OVER (
+       |      PARTITION BY band, key) AS min_t
+       |  FROM banded),
        |cand AS (
-       |  SELECT DISTINCT tr.doc_id, te.doc_id AS test_id
-       |  FROM banded tr JOIN banded te USING (band, key)
-       |  WHERE NOT tr.is_test AND te.is_test),
+       |  SELECT DISTINCT doc_id, test_id FROM (
+       |    SELECT doc_id, unnest([prev_t, next_t, min_t]) AS test_id
+       |    FROM neigh WHERE NOT is_test)
+       |  WHERE test_id IS NOT NULL),
        |ver AS (
        |  SELECT c.doc_id, c.test_id,
        |    CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)

@@ -334,7 +334,41 @@ class DedupSpec extends SparkSpec {
     val out = q.select("doc_id", "contaminated_by")
       .as[(Long, Long)].collect().toMap
     assert(out == Map(11L -> 10L), s"expected only 11→10, got $out")
-    // benchmark side broadcast: the corpus is never shuffled for the join
-    assert(q.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+    // the candidate construction is window algebra + equality joins —
+    // never a pair-materializing product over bucket members
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"pair-materializing join in decontamination plan:\n${phys.take(2000)}")
+  }
+
+  test("minhash decontamination: exact precision, recall >= 0.9 vs unblocked cross-split Jaccard") {
+    // ground truth: driver-side char-3-gram Jaccard of every train doc
+    // against every test doc (feasible at fixture scale; the linear
+    // star+path candidates trade exhaustive bucket-pair recall for
+    // scale, so recall is bounded, not exact — precision IS exact
+    // because every emitted row passed merge-intersect verification)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = t.sliding(3).toSet
+    val (testD, trainD) = docs.partition { case (id, _) =>
+      (id * GoldenHash.Gamma) % 10 == 0
+    }
+    val testGrams = testD.map { case (_, t) => grams(t) }.filter(_.nonEmpty)
+    val exact = trainD.collect { case (tid, tt)
+      if {
+        val gt = grams(tt)
+        gt.nonEmpty && testGrams.exists { gb =>
+          val i = gt.intersect(gb).size
+          i.toDouble / (gt.size + gb.size - i) >= 0.5
+        }
+      } => tid
+    }.toSet
+    val flagged = Dedup.minhashDecontaminate(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.nonEmpty, "fixture has no cross-split contamination — test is vacuous")
+    val falsePos = flagged -- exact
+    assert(falsePos.isEmpty, s"non-contaminated docs flagged: $falsePos")
+    val recall = exact.intersect(flagged).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall (${exact.size} true, ${flagged.size} flagged)")
   }
 }
