@@ -130,7 +130,7 @@ object Dedup {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def minhashIndex(s: SparkSession, d: String): DataFrame =
+  private[operators] def minhashIndex(s: SparkSession, d: String): DataFrame =
     indexCache.computeIfAbsent((s, d), _ => minhashIndexOf(Tables.documents(s, d)))
 
   /** Per-doc dedup index (signatures + sorted gram hashes) for any
@@ -168,7 +168,7 @@ object Dedup {
   }
 
   /** (doc, band, bucket-key) assignments derived from [[minhashIndex]]. */
-  private def minhashBanded(index: DataFrame): DataFrame =
+  private[operators] def minhashBanded(index: DataFrame): DataFrame =
     index.select(col("doc_id"), posexplode(bandKeyArray).as(Seq("band", "key")))
 
   /** Candidate edges per bucket: STAR (bucket-min → each member, hub
