@@ -530,6 +530,35 @@ object Analytics {
         col("n"))
       .orderBy(col("event_type"))
 
+  /** Invariant-check companion of [[latencyPercentilesApprox]] (the
+    * same technique as [[graft.operators.Dedup.approxDistinctCheck]]):
+    * the sketch's contract is RANK error — the returned value must sit
+    * between the exact percentiles at q ∓ δ. One grouped pass computes
+    * the sketch and the exact band edges (δ = 0.01, 100× the
+    * configured 1/accuracy rank error, so the booleans are stable);
+    * the query emits per-group exact n plus the three in-band
+    * booleans, and the DuckDB oracle pins them at TRUE. The sketch
+    * values themselves (t-digest vs Greenwald-Khanna internals) stay
+    * rows-only in the query proper.
+    */
+  def latencyPercentilesApproxCheck(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").as("pcts"),
+        expr("percentile(value, 0.49)").as("lo50"),
+        expr("percentile(value, 0.51)").as("hi50"),
+        expr("percentile(value, 0.94)").as("lo95"),
+        expr("percentile(value, 0.96)").as("hi95"),
+        expr("percentile(value, 0.98)").as("lo99"),
+        max(col("value")).as("hi99"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        col("pcts")(0).between(col("lo50"), col("hi50")).as("p50_in_band"),
+        col("pcts")(1).between(col("lo95"), col("hi95")).as("p95_in_band"),
+        col("pcts")(2).between(col("lo99"), col("hi99")).as("p99_in_band"))
+      .orderBy(col("event_type"))
+
   /** S6: the SQL query surface (the reference's documented
     * Hive-external-table-over-parquet path, README.md:7-11): tables
     * registered as views, query written in the ANSI subset both Spark
@@ -824,6 +853,8 @@ object Analytics {
     "q_pivot_daily"      -> QueryDef(pivotDaily, Some(OracleSql.pivotDaily)),
     "q_hopping_traffic"  -> QueryDef(hoppingTraffic, Some(OracleSql.hoppingTraffic)),
     "q_latency_percentiles_approx" -> QueryDef(latencyPercentilesApprox, None),
+    "q_latency_percentiles_check" -> QueryDef(latencyPercentilesApproxCheck,
+      Some(OracleSql.latencyPercentilesApproxCheck), headline = false),
     "q_log_ingest"       -> QueryDef(logIngest, Some(OracleSql.logIngest)),
     "q_user_retention"   -> QueryDef(userRetention, Some(OracleSql.userRetention)),
     "q_moving_avg"       -> QueryDef(movingAvg, Some(OracleSql.movingAvg)),

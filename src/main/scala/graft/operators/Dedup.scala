@@ -61,6 +61,33 @@ object Dedup {
         approx_count_distinct(col("event_id")).as("approx_events"),
         count(lit(1)).as("n_rows"))
 
+  /** Invariant-check companion of [[approxDistinct]] (the PCA-norm
+    * oracle technique applied to the HLL sketch): one pass computes
+    * BOTH the sketch estimate and the exact distinct count, and the
+    * query emits the exact counts plus per-column booleans asserting
+    * the estimate sits within 10% relative error — 2× the sketch's
+    * configured rsd (5%), the same bound DedupSpec uses; measured
+    * actuals are 0.7-6.7% across sf0.001-0.1. HLL++ is a
+    * deterministic function of the input set (no RNG), so the booleans
+    * are stable across runs; the DuckDB oracle reproduces the exact
+    * counts and pins the booleans at TRUE — a hash-exact gate on the
+    * sketch's error CONTRACT where the estimate itself (engine-
+    * specific register layout) cannot be cross-engine matched. The
+    * sketch query proper stays rows-only by declared contract.
+    */
+  def approxDistinctCheck(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(
+        approx_count_distinct(col("user_id")).as("au"),
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("event_id")).as("ae"),
+        countDistinct(col("event_id")).as("n_events"))
+      .select(col("n_users"), col("n_events"),
+        (abs(col("au") - col("n_users")) <= col("n_users") * 0.1)
+          .as("users_within_10pct"),
+        (abs(col("ae") - col("n_events")) <= col("n_events") * 0.1)
+          .as("events_within_10pct"))
+
   // --- MinHash + LSH banded dedup -------------------------------------
   //
   // The fixture corpus (and any real crawl) contains GIANT near-dup
@@ -540,6 +567,8 @@ object Dedup {
     "q_dedup_exact"     -> QueryDef(dedupExact, Some(DedupOracles.dedupExact)),
     "q_exact_distinct"  -> QueryDef(exactDistinct, Some(DedupOracles.exactDistinct)),
     "q_approx_distinct" -> QueryDef(approxDistinct, None),
+    "q_approx_distinct_check" -> QueryDef(approxDistinctCheck,
+      Some(DedupOracles.approxDistinctCheck), headline = false),
     "q_minhash_dedup"   -> QueryDef(minhashDedup, Some(DedupOracles.minhashDedup)),
     "q_minhash_decontaminate" -> QueryDef(minhashDecontaminate,
       Some(DedupOracles.minhashDecontaminate)),
@@ -560,6 +589,17 @@ object DedupOracles {
     """SELECT count(DISTINCT user_id) AS n_users,
       |  count(DISTINCT event_type) AS n_types,
       |  count(DISTINCT date_trunc('day', ts)) AS n_days
+      |FROM events""".stripMargin
+
+  /** [[Dedup.approxDistinctCheck]]: the exact counts are recomputed,
+    * the error-bound booleans are pinned at TRUE — an estimate outside
+    * the sketch's contracted bound hash-mismatches the oracle.
+    */
+  val approxDistinctCheck: String =
+    """SELECT count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT event_id) AS n_events,
+      |  TRUE AS users_within_10pct,
+      |  TRUE AS events_within_10pct
       |FROM events""".stripMargin
 
   /** Replays [[Dedup.simhashDedup]] downstream of the signature: reads

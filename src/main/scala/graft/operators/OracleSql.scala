@@ -382,6 +382,18 @@ object OracleSql {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** [[Analytics.latencyPercentilesApproxCheck]]: per-group exact n
+    * recomputed, the rank-error-band booleans pinned at TRUE.
+    */
+  val latencyPercentilesApproxCheck: String =
+    """SELECT event_type, count(*) AS n,
+      |  TRUE AS p50_in_band,
+      |  TRUE AS p95_in_band,
+      |  TRUE AS p99_in_band
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val setOps: String =
     """WITH high AS (SELECT DISTINCT user_id FROM events WHERE value >= 180),
       |err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),

@@ -209,6 +209,36 @@ object ScaleOps {
       .orderBy(col("n_events").desc, col("event_type"))
   }
 
+  /** Invariant-check companion of [[heavyHitters]] for the EVICTION
+    * regime (user_id cardinality ≫ capacity) that [[heavyHittersExact]]
+    * cannot reach: Space-Saving's bracket theorem guarantees
+    * est − err ≤ true ≤ est for every tracked item under ANY partition
+    * merge order, and a full summary holds exactly `capacity` counters.
+    * The query joins the sketch output against exact per-key counts
+    * and emits (n_tracked, brackets_hold) — the DuckDB oracle pins
+    * n_tracked at least(distinct keys, capacity) and the boolean at
+    * TRUE. The inner join doubles as an items-exist check: a sketch
+    * emitting a key absent from the data drops a row and fails the
+    * count. Same technique as
+    * [[graft.operators.Dedup.approxDistinctCheck]]; the per-item
+    * estimates stay rows-only in [[heavyHitters]] as any
+    * merge-order-dependent output must.
+    */
+  def heavyHittersSound(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
+    val ev = Tables.events(s, d)
+    val sk = ev
+      .agg(graft.functions.SketchFunctions.spaceSaving(col("user_id"), HhCapacity)
+        .as("summary"))
+      .select(explode(col("summary")).as("h"))
+      .select(col("h.item").as("user_id"), col("h.est").as("est"), col("h.err").as("err"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+    sk.join(exact, Seq("user_id"))
+      .agg(count(lit(1)).as("n_tracked"),
+        bool_and(col("est") - col("err") <= col("true_n") &&
+          col("true_n") <= col("est")).as("brackets_hold"))
+  }
+
   /** Fixed-width value histogram — the dashboard distribution panel
     * (latency/value histograms) as one hash aggregate: bin id computed
     * in the scan stage, one exchange on ~20 bin keys. The exact-cents
@@ -430,6 +460,8 @@ object ScaleOps {
     "q_grouping_sets"       -> QueryDef(groupingSets, Some(groupingSetsSql)),
     "q_heavy_hitters"       -> QueryDef(heavyHitters, None),
     "q_heavy_hitters_exact" -> QueryDef(heavyHittersExact, Some(ScaleOracles.heavyHittersExact)),
+    "q_heavy_hitters_sound" -> QueryDef(heavyHittersSound,
+      Some(ScaleOracles.heavyHittersSound), headline = false),
     "q_source_cap"          -> QueryDef(sourceCap, Some(ScaleOracles.sourceCap)),
     "q_boilerplate_ngrams"  -> QueryDef(boilerplateNgrams, Some(ScaleOracles.boilerplateNgrams)))
 }
@@ -542,6 +574,14 @@ object ScaleOracles {
        |GROUP BY event_type
        |HAVING count(*) * ${ScaleOps.HhCapacity} > (SELECT count(*) FROM events)
        |ORDER BY n_events DESC, event_type""".stripMargin
+
+  /** [[ScaleOps.heavyHittersSound]]: counter count recomputed exactly,
+    * the bracket-theorem boolean pinned at TRUE.
+    */
+  val heavyHittersSound: String =
+    s"""SELECT least(count(DISTINCT user_id), ${ScaleOps.HhCapacity}) AS n_tracked,
+       |  TRUE AS brackets_hold
+       |FROM events""".stripMargin
 
   val skewProfile: String =
     """WITH counts AS (
