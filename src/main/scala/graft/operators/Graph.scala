@@ -64,22 +64,29 @@ object Graph {
     // stance applied to the loop; at 100 TB both sides would be bucketed
     // tables). Profiled r8: the unpartitioned form re-shuffled both
     // sides every hop, and the loop is job-latency-bound.
-    val undirectedRaw = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .union(vertices.select(col("id").as("src"), col("id").as("dst")))
-      .localCheckpoint(true)
     // SIZE-PROPORTIONAL parallelism for the loop: every hop is a shuffle
     // whose cost at small graph sizes is pure per-partition scheduling
     // latency × rounds — a 17k-row edge list gains nothing from 32-way
     // shuffles but pays their latency every hop (profiled r8). Target
     // ~64k rows per partition, capped at the session default so a
     // 100 TB edge list keeps full cluster parallelism; the label frames
-    // inherit the same width through the hop aggregate below.
+    // inherit the same width through the hop aggregate below. Setup is
+    // two jobs: the count materializes the cached union, the checkpoint
+    // pins it at the chosen width with hashpartitioning(dst) intact so
+    // every hop's join runs exchange-free. (Measured and rejected r8:
+    // one AQE-sized repartition(dst)+checkpoint — the coalesced
+    // partitioning does not survive the checkpoint, and the per-hop
+    // re-exchange gave back the saved setup job.)
+    val undirectedRaw = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .union(vertices.select(col("id").as("src"), col("id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val loopParts = math.max(1L, math.min(
-      undirectedRaw.rdd.getNumPartitions.toLong,
+      vertices.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong,
       undirectedRaw.count() / 65536L + 1L)).toInt
     val undirected = undirectedRaw.repartition(loopParts, col("dst"))
       .localCheckpoint(true)
+    undirectedRaw.unpersist(false)
 
     // one hop, label frame referenced once (linear stacking)
     def hop(lbl: DataFrame): DataFrame = undirected
