@@ -491,14 +491,21 @@ object TrainingPrep {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "q_corpus_prep"       -> QueryDef(corpusPrep, Some(TrainingOracles.corpusPrep)),
+    // corpusPrep and corpusPrep2 are compositional PREFIXES of
+    // corpusPrep3: all three stay oracle-verified every round (each
+    // pins a different stage wiring), but only the deepest composition
+    // is benched — timing all three re-bills the same stages three
+    // times (the q_doc_components_lss precedent: verified, not timed).
+    "q_corpus_prep"       -> QueryDef(corpusPrep, Some(TrainingOracles.corpusPrep),
+      headline = false),
     "q_decontaminate"     -> QueryDef(decontaminate, Some(TrainingOracles.decontaminate)),
     "q_asof_join"         -> QueryDef(asOfJoin, Some(TrainingOracles.asOfJoin)),
     "q_stratified_sample" -> QueryDef(stratifiedSample, Some(TrainingOracles.stratifiedSample)),
     "q_doc_chunks"        -> QueryDef(docChunks, Some(TrainingOracles.docChunks)),
     "q_seq_pack"          -> QueryDef(seqPack, Some(TrainingOracles.seqPack)),
     "q_token_chunks"      -> QueryDef(tokenChunks, Some(TrainingOracles.tokenChunks)),
-    "q_corpus_prep2"      -> QueryDef(corpusPrep2, Some(TrainingOracles.corpusPrep2)),
+    "q_corpus_prep2"      -> QueryDef(corpusPrep2, Some(TrainingOracles.corpusPrep2),
+      headline = false),
     "q_corpus_prep3"      -> QueryDef(corpusPrep3, Some(TrainingOracles.corpusPrep3)),
     "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms)),
     "q_tfidf_cached"      -> QueryDef(tfidfTopTermsCached, Some(TrainingOracles.tfidfTopTerms)),
