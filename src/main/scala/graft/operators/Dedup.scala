@@ -477,6 +477,81 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardEdges(s, d).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Exact-substring SPAN dedup — the sequence-level companion of the
+    * document-level near-dup family, after the ExactSubstr construction
+    * published with the LM training-data dedup literature: a training
+    * corpus is degraded not only by whole near-dup documents but by
+    * long VERBATIM passages (licenses, boilerplate, quoted articles)
+    * embedded in otherwise-distinct documents, which document-level
+    * Jaccard never reaches. This operator finds, per document, the
+    * merged character spans whose content also appears verbatim in at
+    * least one OTHER document — the spans a curation pipeline cuts
+    * (rather than dropping the whole document).
+    *
+    * Construction: fixed-length character shingles ([[SpanLen]] = 50)
+    * anchored at CONTENT-DEFINED positions — every word boundary (the
+    * winnowing idea from the document-fingerprinting literature,
+    * simplified to the natural text anchor): a fixed stride grid would
+    * only match passages whose offsets happen to be congruent mod the
+    * stride, while content-defined anchors align identically inside
+    * identical content at ANY document offset. A shingle string seen
+    * in ≥ 2 distinct documents flags its source span; per-document
+    * overlapping flagged spans merge by the classic gaps-and-islands
+    * window (running max of span ends; a span starting past it opens a
+    * new island). Output: one row per merged span.
+    *
+    * Scale shape: the every-position explode+filter is SCAN-STAGE work
+    * (codegen'd, no shuffle; the fixture table is one split, so the
+    * scan is repartitioned first — the [[graft.operators.Analytics
+    * .logIngest]] trap) and only the ~1-in-6 anchored shingles reach
+    * the duplicate test, which is ONE shuffle on the shingle key: a
+    * window min≠max over doc_id flags cross-doc shingles in the same
+    * pass that would otherwise take an aggregate PLUS a join-back
+    * (both reshuffling the full shingle volume — measured 2× the
+    * query). Then one per-doc merge window; no document pair is ever
+    * materialized, and skew is bounded because a shingle's bucket
+    * carries doc-positions, not doc contents. At 100 TB the shingle
+    * STRING (50 chars of shuffle weight per row) is replaced by
+    * xxhash64(shingle) with a residual verify, exactly as
+    * [[graft.operators.TrainingPrep.decontaminate]] documents for its
+    * 8-gram keys — kept as the raw string here so the DuckDB oracle
+    * reproduces the pipeline byte-for-byte (both engines slice
+    * identical code-point substrings).
+    */
+  def substringSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(length(col("text")) >= SpanLen)
+    val shingles = docs.repartition(col("doc_id")).select(col("doc_id"),
+      explode(expr(
+        s"transform(filter(sequence(0, length(text) - $SpanLen)," +
+          s" p -> substring(text, p + 1, 1) = ' ')," +
+          s" p -> struct(p AS start, substring(text, p + 1, $SpanLen) AS shingle))"))
+        .as("sh"))
+      .select(col("doc_id"), col("sh.start").cast("bigint").as("start"),
+        col("sh.shingle").as("shingle"))
+    val ws = Window.partitionBy(col("shingle"))
+    val flagged = shingles
+      .withColumn("cross_doc",
+        min(col("doc_id")).over(ws) =!= max(col("doc_id")).over(ws))
+      .filter(col("cross_doc"))
+      .select(col("doc_id"), col("start"), (col("start") + SpanLen).as("end"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val prevMax = max(col("end")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("new_island",
+        when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"), col("n_shingles"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  private[operators] val SpanLen = 50
+
   /** The unordered edge set behind [[ngramJaccard]] — consumers that
     * feed a downstream operator ([[Graph.docComponents]]) skip the
     * final sort exchange the reporting query pays for its ORDER BY.
@@ -573,7 +648,8 @@ object Dedup {
     "q_minhash_decontaminate" -> QueryDef(minhashDecontaminate,
       Some(DedupOracles.minhashDecontaminate)),
     "q_simhash_dedup"   -> QueryDef(simhashDedup, Some(DedupOracles.simhashDedup)),
-    "q_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(DedupOracles.ngramJaccard)))
+    "q_ngram_jaccard"   -> QueryDef(ngramJaccard, Some(DedupOracles.ngramJaccard)),
+    "q_substring_spans" -> QueryDef(substringSpans, Some(DedupOracles.substringSpans)))
 }
 
 /** DuckDB oracles for the SQL-expressible [[Dedup]] queries. */
@@ -590,6 +666,51 @@ object DedupOracles {
       |  count(DISTINCT event_type) AS n_types,
       |  count(DISTINCT date_trunc('day', ts)) AS n_days
       |FROM events""".stripMargin
+
+  /** [[Dedup.substringSpans]] replayed end-to-end in SQL: same
+    * word-boundary anchor positions (`unnest(generate_series(...))` —
+    * DuckDB's generate_series is stop-inclusive, matching Spark
+    * `sequence` — filtered on the same single-char probe), same
+    * code-point `substr` shingles, cross-doc duplicate test, flag-back
+    * join, and gaps-and-islands merge.
+    */
+  val substringSpans: String = {
+    val l = Dedup.SpanLen
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE length(text) >= $l),
+       |pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, length(text) - $l)) AS start
+       |  FROM docs),
+       |sh AS (
+       |  SELECT doc_id, start, substr(text, CAST(start + 1 AS INT), $l) AS shingle
+       |  FROM pos
+       |  WHERE substr(text, CAST(start + 1 AS INT), 1) = ' '),
+       |dup AS (
+       |  SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING count(DISTINCT doc_id) > 1),
+       |flagged AS (
+       |  SELECT doc_id, start, start + $l AS end_
+       |  FROM sh JOIN dup USING (shingle)),
+       |marked AS (
+       |  SELECT doc_id, start, end_,
+       |    max(end_) OVER (PARTITION BY doc_id ORDER BY start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM flagged),
+       |islands AS (
+       |  SELECT doc_id, start, end_,
+       |    sum(CASE WHEN prev_max IS NULL OR start > prev_max THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY start) AS island
+       |  FROM marked)
+       |SELECT doc_id,
+       |  min(start) AS span_start,
+       |  max(end_) AS span_end,
+       |  max(end_) - min(start) AS span_len,
+       |  CAST(count(*) AS BIGINT) AS n_shingles
+       |FROM islands
+       |GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
 
   /** [[Dedup.approxDistinctCheck]]: the exact counts are recomputed,
     * the error-bound booleans are pinned at TRUE — an estimate outside

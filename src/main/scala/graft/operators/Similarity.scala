@@ -116,8 +116,15 @@ object Similarity {
     */
   val LshBandsPath: String = graft.Artifacts.path("lsh_bands_16_8")
 
+  /** Per-vector sign-LSH band keys, cached per (session, sfDir, params)
+    * — the [[graft.operators.Dedup.minhashIndex]] stance: a bucketed
+    * ANN index is built once per corpus version and probed by every
+    * consumer; at 100 TB this cache IS the at-rest banded index.
+    */
+  private val lshKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+
   def lshNearDup(s: SparkSession, d: String, bands: Int, bitsPerBand: Int): DataFrame = {
-    val v = vecs(s, d)
     // All bands×bitsPerBand sign projections come from ONE fused native
     // expression ([[graft.functions.LshBandKeys]]): the vector is read
     // once per row and the hyperplane weights are generated in-loop from
@@ -125,8 +132,10 @@ object Similarity {
     // (much slower) per-hyperplane expression-tree formulation it
     // replaced (VERDICT r2 "What's wrong" #1). posexplode position =
     // band id, value = that band's packed sign signature.
-    val keyed = v.select(col("vec_id"),
-      VectorFunctions.lshBandKeys(col("v"), bands, bitsPerBand).as("bands"))
+    val keyed = lshKeyCache.computeIfAbsent((s, d, bands, bitsPerBand), _ =>
+      vecs(s, d).select(col("vec_id"),
+        VectorFunctions.lshBandKeys(col("v"), bands, bitsPerBand).as("bands"))
+        .localCheckpoint(true))
     // only the default (16, 8) parameterization — the query surface —
     // pins its keys for the oracle
     if (bands == 16 && bitsPerBand == 8)

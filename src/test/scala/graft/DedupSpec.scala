@@ -36,6 +36,48 @@ class DedupSpec extends SparkSpec {
     assert(byId(3L) == ((3L, false)))
   }
 
+  test("substring spans: shared verbatim passage found, merged, unique text unflagged") {
+    // Docs 0 and 1 embed the same 120-char passage at DIFFERENT,
+    // non-congruent offsets inside otherwise-unrelated text (the case
+    // a fixed stride grid cannot detect); doc 2 is fully unique with
+    // heavy WITHIN-doc repetition (must not flag — the duplicate test
+    // is cross-doc). Both preambles end with a space, so the first
+    // shared anchor is the boundary space just before the passage;
+    // the last is the final in-passage word boundary whose 50-char
+    // window still fits inside the shared region.
+    val shared = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts recite prime numbers under a copper sky tonight"
+    val sl = shared.length.toLong // 118
+    val pre0 = "A" * 37 + " "
+    val pre1 = "unrelated preamble material " * 4
+    val docs = Seq(
+      (0L, pre0 + shared + " trailing zero text here", "en", "s", 1L),
+      (1L, pre1 + shared + " different tail entirely", "en", "s", 1L),
+      (2L, "b c d e f g h i j k l m n o p q r s t u v w x y z " * 6, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val spans = Dedup.substringSpans(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))))
+    assert(spans.map(_._1).toSet == Set(0L, 1L), s"flagged docs: ${spans.toSeq}")
+    assert(spans.count(_._1 == 0L) == 1 && spans.count(_._1 == 1L) == 1,
+      s"one merged span per doc: ${spans.toSeq}")
+    // the merged span must cover the shared passage's anchored
+    // interior: start at the boundary space (offset - 1), end at the
+    // last in-passage anchor + window — within a word of the true end,
+    // never past it (a window crossing the passage end includes
+    // differing tails and cannot match)
+    val Seq(off0, off1) = Seq(pre0.length.toLong, pre1.length.toLong)
+    for ((doc, off) <- Seq((0L, off0), (1L, off1))) {
+      val (s0, e0) = spans.find(_._1 == doc).get._2
+      assert(s0 == off - 1, s"doc $doc span start $s0 vs boundary ${off - 1}")
+      assert(e0 >= off + sl - 20 && e0 <= off + sl,
+        s"doc $doc span end $e0 vs passage end ${off + sl}")
+    }
+  }
+
   test("minhash collapses a similarity CHAIN to one canonical id") {
     // A~B and B~C are near-dups (>= 0.5 char-3 Jaccard) but A~C is not:
     // label propagation must still send all three to min(doc_id).
