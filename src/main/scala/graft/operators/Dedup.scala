@@ -210,18 +210,23 @@ object Dedup {
     * short-circuits label propagation for everything it does verify.
     */
   private[operators] def candidateEdges(banded: DataFrame): DataFrame = {
-    val mins = banded.groupBy(col("band"), col("key"))
-      .agg(min(col("doc_id")).as("bmin"))
-    val star = banded.join(mins, Seq("band", "key"))
-      .filter(col("doc_id") =!= col("bmin"))
-      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
-    val path = banded
-      .withColumn("prev", lag(col("doc_id"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"))
-    star.union(path).distinct()
+    // ONE ordered window produces both edge families — the running
+    // first_value IS the bucket minimum (ascending order) and lag gives
+    // the id-predecessor — so the whole construction is a single
+    // shuffle on (band, key) plus the dedup exchange. The earlier
+    // aggregate-join-lag formulation reshuffled the banded rows three
+    // times for the identical edge set.
+    val w = Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
+    banded
+      .select(col("doc_id"),
+        first(col("doc_id")).over(w).as("bmin"),
+        lag(col("doc_id"), 1).over(w).as("prev"))
+      .select(explode(array(
+        struct(col("bmin").as("doc_a"), col("doc_id").as("doc_b")),
+        struct(col("prev").as("doc_a"), col("doc_id").as("doc_b")))).as("e"))
+      .select(col("e.doc_a"), col("e.doc_b"))
+      .filter(col("doc_a").isNotNull && col("doc_a") =!= col("doc_b"))
+      .distinct()
   }
 
   /** Artifact paths shared by [[minhashDedup]] and its DuckDB oracle
