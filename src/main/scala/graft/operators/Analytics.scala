@@ -747,7 +747,13 @@ object Analytics {
     // a single task on one core (the trap minhashIndex documents). The
     // shuffle moves the raw events (a few MB); the 32-way parse repays
     // it many times over. At 100 TB the scan arrives already split.
-    val wire = Tables.events(s, d).repartition(col("event_id")).select(to_json(struct(
+    // Width EXPLICIT: repartition(col) alone re-enters the same trap —
+    // AQE coalesces the few-MB shuffle to ONE partition (64 MB
+    // advisory) and serializes the per-row work it exists to spread
+    // (measured 3.4× on the substringSpans shingle stage, r8).
+    val wire = Tables.events(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("event_id"))
+      .select(to_json(struct(
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("time_iso8601"),
       concat(lit("10.0."), (col("user_id") / 256).cast("int"),
         lit("."), pmod(col("user_id"), lit(256))).as("remote_addr"),

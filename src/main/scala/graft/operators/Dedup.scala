@@ -166,7 +166,12 @@ object Dedup {
   private def minhashIndexOf(docs: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(docs.sparkSession)
     docs
-      .repartition(col("doc_id"))
+      // width explicit: AQE would coalesce this few-MB shuffle to one
+      // partition and single-thread the fused signature pass (the
+      // logIngest/substringSpans trap, measured r8)
+      .repartition(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextHashFunctions.minhashSigs(col("text"), MinhashH).as("sigs"),
         graft.functions.TextHashFunctions.gramSet(col("text")).as("grams"))
@@ -525,14 +530,19 @@ object Dedup {
     */
   def substringSpans(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(length(col("text")) >= SpanLen)
-    val shingles = docs.repartition(col("doc_id")).select(col("doc_id"),
-      explode(expr(
-        s"transform(filter(sequence(0, length(text) - $SpanLen)," +
-          s" p -> substring(text, p + 1, 1) = ' ')," +
-          s" p -> struct(p AS start, substring(text, p + 1, $SpanLen) AS shingle))"))
-        .as("sh"))
-      .select(col("doc_id"), col("sh.start").cast("bigint").as("start"),
-        col("sh.shingle").as("shingle"))
+    // Explicit-width repartition — the dominant fix (r8 A/B: AQE
+    // coalesces the few-MB shuffle to ONE partition and serializes the
+    // explode; 1.42 → 0.42 s on this stage) — then a FLAT
+    // explode→filter→substring pipeline, which stays in whole-stage
+    // codegen where the lambda transform/filter HOF form is
+    // CodegenFallback (a further ~15%).
+    val shingles = docs
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, length(text) - $SpanLen)")).as("p"))
+      .filter(expr("substring(text, p + 1, 1) = ' '"))
+      .select(col("doc_id"), col("p").cast("bigint").as("start"),
+        expr(s"substring(text, p + 1, $SpanLen)").as("shingle"))
     val ws = Window.partitionBy(col("shingle"))
     val flagged = shingles
       .withColumn("cross_doc",
