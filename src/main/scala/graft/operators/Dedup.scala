@@ -309,10 +309,13 @@ object Dedup {
         verified.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("id").as("doc_id"), col("component").as("label"))
 
-    // bucket-mate degree (linear rollup, not a pair count)
-    val bucketSizes = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bsz"))
-    val nCand = banded.join(bucketSizes, Seq("band", "key"))
+    // bucket-mate degree (linear rollup, not a pair count): the bucket
+    // size attaches to every member in ONE unordered window over the
+    // same (band, key) partitioning — the aggregate+join-back form
+    // reshuffled banded a second time for the identical result
+    val nCand = banded
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
       .groupBy(col("doc_id")).agg(sum(col("bsz") - 1).as("n_candidates"))
 
     labels
