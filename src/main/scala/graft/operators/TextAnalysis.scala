@@ -211,7 +211,62 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Statistical (language-model) quality score — the model-based
+    * sibling of the heuristic [[textQuality]] gate, after the CCNet
+    * construction: score each document by the average log-likelihood
+    * of its word bigrams under an add-one-smoothed bigram LM,
+    * ln((c(w1,w2)+1) / (c(w1)+V)), and flag the lowest decile.
+    * Statistically anomalous text (gibberish, character soup, boiler
+    * tables) scores far below fluent text under ANY reasonable corpus
+    * LM. Production pipelines train the LM on a trusted reference
+    * corpus and score the crawl; trained here on the corpus itself
+    * (self-scoring flags outliers), the swap being the count tables'
+    * source only.
+    *
+    * Scale shape: token explode and bigram pairing are scan-stage +
+    * one per-doc window; the two count tables are hash aggregates; the
+    * score pass is two equality joins on word keys (near-zipfian skew
+    * is bounded because a bigram's bucket carries counts, not text)
+    * and one per-doc aggregate. The final decile is a single global
+    * ntile over per-DOC rows — at fleet scale that sort is replaced by
+    * a broadcast approx-quantile threshold ([[graft.operators
+    * .ScaleOps]] deciles discussion); per-doc rows are ~6 orders
+    * smaller than the token stream either way. Ranking runs on the
+    * ROUNDED score with doc_id tiebreak, so engine float noise cannot
+    * reorder the decile boundary (the q_user_deciles convention).
+    */
+  def lmQuality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("w2", lead(col("w"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uniCounts = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("w", "w1")
+    val vocab = toks.agg(countDistinct(col("w")).as("v"))
+    val scored = bi
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("ll",
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("ll")), 4).as("avg_ll"))
+    val byScore = Window.orderBy(col("avg_ll").asc, col("doc_id").asc)
+    scored
+      .withColumn("decile", ntile(10).over(byScore).cast("int"))
+      .withColumn("low_quality", col("decile") === 1)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_ll"),
+        col("decile"), col("low_quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_lm_quality"   -> QueryDef(lmQuality, Some(TextOracles.lmQuality)),
     "q_token_count"  -> QueryDef(tokenCount, Some(TextOracles.tokenCount)),
     "q_vocab_coverage" -> QueryDef(vocabCoverage, Some(TextOracles.vocabCoverage)),
     "q_repetition_filter" -> QueryDef(repetitionFilter, Some(TextOracles.repetitionFilter)),
@@ -229,6 +284,38 @@ object TextOracles {
   /** DuckDB twin of [[TextAnalysis.words]]. */
   private[operators] val wordsSql =
     "list_filter(string_split(text, ' '), w -> w != '')"
+
+  /** [[TextAnalysis.lmQuality]] replayed in SQL: zipped parallel
+    * unnests recover (pos, word), lead() pairs the bigrams, the same
+    * add-one-smoothed score and rounded-then-ranked decile follow.
+    * (c12+1)/(c1+V) is an exact-integer double division in both
+    * engines; only ln() differs at the last ulp, absorbed by the
+    * round-4 convention before ranking.
+    */
+  val lmQuality: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, $wordsSql AS w FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos
+       |  FROM ws),
+       |bi0 AS (
+       |  SELECT doc_id, w AS w1,
+       |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM toks),
+       |bi AS (SELECT doc_id, w1, w2 FROM bi0 WHERE w2 IS NOT NULL),
+       |bic AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+       |uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w),
+       |vv AS (SELECT count(DISTINCT w) AS v FROM toks),
+       |scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    round(avg(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))), 4) AS avg_ll
+       |  FROM bi JOIN bic USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vv
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, avg_ll,
+       |  CAST(ntile(10) OVER (ORDER BY avg_ll ASC, doc_id ASC) AS INT) AS decile,
+       |  (ntile(10) OVER (ORDER BY avg_ll ASC, doc_id ASC)) = 1 AS low_quality
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
 
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
 

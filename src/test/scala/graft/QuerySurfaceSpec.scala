@@ -36,6 +36,32 @@ class QuerySurfaceSpec extends SparkSpec {
       s"cutpoints not broadcast:\n$dec")
   }
 
+  test("lm quality: gibberish scores below fluent text and lands in the low decile") {
+    import spark.implicits._
+    // 18 fluent docs drawn from a small shared vocabulary (high bigram
+    // counts under the self-trained LM) + 2 docs of singleton-word
+    // gibberish (every bigram unseen elsewhere -> add-one floor).
+    val fluent = (0 until 18).map { i =>
+      (i.toLong, s"the cat sat on the mat and the dog sat on the rug again ${i % 3}",
+        "en", "s", 1L)
+    }
+    val junk = Seq(
+      (18L, "qzx vbnk wplf jdhr tgyu mkio aswe dfgh zxcv bnml", "en", "s", 1L),
+      (19L, "aa1 bb2 cc3 dd4 ee5 ff6 gg7 hh8 ii9 jj0", "en", "s", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    (fluent ++ junk).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextAnalysis.lmQuality(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("avg_ll"), r.getAs[Boolean]("low_quality")))).toMap
+    val worstFluent = fluent.map(f => out(f._1)._1).min
+    assert(out(18L)._1 < worstFluent && out(19L)._1 < worstFluent,
+      s"gibberish must score below every fluent doc: $out")
+    // 20 docs -> decile 1 holds exactly the two worst scores
+    assert(out(18L)._2 && out(19L)._2, s"gibberish not flagged: $out")
+    assert(fluent.forall(f => !out(f._1)._2), s"fluent doc flagged: $out")
+  }
+
   test("every query runs non-empty at sf0.001") {
     // The anomaly-row extractions are legitimately empty at sf0.001
     // (no |z|>3 hour in 1k events; their DuckDB oracles agree) — they
