@@ -692,43 +692,53 @@ object DedupOracles {
     * code-point `substr` shingles, cross-doc duplicate test, flag-back
     * join, and gaps-and-islands merge.
     */
-  val substringSpans: String = {
+  /** The WITH-body of [[substringSpans]] through the merged `sspans`
+    * CTE — ss-prefixed names so composed pipelines
+    * ([[TrainingOracles.corpusPrep4]]) can embed it beside their own.
+    */
+  private[operators] val spanCtes: String = {
     val l = Dedup.SpanLen
-    s"""WITH docs AS (
+    s"""ssdocs AS (
        |  SELECT doc_id, text FROM documents WHERE length(text) >= $l),
-       |pos AS (
+       |sspos AS (
        |  SELECT doc_id, text,
        |    unnest(generate_series(0, length(text) - $l)) AS start
-       |  FROM docs),
-       |sh AS (
+       |  FROM ssdocs),
+       |sssh AS (
        |  SELECT doc_id, start, substr(text, CAST(start + 1 AS INT), $l) AS shingle
-       |  FROM pos
+       |  FROM sspos
        |  WHERE substr(text, CAST(start + 1 AS INT), 1) = ' '),
-       |dup AS (
-       |  SELECT shingle FROM sh GROUP BY shingle
+       |ssdup AS (
+       |  SELECT shingle FROM sssh GROUP BY shingle
        |  HAVING count(DISTINCT doc_id) > 1),
-       |flagged AS (
+       |ssflag AS (
        |  SELECT doc_id, start, start + $l AS end_
-       |  FROM sh JOIN dup USING (shingle)),
-       |marked AS (
+       |  FROM sssh JOIN ssdup USING (shingle)),
+       |ssmark AS (
        |  SELECT doc_id, start, end_,
        |    max(end_) OVER (PARTITION BY doc_id ORDER BY start
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-       |  FROM flagged),
-       |islands AS (
+       |  FROM ssflag),
+       |ssisl AS (
        |  SELECT doc_id, start, end_,
        |    sum(CASE WHEN prev_max IS NULL OR start > prev_max THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY doc_id ORDER BY start) AS island
-       |  FROM marked)
-       |SELECT doc_id,
-       |  min(start) AS span_start,
-       |  max(end_) AS span_end,
-       |  max(end_) - min(start) AS span_len,
-       |  CAST(count(*) AS BIGINT) AS n_shingles
-       |FROM islands
-       |GROUP BY doc_id, island
-       |ORDER BY doc_id, span_start""".stripMargin
+       |  FROM ssmark),
+       |sspans AS (
+       |  SELECT doc_id,
+       |    min(start) AS span_start,
+       |    max(end_) AS span_end,
+       |    max(end_) - min(start) AS span_len,
+       |    CAST(count(*) AS BIGINT) AS n_shingles
+       |  FROM ssisl
+       |  GROUP BY doc_id, island)""".stripMargin
   }
+
+  val substringSpans: String =
+    s"""WITH $spanCtes
+       |SELECT doc_id, span_start, span_end, span_len, n_shingles
+       |FROM sspans
+       |ORDER BY doc_id, span_start""".stripMargin
 
   /** [[Dedup.approxDistinctCheck]]: the exact counts are recomputed,
     * the error-bound booleans are pinned at TRUE — an estimate outside

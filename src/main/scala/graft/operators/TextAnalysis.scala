@@ -292,29 +292,36 @@ object TextOracles {
     * engines; only ln() differs at the last ulp, absorbed by the
     * round-4 convention before ranking.
     */
-  val lmQuality: String =
-    s"""WITH ws AS (
+  /** The WITH-body of [[lmQuality]] up to the per-doc `lmscored` CTE —
+    * lm-prefixed names so composed pipelines ([[TrainingOracles
+    * .corpusPrep4]]) can embed it beside their own CTEs.
+    */
+  private[operators] val lmScoredCtes: String =
+    s"""lmws AS (
        |  SELECT doc_id, $wordsSql AS w FROM documents),
-       |toks AS (
+       |lmtoks AS (
        |  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos
-       |  FROM ws),
-       |bi0 AS (
+       |  FROM lmws),
+       |lmbi0 AS (
        |  SELECT doc_id, w AS w1,
        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-       |  FROM toks),
-       |bi AS (SELECT doc_id, w1, w2 FROM bi0 WHERE w2 IS NOT NULL),
-       |bic AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
-       |uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w),
-       |vv AS (SELECT count(DISTINCT w) AS v FROM toks),
-       |scored AS (
+       |  FROM lmtoks),
+       |lmbi AS (SELECT doc_id, w1, w2 FROM lmbi0 WHERE w2 IS NOT NULL),
+       |lmbic AS (SELECT w1, w2, count(*) AS c12 FROM lmbi GROUP BY w1, w2),
+       |lmuni AS (SELECT w AS w1, count(*) AS c1 FROM lmtoks GROUP BY w),
+       |lmvv AS (SELECT count(DISTINCT w) AS v FROM lmtoks),
+       |lmscored AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |    round(avg(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))), 4) AS avg_ll
-       |  FROM bi JOIN bic USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vv
-       |  GROUP BY doc_id)
+       |  FROM lmbi JOIN lmbic USING (w1, w2) JOIN lmuni USING (w1) CROSS JOIN lmvv
+       |  GROUP BY doc_id)""".stripMargin
+
+  val lmQuality: String =
+    s"""WITH $lmScoredCtes
        |SELECT doc_id, n_bigrams, avg_ll,
        |  CAST(ntile(10) OVER (ORDER BY avg_ll ASC, doc_id ASC) AS INT) AS decile,
        |  (ntile(10) OVER (ORDER BY avg_ll ASC, doc_id ASC)) = 1 AS low_quality
-       |FROM scored
+       |FROM lmscored
        |ORDER BY doc_id""".stripMargin
 
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"

@@ -403,6 +403,78 @@ object TrainingPrep {
     * boilerplate gram aggregate + hot semi-join (2, gram-keyed); joins
     * against keep/drop sets remain broadcast (small by construction).
     */
+  /** The NINE-stage composition — [[corpusPrep3]] plus the two round-8
+    * acquisition gates, slotted between the heuristic gates and the
+    * dedup window:
+    *
+    *   - statistical LM quality ([[TextAnalysis.lmQuality]]): drop the
+    *     lowest decile by bigram log-likelihood;
+    *   - verbatim-span coverage ([[graft.operators.Dedup
+    *     .substringSpans]]): drop documents whose merged cross-doc
+    *     duplicate spans cover more than half their characters — the
+    *     doc is mostly boilerplate/quotation even if no single whole
+    *     document matches it.
+    *
+    * Corpus-level MODELS (bigram counts, duplicate-shingle set) are
+    * trained on the FULL corpus — identical to their standalone
+    * queries, so their oracle fragments embed verbatim — while gate
+    * MEMBERSHIP applies to the capped corpus like every other stage.
+    * The oracle replays all nine stages; the wiring stays hash-checked
+    * end to end. Only this deepest composition is benched
+    * (prep/prep2/prep3 stay verified, headline=false).
+    */
+  def corpusPrep4(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lmLow = TextAnalysis.lmQuality(s, d)
+      .filter(col("low_quality")).select(col("doc_id"))
+    val spanHeavy = Dedup.substringSpans(s, d)
+      .groupBy(col("doc_id")).agg(sum(col("span_len")).as("dup_chars"))
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("bigint").as("len_chars")), Seq("doc_id"))
+      .filter(col("dup_chars") * 2 > col("len_chars"))
+      .select(col("doc_id"))
+    val rankKey = (col("doc_id") * lit(ScaleOps.CapHashPrime)) % lit(ScaleOps.CapHashMod)
+    val cw = Window.partitionBy(col("source")).orderBy(rankKey.asc, col("doc_id"))
+    val capped = docs
+      .withColumn("rk", row_number().over(cw))
+      .filter(col("rk") <= ScaleOps.SourceCapN)
+      .drop("rk")
+    val boilDrop = ScaleOps.boilerplateOf(capped)
+      .filter(col("n_boilerplate") * 10 > col("n_grams") * 8)
+      .select(col("doc_id"))
+    val repKeep = TextAnalysis.repetitionFilter(s, d)
+      .filter(col("keep")).select(col("doc_id"))
+    val surv0 = capped
+      .join(boilDrop, Seq("doc_id"), "left_anti")
+      .join(repKeep, Seq("doc_id"), "left_semi")
+      .join(lmLow, Seq("doc_id"), "left_anti")
+      .join(spanHeavy, Seq("doc_id"), "left_anti")
+    val dw = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+    val dedupKeep = surv0
+      .withColumn("rn", row_number().over(dw))
+      .filter(col("rn") === 1).select(col("doc_id"))
+    val contaminated = ScaleOps.ngramDecontaminate(s, d).select(col("doc_id"))
+    val wpc = WordsPerChunk
+    val chunks = surv0
+      .join(dedupKeep, Seq("doc_id"), "left_semi")
+      .filter(!graft.GoldenHash.isTestDoc(col("doc_id")))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("ws", TextAnalysis.words)
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"), size(col("ws")).as("nw"))
+      .withColumn("chunk_idx",
+        explode(expr(s"sequence(0, CAST((nw - 1) DIV $wpc AS INT))")))
+      .withColumn("n_words", least(lit(wpc), col("nw") - col("chunk_idx") * wpc))
+    val pw = Window.partitionBy("source").orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col("n_words")).over(pw))
+      .withColumn("window_id", expr(s"(cum - n_words) DIV $PackWords"))
+      .select(col("doc_id"), col("chunk_idx"), col("source"),
+        col("window_id"), col("n_words").cast("int").as("n_words"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   def corpusPrep3(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val rankKey = (col("doc_id") * lit(ScaleOps.CapHashPrime)) % lit(ScaleOps.CapHashMod)
@@ -506,7 +578,9 @@ object TrainingPrep {
     "q_token_chunks"      -> QueryDef(tokenChunks, Some(TrainingOracles.tokenChunks)),
     "q_corpus_prep2"      -> QueryDef(corpusPrep2, Some(TrainingOracles.corpusPrep2),
       headline = false),
-    "q_corpus_prep3"      -> QueryDef(corpusPrep3, Some(TrainingOracles.corpusPrep3)),
+    "q_corpus_prep4"      -> QueryDef(corpusPrep4, Some(TrainingOracles.corpusPrep4)),
+    "q_corpus_prep3"      -> QueryDef(corpusPrep3, Some(TrainingOracles.corpusPrep3),
+      headline = false),
     "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms)),
     "q_tfidf_cached"      -> QueryDef(tfidfTopTermsCached, Some(TrainingOracles.tfidfTopTerms)),
     "q_pii_redact"        -> QueryDef(piiRedact, Some(TrainingOracles.piiRedact)))
@@ -668,6 +742,127 @@ object TrainingOracles {
       |  FROM capped c
       |  JOIN repkeep USING (doc_id)
       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM boildrop)),
+      |dedupkeep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT d.doc_id,
+      |      row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) AS rn
+      |    FROM documents d JOIN surv0 USING (doc_id))
+      |  WHERE rn = 1),
+      |g5docs AS (SELECT doc_id, ws FROM ws WHERE len(ws) >= 5),
+      |g5pos AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM g5docs),
+      |g5 AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS g
+      |  FROM g5pos),
+      |bench AS (SELECT DISTINCT g FROM g5 WHERE ${graft.GoldenHash.isTestDocSql}),
+      |contaminated AS (
+      |  SELECT DISTINCT t.doc_id FROM g5 t JOIN bench b ON t.g = b.g
+      |  WHERE ${graft.GoldenHash.isTrainDocSql.replace("doc_id", "t.doc_id")}),
+      |surv AS (
+      |  SELECT w.doc_id, w.source, len(w.ws) AS nw
+      |  FROM ws w
+      |  JOIN surv0 USING (doc_id)
+      |  JOIN dedupkeep USING (doc_id)
+      |  WHERE ${graft.GoldenHash.isTrainDocSql.replace("doc_id", "w.doc_id")}
+      |    AND len(w.ws) > 0
+      |    AND w.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |chunks AS (
+      |  SELECT doc_id, source, nw,
+      |    unnest(generate_series(0, (nw - 1) // $wpc)) AS ci
+      |  FROM surv),
+      |sized AS (
+      |  SELECT doc_id, source, CAST(ci AS INT) AS chunk_idx,
+      |    CAST(least($wpc, nw - ci * $wpc) AS INT) AS n_words
+      |  FROM chunks),
+      |cums AS (
+      |  SELECT source, doc_id, chunk_idx, n_words,
+      |    sum(n_words) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM sized)
+      |SELECT doc_id, chunk_idx, source,
+      |  CAST((cum - n_words) // $pw AS BIGINT) AS window_id, n_words
+      |FROM cums
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Replays the NINE-stage [[TrainingPrep.corpusPrep4]] composition:
+    * [[corpusPrep3]]'s chain plus the embedded-verbatim LM-quality
+    * ([[TextOracles.lmScoredCtes]]) and verbatim-span
+    * ([[DedupOracles.spanCtes]]) fragments — the standalone-query CTEs
+    * reused byte-for-byte, with only the decile cut and the coverage
+    * predicate added here, so stage WIRING stays the only new thing
+    * this oracle asserts.
+    */
+  val corpusPrep4: String = {
+    val wpc = TrainingPrep.WordsPerChunk; val pw = TrainingPrep.PackWords
+    val bn = ScaleOps.BoilerN
+    s"""WITH ${TextOracles.lmScoredCtes},
+      |${DedupOracles.spanCtes},
+      |lmlow AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      ntile(10) OVER (ORDER BY avg_ll ASC, doc_id ASC) AS dec
+      |    FROM lmscored)
+      |  WHERE dec = 1),
+      |spanheavy AS (
+      |  SELECT sp.doc_id
+      |  FROM (SELECT doc_id, sum(span_end - span_start) AS dup_chars
+      |        FROM sspans GROUP BY doc_id) sp
+      |  JOIN (SELECT doc_id, length(text) AS len_chars FROM documents) dl
+      |    USING (doc_id)
+      |  WHERE sp.dup_chars * 2 > dl.len_chars),
+      |ws AS (
+      |  SELECT doc_id, source, text, ${TextOracles.wordsSql} AS ws FROM documents),
+      |capped AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * ${ScaleOps.CapHashPrime}) % ${ScaleOps.CapHashMod}, doc_id)
+      |      AS rk
+      |    FROM documents)
+      |  WHERE rk <= ${ScaleOps.SourceCapN}),
+      |bdocs AS (
+      |  SELECT w.doc_id, w.ws FROM ws w JOIN capped USING (doc_id)
+      |  WHERE len(w.ws) >= $bn),
+      |bpos AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${bn - 1})) AS i
+      |  FROM bdocs),
+      |bgrams AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + ${bn - 1}), ' ') AS g
+      |  FROM bpos),
+      |bhot AS (
+      |  SELECT g FROM bgrams GROUP BY g
+      |  HAVING count(*) >= ${ScaleOps.BoilerMinDocs}),
+      |bcounts AS (
+      |  SELECT doc_id, count(*) AS n_grams FROM bgrams GROUP BY 1),
+      |bboiler AS (
+      |  SELECT bg.doc_id, count(*) AS n_boiler
+      |  FROM bgrams bg JOIN bhot h ON bg.g = h.g GROUP BY 1),
+      |boildrop AS (
+      |  SELECT c.doc_id
+      |  FROM bcounts c LEFT JOIN bboiler b USING (doc_id)
+      |  WHERE COALESCE(b.n_boiler, 0) * 10 > c.n_grams * 8),
+      |repdocs AS (
+      |  SELECT doc_id, ws FROM ws WHERE len(ws) >= 2),
+      |rpos AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM repdocs),
+      |rgrams AS (
+      |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g FROM rpos),
+      |rgc AS (SELECT doc_id, g, count(*) AS c FROM rgrams GROUP BY 1, 2),
+      |rtg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams FROM rgc GROUP BY 1),
+      |repkeep AS (
+      |  SELECT d.doc_id
+      |  FROM repdocs d JOIN rtg t USING (doc_id)
+      |  WHERE t.top_c * 5 <= t.n_grams
+      |    AND (len(d.ws) - len(list_distinct(d.ws))) * 10 <= len(d.ws) * 7),
+      |surv0 AS (
+      |  SELECT c.doc_id
+      |  FROM capped c
+      |  JOIN repkeep USING (doc_id)
+      |  WHERE c.doc_id NOT IN (SELECT doc_id FROM boildrop)
+      |    AND c.doc_id NOT IN (SELECT doc_id FROM lmlow)
+      |    AND c.doc_id NOT IN (SELECT doc_id FROM spanheavy)),
       |dedupkeep AS (
       |  SELECT doc_id FROM (
       |    SELECT d.doc_id,

@@ -191,4 +191,30 @@ class TrainingPrepSpec extends SparkSpec {
         s"sparse window ids: ${wids.take(10).toSeq}")
     }
   }
+
+  test("corpusPrep4 stage wiring: prep3 subset, r8 gates bite, packing stays dense") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val out = TrainingPrep.corpusPrep4(spark, sf).collect()
+    assert(out.nonEmpty)
+    val outDocs = out.map(_.getLong(0)).toSet
+    // the two added gates can only SHRINK prep3's survivor set
+    val prep3Docs = TrainingPrep.corpusPrep3(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(outDocs.subsetOf(prep3Docs), "prep4 admitted a doc prep3's gates rejected")
+    assert(outDocs.size < prep3Docs.size, "the r8 gates never fired")
+    // no survivor is LM-low-decile or span-heavy (gate membership wired)
+    val lmLow = TextAnalysis.lmQuality(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("low_quality"))
+      .collect().map(_.getLong(0)).toSet
+    assert((outDocs & lmLow).isEmpty, s"LM-low docs survived: ${(outDocs & lmLow).take(5)}")
+    val spans = Dedup.substringSpans(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        r.getAs[Long]("span_len")).sum).toMap
+    // packing invariant: window ids per source dense from 0
+    out.groupBy(_.getString(2)).values.foreach { rows =>
+      val wids = rows.map(_.getLong(3)).distinct.sorted
+      assert(wids.head == 0L && wids.sameElements(wids.head to wids.last),
+        s"sparse window ids: ${wids.take(10).toSeq}")
+    }
+    assert(spans.nonEmpty) // the span gate had real input on this corpus
+  }
 }
