@@ -235,19 +235,45 @@ object TextAnalysis {
     * ROUNDED score with doc_id tiebreak, so engine float noise cannot
     * reorder the decile boundary (the q_user_deciles convention).
     */
-  def lmQuality(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
+  /** The trained bigram LM — (bigram counts, unigram counts, vocab
+    * size) — cached per (session, sfDir): a count-table LM is a model
+    * artifact built once per corpus version and probed by every
+    * consumer ([[lmQuality]], [[TrainingPrep.corpusPrep4]]'s quality
+    * gate), the [[graft.operators.Similarity]] IVF/PCA stance. At
+    * 100 TB these tables are the at-rest model the reference-corpus
+    * variant would load.
+    */
+  private val lmCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+
+  private def lmModel(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    lmCache.computeIfAbsent((s, d), _ => {
+      val toks = lmToks(s, d)
+      val bi = lmBigrams(s, d)
+      (bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+          .localCheckpoint(true),
+        toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+          .withColumnRenamed("w", "w1").localCheckpoint(true),
+        toks.agg(countDistinct(col("w")).as("v")).localCheckpoint(true))
+    })
+
+  private def lmToks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+
+  private def lmBigrams(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = toks
+    lmToks(s, d)
       .withColumn("w2", lead(col("w"), 1).over(wd))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("w").as("w1"), col("w2"))
-    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uniCounts = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-      .withColumnRenamed("w", "w1")
-    val vocab = toks.agg(countDistinct(col("w")).as("v"))
+  }
+
+  def lmQuality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (biCounts, uniCounts, vocab) = lmModel(s, d)
+    val bi = lmBigrams(s, d)
     val scored = bi
       .join(biCounts, Seq("w1", "w2"))
       .join(uniCounts, Seq("w1"))
