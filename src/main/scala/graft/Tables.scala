@@ -41,6 +41,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Spread heavy PER-ROW scan work (JSON rendering, fused hashing,
+    * shingle explodes) across the session's shuffle parallelism before
+    * it runs. This exists because the fixture tables are one parquet
+    * split, and because `repartition(key)` WITHOUT an explicit width is
+    * silently defeated by AQE — it coalesces a few-MB shuffle to one
+    * 64 MB-advisory partition and serializes exactly the work the
+    * repartition was meant to spread (measured 3.4× on the r8 shingle
+    * stage). Every scan-spread site must call THIS, never a bare
+    * `repartition(col)`; at 100 TB the scan arrives already split and
+    * the extra exchange is noise next to the map it parallelizes.
+    */
+  def scanSpread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
 }
 
 /** One engine query: a Spark DataFrame builder plus (when SQL-expressible)

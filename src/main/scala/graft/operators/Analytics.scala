@@ -532,32 +532,42 @@ object Analytics {
 
   /** Invariant-check companion of [[latencyPercentilesApprox]] (the
     * same technique as [[graft.operators.Dedup.approxDistinctCheck]]):
-    * the sketch's contract is RANK error — the returned value must sit
-    * between the exact percentiles at q ∓ δ. One grouped pass computes
-    * the sketch and the exact band edges (δ = 0.01, 100× the
-    * configured 1/accuracy rank error, so the booleans are stable);
-    * the query emits per-group exact n plus the three in-band
-    * booleans, and the DuckDB oracle pins them at TRUE. The sketch
-    * values themselves (t-digest vs Greenwald-Khanna internals) stay
-    * rows-only in the query proper.
+    * the sketch's contract is RANK error, and the check tests it AS a
+    * rank statement — the estimate's occupied rank interval
+    * [#(v < est)+1, #(v ≤ est)] must intersect [(q−δ)·n, (q+δ)·n]
+    * over the group's non-null values (δ = 0.01, 100× the configured
+    * 1/accuracy rank error, so the booleans are stable). An earlier
+    * form compared against INTERPOLATED exact percentiles at q ∓ δ,
+    * which false-positives on small or discrete-valued groups where
+    * the interpolated band excludes every actual data value the sketch
+    * is allowed to return. The query emits per-group exact n plus the
+    * three booleans; the DuckDB oracle pins the booleans at TRUE. The
+    * sketch values themselves stay rows-only in the query proper.
     */
-  def latencyPercentilesApproxCheck(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  def latencyPercentilesApproxCheck(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val est = ev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").as("pcts"))
+      .select(col("event_type"), col("pcts")(0).as("e50"),
+        col("pcts")(1).as("e95"), col("pcts")(2).as("e99"))
+    def le(e: String) = sum(when(col("value") <= col(e), 1L).otherwise(0L))
+    def lt(e: String) = sum(when(col("value") < col(e), 1L).otherwise(0L))
+    def inBand(q: Double, leC: Column, ltC: Column, nn: Column) =
+      // vacuously true for an all-null group (no ranks to violate)
+      nn === 0 || ((ltC + 1) <= (nn * (q + 0.01)) && leC >= (nn * (q - 0.01)))
+    val agg = ev.join(broadcast(est), Seq("event_type"))
       .groupBy(col("event_type"))
-      .agg(
-        expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").as("pcts"),
-        expr("percentile(value, 0.49)").as("lo50"),
-        expr("percentile(value, 0.51)").as("hi50"),
-        expr("percentile(value, 0.94)").as("lo95"),
-        expr("percentile(value, 0.96)").as("hi95"),
-        expr("percentile(value, 0.98)").as("lo99"),
-        max(col("value")).as("hi99"),
-        count(lit(1)).as("n"))
-      .select(col("event_type"), col("n"),
-        col("pcts")(0).between(col("lo50"), col("hi50")).as("p50_in_band"),
-        col("pcts")(1).between(col("lo95"), col("hi95")).as("p95_in_band"),
-        col("pcts")(2).between(col("lo99"), col("hi99")).as("p99_in_band"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("nn"),
+        le("e50").as("le50"), lt("e50").as("lt50"),
+        le("e95").as("le95"), lt("e95").as("lt95"),
+        le("e99").as("le99"), lt("e99").as("lt99"))
+    agg.select(col("event_type"), col("n"),
+        inBand(0.50, col("le50"), col("lt50"), col("nn")).as("p50_in_band"),
+        inBand(0.95, col("le95"), col("lt95"), col("nn")).as("p95_in_band"),
+        inBand(0.99, col("le99"), col("lt99"), col("nn")).as("p99_in_band"))
       .orderBy(col("event_type"))
+  }
 
   /** S6: the SQL query surface (the reference's documented
     * Hive-external-table-over-parquet path, README.md:7-11): tables
@@ -747,12 +757,7 @@ object Analytics {
     // a single task on one core (the trap minhashIndex documents). The
     // shuffle moves the raw events (a few MB); the 32-way parse repays
     // it many times over. At 100 TB the scan arrives already split.
-    // Width EXPLICIT: repartition(col) alone re-enters the same trap —
-    // AQE coalesces the few-MB shuffle to ONE partition (64 MB
-    // advisory) and serializes the per-row work it exists to spread
-    // (measured 3.4× on the substringSpans shingle stage, r8).
-    val wire = Tables.events(s, d)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("event_id"))
+    val wire = Tables.scanSpread(Tables.events(s, d), col("event_id"))
       .select(to_json(struct(
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("time_iso8601"),
       concat(lit("10.0."), (col("user_id") / 256).cast("int"),
@@ -832,7 +837,11 @@ object Analytics {
 
   // --- registry ---
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: oracle objects reference operator constants (e.g. DedupOracles
+  // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
+  // object back -- would deadlock-null mid-initialization when a composed
+  // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  lazy val defs: Map[String, QueryDef] = Map(
     "q1_lineitem_agg"    -> QueryDef(q1LineitemAgg, Some(OracleSql.q1LineitemAgg)),
     "q_hourly_traffic"   -> QueryDef(hourlyTraffic, Some(OracleSql.hourlyTraffic)),
     "q_traffic_stats"    -> QueryDef(trafficStats, Some(OracleSql.trafficStats)),

@@ -165,13 +165,7 @@ object Dedup {
     */
   private def minhashIndexOf(docs: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(docs.sparkSession)
-    docs
-      // width explicit: AQE would coalesce this few-MB shuffle to one
-      // partition and single-thread the fused signature pass (the
-      // logIngest/substringSpans trap, measured r8)
-      .repartition(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("doc_id"))
+    graft.Tables.scanSpread(docs, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextHashFunctions.minhashSigs(col("text"), MinhashH).as("sigs"),
         graft.functions.TextHashFunctions.gramSet(col("text")).as("grams"))
@@ -533,14 +527,11 @@ object Dedup {
     */
   def substringSpans(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(length(col("text")) >= SpanLen)
-    // Explicit-width repartition — the dominant fix (r8 A/B: AQE
-    // coalesces the few-MB shuffle to ONE partition and serializes the
-    // explode; 1.42 → 0.42 s on this stage) — then a FLAT
-    // explode→filter→substring pipeline, which stays in whole-stage
-    // codegen where the lambda transform/filter HOF form is
-    // CodegenFallback (a further ~15%).
-    val shingles = docs
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+    // scanSpread (r8 A/B: the AQE single-partition trap cost 1.42 vs
+    // 0.42 s on this stage), then a FLAT explode→filter→substring
+    // pipeline, which stays in whole-stage codegen where the lambda
+    // transform/filter HOF form is CodegenFallback (a further ~15%).
+    val shingles = Tables.scanSpread(docs, col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(0, length(text) - $SpanLen)")).as("p"))
       .filter(expr("substring(text, p + 1, 1) = ' '"))
@@ -656,7 +647,11 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: oracle objects reference operator constants (e.g. DedupOracles
+  // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
+  // object back -- would deadlock-null mid-initialization when a composed
+  // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  lazy val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact"     -> QueryDef(dedupExact, Some(DedupOracles.dedupExact)),
     "q_exact_distinct"  -> QueryDef(exactDistinct, Some(DedupOracles.exactDistinct)),
     "q_approx_distinct" -> QueryDef(approxDistinct, None),

@@ -101,6 +101,15 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var rounds = 0
+    // CONCURRENCY CONTRACT: the conf pin below mutates the CALLER'S
+    // session conf for the duration of the loop (restored in the
+    // finally). Do not run this operator concurrently with other
+    // planning on the same SparkSession — a sibling thread that plans
+    // (or first-builds a session cache like the minhash/LSH index)
+    // mid-loop would compile against the loop's 1-partition width/AQE-
+    // off state. (Measured and rejected r8: hosting the loop in a
+    // cloned `newSession` with its own conf — the RDD hand-off
+    // boundary breaks cached-plan reuse and cost 3× the whole loop.)
     // The fixpoint loop runs with AQE OFF and shuffle.partitions =
     // loopParts (both restored in the finally): with AQE on, every
     // shuffle inside every stacked hop materializes as its own

@@ -352,7 +352,7 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
-  val defs: Map[String, graft.QueryDef] = Map(
+  lazy val defs: Map[String, graft.QueryDef] = Map(
     "q_media_pipeline" -> graft.QueryDef(mediaPipeline, Some(MultimodalOracles.mediaPipeline)),
     "q_image_neardup"  -> graft.QueryDef(imageNearDup, Some(MultimodalOracles.imageNearDup)))
 }

@@ -448,7 +448,11 @@ object ScaleOps {
       .orderBy(col("decile"))
   }
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: oracle objects reference operator constants (e.g. DedupOracles
+  // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
+  // object back -- would deadlock-null mid-initialization when a composed
+  // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  lazy val defs: Map[String, QueryDef] = Map(
     "q_skew_profile"        -> QueryDef(skewProfile, Some(ScaleOracles.skewProfile)),
     "q_user_deciles"        -> QueryDef(userDeciles, Some(ScaleOracles.userDeciles)),
     "q_ngram_decontaminate" -> QueryDef(ngramDecontaminate, Some(ScaleOracles.ngramDecontaminate)),

@@ -510,7 +510,11 @@ object Similarity {
         round(col("maxabs") / lit(127.0), 6).as("scale"))
       .orderBy(col("vec_id"))
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: oracle objects reference operator constants (e.g. DedupOracles
+  // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
+  // object back -- would deadlock-null mid-initialization when a composed
+  // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  lazy val defs: Map[String, QueryDef] = Map(
     "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK)),
     "q_hard_negatives"    -> QueryDef(hardNegatives, Some(SimilarityOracles.hardNegatives)),
     "q_embedding_neardup" -> QueryDef(nearDupPairs, Some(SimilarityOracles.nearDupPairs)),

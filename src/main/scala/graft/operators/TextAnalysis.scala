@@ -274,12 +274,20 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val (biCounts, uniCounts, vocab) = lmModel(s, d)
     val bi = lmBigrams(s, d)
+    // LEFT joins + coalesce-0, not inner: under the documented
+    // reference-corpus swap an UNSEEN bigram must score the add-one
+    // floor ln(1/(c1+V)) — an inner join would silently DROP it and an
+    // all-unseen gibberish doc would vanish from the output instead of
+    // landing in decile 1. Self-trained (counts ≥ 1 by construction)
+    // the two forms are row-identical, which is why the oracle still
+    // triple-matches.
     val scored = bi
-      .join(biCounts, Seq("w1", "w2"))
-      .join(uniCounts, Seq("w1"))
+      .join(biCounts, Seq("w1", "w2"), "left")
+      .join(uniCounts, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("ll",
-        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+        log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("ll")), 4).as("avg_ll"))
     val byScore = Window.orderBy(col("avg_ll").asc, col("doc_id").asc)
@@ -291,7 +299,11 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: oracle objects reference operator constants (e.g. DedupOracles
+  // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
+  // object back -- would deadlock-null mid-initialization when a composed
+  // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  lazy val defs: Map[String, QueryDef] = Map(
     "q_lm_quality"   -> QueryDef(lmQuality, Some(TextOracles.lmQuality)),
     "q_token_count"  -> QueryDef(tokenCount, Some(TextOracles.tokenCount)),
     "q_vocab_coverage" -> QueryDef(vocabCoverage, Some(TextOracles.vocabCoverage)),
@@ -338,8 +350,12 @@ object TextOracles {
        |lmvv AS (SELECT count(DISTINCT w) AS v FROM lmtoks),
        |lmscored AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |    round(avg(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))), 4) AS avg_ll
-       |  FROM lmbi JOIN lmbic USING (w1, w2) JOIN lmuni USING (w1) CROSS JOIN lmvv
+       |    round(avg(ln(CAST(COALESCE(c12, 0) + 1 AS DOUBLE)
+       |      / (COALESCE(c1, 0) + v))), 4) AS avg_ll
+       |  FROM lmbi
+       |  LEFT JOIN lmbic USING (w1, w2)
+       |  LEFT JOIN lmuni USING (w1)
+       |  CROSS JOIN lmvv
        |  GROUP BY doc_id)""".stripMargin
 
   val lmQuality: String =

@@ -433,6 +433,19 @@ object TrainingPrep {
         length(col("text")).cast("bigint").as("len_chars")), Seq("doc_id"))
       .filter(col("dup_chars") * 2 > col("len_chars"))
       .select(col("doc_id"))
+    corpusPrepChain(s, d, Seq(lmLow, spanHeavy))
+  }
+
+  /** The shared stage chain behind [[corpusPrep3]] (extraDrops = Nil)
+    * and [[corpusPrep4]] (the two r8 gate sets): cap, boilerplate drop,
+    * repetition keep, any extra doc-id drop sets, then the
+    * dedup-window / benchmark-exclusion / chunk / pack tail. ONE body
+    * so the benched composition can never silently diverge from its
+    * verified prefixes.
+    */
+  private def corpusPrepChain(
+      s: SparkSession, d: String, extraDrops: Seq[DataFrame]): DataFrame = {
+    val docs = Tables.documents(s, d)
     val rankKey = (col("doc_id") * lit(ScaleOps.CapHashPrime)) % lit(ScaleOps.CapHashMod)
     val cw = Window.partitionBy(col("source")).orderBy(rankKey.asc, col("doc_id"))
     val capped = docs
@@ -444,11 +457,11 @@ object TrainingPrep {
       .select(col("doc_id"))
     val repKeep = TextAnalysis.repetitionFilter(s, d)
       .filter(col("keep")).select(col("doc_id"))
-    val surv0 = capped
-      .join(boilDrop, Seq("doc_id"), "left_anti")
-      .join(repKeep, Seq("doc_id"), "left_semi")
-      .join(lmLow, Seq("doc_id"), "left_anti")
-      .join(spanHeavy, Seq("doc_id"), "left_anti")
+    val surv0 = extraDrops.foldLeft(
+      capped
+        .join(boilDrop, Seq("doc_id"), "left_anti")
+        .join(repKeep, Seq("doc_id"), "left_semi")
+    )((df, drop) => df.join(drop, Seq("doc_id"), "left_anti"))
     val dw = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
     val dedupKeep = surv0
       .withColumn("rn", row_number().over(dw))
@@ -475,47 +488,8 @@ object TrainingPrep {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
-  def corpusPrep3(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val rankKey = (col("doc_id") * lit(ScaleOps.CapHashPrime)) % lit(ScaleOps.CapHashMod)
-    val cw = Window.partitionBy(col("source")).orderBy(rankKey.asc, col("doc_id"))
-    val capped = docs
-      .withColumn("rk", row_number().over(cw))
-      .filter(col("rk") <= ScaleOps.SourceCapN)
-      .drop("rk")
-    val boilDrop = ScaleOps.boilerplateOf(capped)
-      .filter(col("n_boilerplate") * 10 > col("n_grams") * 8)
-      .select(col("doc_id"))
-    val repKeep = TextAnalysis.repetitionFilter(s, d)
-      .filter(col("keep")).select(col("doc_id"))
-    val surv0 = capped
-      .join(boilDrop, Seq("doc_id"), "left_anti")
-      .join(repKeep, Seq("doc_id"), "left_semi")
-    val dw = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
-    val dedupKeep = surv0
-      .withColumn("rn", row_number().over(dw))
-      .filter(col("rn") === 1).select(col("doc_id"))
-    val contaminated = ScaleOps.ngramDecontaminate(s, d).select(col("doc_id"))
-    val wpc = WordsPerChunk
-    val chunks = surv0
-      .join(dedupKeep, Seq("doc_id"), "left_semi")
-      .filter(!graft.GoldenHash.isTestDoc(col("doc_id")))
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .withColumn("ws", TextAnalysis.words)
-      .filter(size(col("ws")) > 0)
-      .select(col("doc_id"), col("source"), size(col("ws")).as("nw"))
-      .withColumn("chunk_idx",
-        explode(expr(s"sequence(0, CAST((nw - 1) DIV $wpc AS INT))")))
-      .withColumn("n_words", least(lit(wpc), col("nw") - col("chunk_idx") * wpc))
-    val pw = Window.partitionBy("source").orderBy(col("doc_id"), col("chunk_idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chunks
-      .withColumn("cum", sum(col("n_words")).over(pw))
-      .withColumn("window_id", expr(s"(cum - n_words) DIV $PackWords"))
-      .select(col("doc_id"), col("chunk_idx"), col("source"),
-        col("window_id"), col("n_words").cast("int").as("n_words"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-  }
+  def corpusPrep3(s: SparkSession, d: String): DataFrame =
+    corpusPrepChain(s, d, Nil)
 
   /** Train/test decontamination — the standard pre-training check that
     * a held-out document's content does not appear in the training
@@ -562,7 +536,11 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: oracle objects reference operator constants (e.g. DedupOracles
+  // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
+  // object back -- would deadlock-null mid-initialization when a composed
+  // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  lazy val defs: Map[String, QueryDef] = Map(
     // corpusPrep and corpusPrep2 are compositional PREFIXES of
     // corpusPrep3: all three stay oracle-verified every round (each
     // pins a different stage wiring), but only the deepest composition

@@ -81,6 +81,10 @@ object TypedSessions {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: oracle objects reference operator constants (e.g. DedupOracles
+  // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
+  // object back -- would deadlock-null mid-initialization when a composed
+  // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  lazy val defs: Map[String, QueryDef] = Map(
     "q_typed_sessions" -> QueryDef(sessionize, Some(oracle)))
 }

@@ -57,6 +57,10 @@ object CatalogTables {
   def catalogScan(s: SparkSession, d: String): DataFrame =
     s.sql(scanSql(ensureExternalTable(s, d, "orders")))
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: oracle objects reference operator constants (e.g. DedupOracles
+  // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
+  // object back -- would deadlock-null mid-initialization when a composed
+  // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  lazy val defs: Map[String, QueryDef] = Map(
     "q_catalog_scan" -> QueryDef(catalogScan, Some(scanSql("orders"))))
 }

@@ -145,7 +145,11 @@ object FileFormats {
        |GROUP BY 1
        |ORDER BY event_type""".stripMargin
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: oracle objects reference operator constants (e.g. DedupOracles
+  // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
+  // object back -- would deadlock-null mid-initialization when a composed
+  // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  lazy val defs: Map[String, QueryDef] = Map(
     "q_csv_roundtrip" -> QueryDef(csvRoundtrip, Some(csvOracle)),
     "q_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcOracle)))
 }

@@ -209,12 +209,22 @@ class TrainingPrepSpec extends SparkSpec {
     val spans = Dedup.substringSpans(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
         r.getAs[Long]("span_len")).sum).toMap
+    assert(spans.nonEmpty) // the span gate had real input on this corpus
+    // no survivor is span-heavy: merged dup spans must cover ≤ half
+    // its chars (the gate predicate, re-derived here from raw lengths)
+    val lens = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val heavySurvivors = outDocs.filter(id =>
+      spans.getOrElse(id, 0L) * 2 > lens(id))
+    assert(heavySurvivors.isEmpty, s"span-heavy docs survived: ${heavySurvivors.take(5)}")
     // packing invariant: window ids per source dense from 0
     out.groupBy(_.getString(2)).values.foreach { rows =>
       val wids = rows.map(_.getLong(3)).distinct.sorted
       assert(wids.head == 0L && wids.sameElements(wids.head to wids.last),
         s"sparse window ids: ${wids.take(10).toSeq}")
     }
-    assert(spans.nonEmpty) // the span gate had real input on this corpus
   }
 }
