@@ -20,7 +20,11 @@ object Verify {
     // fails before its pinning write leaves no file, so its oracle
     // fails loudly instead of consuming a stale artifact from a prior
     // run or scale factor (ADVICE r7)
+    // dev-loop filter (comma-separated names); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     Artifacts.cleanAll()
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -42,6 +46,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

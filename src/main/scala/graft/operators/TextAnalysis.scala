@@ -227,34 +227,55 @@ object TextAnalysis {
     * one per-doc window; the two count tables are hash aggregates; the
     * score pass is two equality joins on word keys (near-zipfian skew
     * is bounded because a bigram's bucket carries counts, not text)
-    * and one per-doc aggregate. The final decile is a single global
-    * ntile over per-DOC rows — at fleet scale that sort is replaced by
-    * a broadcast approx-quantile threshold ([[graft.operators
-    * .ScaleOps]] deciles discussion); per-doc rows are ~6 orders
-    * smaller than the token stream either way. Ranking runs on the
-    * ROUNDED score with doc_id tiebreak, so engine float noise cannot
-    * reorder the decile boundary (the q_user_deciles convention).
+    * and one per-doc aggregate. Decile bucketing follows the
+    * [[ScaleOps.userDeciles]] cutpoint pattern, NOT a global ntile:
+    * nine exact percentiles of the ROUNDED per-doc score are one tiny
+    * aggregate over per-doc rows (~6 orders smaller than the token
+    * stream), broadcast, and each document is bucketed by a scan-stage
+    * comparison chain — no single-partition window anywhere in the
+    * plan. Equal-probability bins rather than exactly-equal-size bins:
+    * score ties at a cutpoint land in one bucket together, which is
+    * deterministic WITHOUT a doc_id tie-break because membership
+    * compares the round-4 score (the q_user_deciles convention), so
+    * engine float noise cannot move the boundary.
     */
-  /** The trained bigram LM — (bigram counts, unigram counts, vocab
-    * size) — cached per (session, sfDir): a count-table LM is a model
+  /** The scored corpus — one row per document with its add-one-smoothed
+    * average bigram log-likelihood — cached per (session, sfDir): the
+    * count-table LM and its application to the corpus are a model
     * artifact built once per corpus version and probed by every
     * consumer ([[lmQuality]], [[TrainingPrep.corpusPrep4]]'s quality
     * gate), the [[graft.operators.Similarity]] IVF/PCA stance. At
-    * 100 TB these tables are the at-rest model the reference-corpus
-    * variant would load.
+    * 100 TB this is the at-rest scored table the reference-corpus
+    * variant would materialize beside the count-table model.
     */
-  private val lmCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+  private val lmScoredCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
-  private def lmModel(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
-    lmCache.computeIfAbsent((s, d), _ => {
+  private def lmScored(s: SparkSession, d: String): DataFrame =
+    lmScoredCache.computeIfAbsent((s, d), _ => {
       val toks = lmToks(s, d)
       val bi = lmBigrams(s, d)
-      (bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-          .localCheckpoint(true),
-        toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-          .withColumnRenamed("w", "w1").localCheckpoint(true),
-        toks.agg(countDistinct(col("w")).as("v")).localCheckpoint(true))
+      val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val uniCounts = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        .withColumnRenamed("w", "w1")
+      val vocab = toks.agg(countDistinct(col("w")).as("v"))
+      // LEFT joins + coalesce-0, not inner: under the documented
+      // reference-corpus swap an UNSEEN bigram must score the add-one
+      // floor ln(1/(c1+V)) — an inner join would silently DROP it and an
+      // all-unseen gibberish doc would vanish from the output instead of
+      // landing in decile 1. Self-trained (counts ≥ 1 by construction)
+      // the two forms are row-identical, which is why the oracle still
+      // triple-matches.
+      bi
+        .join(biCounts, Seq("w1", "w2"), "left")
+        .join(uniCounts, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("ll",
+          log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("ll")), 4).as("avg_ll"))
+        .localCheckpoint(true)
     })
 
   private def lmToks(s: SparkSession, d: String): DataFrame =
@@ -271,28 +292,15 @@ object TextAnalysis {
   }
 
   def lmQuality(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (biCounts, uniCounts, vocab) = lmModel(s, d)
-    val bi = lmBigrams(s, d)
-    // LEFT joins + coalesce-0, not inner: under the documented
-    // reference-corpus swap an UNSEEN bigram must score the add-one
-    // floor ln(1/(c1+V)) — an inner join would silently DROP it and an
-    // all-unseen gibberish doc would vanish from the output instead of
-    // landing in decile 1. Self-trained (counts ≥ 1 by construction)
-    // the two forms are row-identical, which is why the oracle still
-    // triple-matches.
-    val scored = bi
-      .join(biCounts, Seq("w1", "w2"), "left")
-      .join(uniCounts, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .withColumn("ll",
-        log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("v"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("ll")), 4).as("avg_ll"))
-    val byScore = Window.orderBy(col("avg_ll").asc, col("doc_id").asc)
-    scored
-      .withColumn("decile", ntile(10).over(byScore).cast("int"))
+    val scored = lmScored(s, d)
+    val cutCols = (1 to 9).map(k =>
+      round(expr(s"percentile(avg_ll, 0.$k)"), 4).as(s"c$k"))
+    val cuts = scored.agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).map(k =>
+      when(col("avg_ll") > col(s"c$k"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile", decile.cast("int"))
       .withColumn("low_quality", col("decile") === 1)
       .select(col("doc_id"), col("n_bigrams"), col("avg_ll"),
         col("decile"), col("low_quality"))
@@ -325,10 +333,13 @@ object TextOracles {
 
   /** [[TextAnalysis.lmQuality]] replayed in SQL: zipped parallel
     * unnests recover (pos, word), lead() pairs the bigrams, the same
-    * add-one-smoothed score and rounded-then-ranked decile follow.
+    * add-one-smoothed score and cutpoint-bucketed decile follow.
     * (c12+1)/(c1+V) is an exact-integer double division in both
     * engines; only ln() differs at the last ulp, absorbed by the
-    * round-4 convention before ranking.
+    * round-4 convention before the cutpoints. `quantile_cont` and
+    * Spark's `percentile` share the (n-1)·p linear-interpolation
+    * definition, and both sides compare round-4 doubles, so the
+    * bucket membership is engine-stable.
     */
   /** The WITH-body of [[lmQuality]] up to the per-doc `lmscored` CTE —
     * lm-prefixed names so composed pipelines ([[TrainingOracles
@@ -358,13 +369,22 @@ object TextOracles {
        |  CROSS JOIN lmvv
        |  GROUP BY doc_id)""".stripMargin
 
-  val lmQuality: String =
-    s"""WITH $lmScoredCtes
+  val lmQuality: String = {
+    val cutDefs = (1 to 9)
+      .map(k => s"round(quantile_cont(avg_ll, 0.$k), 4) AS c$k")
+      .mkString(",\n       |    ")
+    val bucket = (1 to 9)
+      .map(k => s"CASE WHEN avg_ll > c$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $lmScoredCtes,
+       |lmcuts AS (
+       |  SELECT $cutDefs
+       |  FROM lmscored)
        |SELECT doc_id, n_bigrams, avg_ll,
-       |  CAST(ntile(10) OVER (ORDER BY avg_ll ASC, doc_id ASC) AS INT) AS decile,
-       |  (ntile(10) OVER (ORDER BY avg_ll ASC, doc_id ASC)) = 1 AS low_quality
-       |FROM lmscored
+       |  CAST(($bucket) + 1 AS INT) AS decile,
+       |  (avg_ll <= c1) AS low_quality
+       |FROM lmscored, lmcuts
        |ORDER BY doc_id""".stripMargin
+  }
 
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
 

@@ -777,12 +777,10 @@ object TrainingOracles {
     val bn = ScaleOps.BoilerN
     s"""WITH ${TextOracles.lmScoredCtes},
       |${DedupOracles.spanCtes},
+      |lmcuts AS (
+      |  SELECT round(quantile_cont(avg_ll, 0.1), 4) AS c1 FROM lmscored),
       |lmlow AS (
-      |  SELECT doc_id FROM (
-      |    SELECT doc_id,
-      |      ntile(10) OVER (ORDER BY avg_ll ASC, doc_id ASC) AS dec
-      |    FROM lmscored)
-      |  WHERE dec = 1),
+      |  SELECT doc_id FROM lmscored, lmcuts WHERE avg_ll <= c1),
       |spanheavy AS (
       |  SELECT sp.doc_id
       |  FROM (SELECT doc_id, sum(span_end - span_start) AS dup_chars
