@@ -41,17 +41,32 @@ object Artifacts {
       val f = new java.io.File(p)
       if (f.exists()) rm(f)
     }
-    once.clear() // a cleaned path must be re-written on next use
+    once.clear(); lastSf.clear() // a cleaned path must be re-written on next use
   }
 
   private val once =
     new java.util.concurrent.ConcurrentHashMap[(Any, String, String), java.lang.Boolean]()
+  private val lastSf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Run `write` only if (session, sfDir, name) hasn't written yet in this
     * JVM — artifact pins are deterministic functions of the fixture
     * tables, so repeat invocations (bench min-of-2) skip the I/O.
+    *
+    * A name's on-disk path is SHARED across scale factors, so the memo is
+    * only valid while the same sfDir owns the bytes: when a different
+    * sfDir writes `name`, every memo for `name` is dropped first — a dev
+    * loop alternating sf dirs in one JVM re-pins instead of silently
+    * reading the other scale factor's artifact (ADVICE r8).
     */
   def writeOnce(session: Any, sfDir: String, name: String)(write: => Unit): Unit = {
+    lastSf.compute(name, (_, prev) => {
+      if (prev != null && prev != sfDir) {
+        val it = once.keySet.iterator
+        while (it.hasNext) if (it.next()._3 == name) it.remove()
+      }
+      sfDir
+    })
     once.computeIfAbsent((session, sfDir, name), _ => { write; java.lang.Boolean.TRUE })
     ()
   }

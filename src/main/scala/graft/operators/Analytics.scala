@@ -155,11 +155,10 @@ object Analytics {
     * The cached frame carries the FINAL rounded columns, so every
     * consumer sees bit-identical values to the pre-cache formulation.
     */
-  private val anomalyCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val anomalyCache = new graft.SessionCache[String, DataFrame]()
 
   private def anomalyBaseline(s: SparkSession, d: String): DataFrame =
-    anomalyCache.computeIfAbsent((s, d), { _ =>
+    anomalyCache.getOrBuild(s, d) {
       val counts = Tables.events(s, d)
         .filter(col("ts") >= lit(HistStart))
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
@@ -180,7 +179,7 @@ object Analytics {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       base.count() // materialize: one events scan serves the whole family
       base
-    })
+    }
 
   /** Anomalous keys only (reference filter :75 `is_anomaly == True`). */
   private def anomalousKeys(s: SparkSession, d: String): DataFrame =

@@ -154,11 +154,10 @@ object Dedup {
     * index of [[writeDedupIndex]]; the in-memory checkpoint is the
     * local stand-in.
     */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val indexCache = new graft.SessionCache[String, DataFrame]()
 
   private[operators] def minhashIndex(s: SparkSession, d: String): DataFrame =
-    indexCache.computeIfAbsent((s, d), _ => minhashIndexOf(Tables.documents(s, d)))
+    indexCache.getOrBuild(s, d)(minhashIndexOf(Tables.documents(s, d)))
 
   /** Per-doc dedup index (signatures + sorted gram hashes) for any
     * (doc_id, text) frame — the table-agnostic core of [[minhashIndex]].

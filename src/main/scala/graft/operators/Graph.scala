@@ -37,11 +37,32 @@ object Graph {
     * id reachable through `edges` ("src", "dst"; directed input is
     * symmetrized here). Vertices with no edges keep their own id.
     * Returns ("id", "component").
+    *
+    * CONCURRENCY: the fixpoint loop pins session-global conf
+    * (`spark.sql.adaptive.enabled`=false, `spark.sql.shuffle
+    * .partitions`=loop width) for its duration and restores it in a
+    * finally. Concurrent `connectedComponents` calls on the same
+    * session serialize on a per-session lock, but OTHER planning on
+    * the same SparkSession concurrent with this call (including a
+    * first build of a session cache such as the minhash/LSH index)
+    * would compile against the loop's pinned conf — drive this
+    * operator from the session's single planning thread, or isolate
+    * it on its own SparkSession. (Hosting the loop in a cloned
+    * `newSession` internally was measured and rejected r8: the RDD
+    * hand-off boundary breaks cached-plan reuse, 3× the loop cost.)
     */
   def connectedComponents(
       vertices: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    connectedComponentsLoop(vertices, edges, maxRounds)
+    val lock = confLocks.getOrBuild(vertices.sparkSession, ())(new Object)
+    lock.synchronized {
+      connectedComponentsLoop(vertices, edges, maxRounds)
+    }
   }
+
+  /** One lock per session guarding the conf-pinned loop region, so two
+    * concurrent component builds cannot interleave their conf pins.
+    */
+  private val confLocks = new graft.SessionCache[Unit, Object]()
 
   private def connectedComponentsLoop(
       vertices: DataFrame, edges: DataFrame, maxRounds: Int): DataFrame = {

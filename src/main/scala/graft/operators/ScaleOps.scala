@@ -44,8 +44,12 @@ object ScaleOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // round-9 rank key: Spark (native DotProduct) and DuckDB (list
+    // arithmetic) sum the products in different orders, so a last-ulp
+    // divergence at the rank-3 boundary would flip the emitted rows
+    // (the ADVICE-r8 class; see Similarity.bruteTopK)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("vec_id"))
+      .orderBy(round(col("dot"), 9).desc, col("vec_id"))
     v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("dot", VectorFunctions.dot(col("qv"), col("v")))
@@ -611,7 +615,7 @@ object ScaleOracles {
        |ranked AS (
        |  SELECT query_id, vec_id, dot,
        |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY dot DESC, vec_id) AS INT) AS rank
+       |      ORDER BY round(dot, 9) DESC, vec_id) AS INT) AS rank
        |  FROM scored)
        |SELECT query_id, rank, vec_id, round(dot, 4) AS dot_product
        |FROM ranked

@@ -47,8 +47,13 @@ object Similarity {
     val v = vecs(s, d)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // rank on the round-9 cosine with vec_id tiebreak: Spark and the
+    // DuckDB oracle compute the cosine independently, and a last-ulp
+    // divergence at the rank-3 boundary would flip the emitted row set
+    // nondeterministically (ADVICE r8) — the quantized key absorbs it
+    // (the q_user_deciles rounded-then-ranked convention)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
     v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
@@ -121,8 +126,7 @@ object Similarity {
     * ANN index is built once per corpus version and probed by every
     * consumer; at 100 TB this cache IS the at-rest banded index.
     */
-  private val lshKeyCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+  private val lshKeyCache = new graft.SessionCache[(String, Int, Int), DataFrame]()
 
   def lshNearDup(s: SparkSession, d: String, bands: Int, bitsPerBand: Int): DataFrame = {
     // All bands×bitsPerBand sign projections come from ONE fused native
@@ -132,7 +136,7 @@ object Similarity {
     // (much slower) per-hyperplane expression-tree formulation it
     // replaced (VERDICT r2 "What's wrong" #1). posexplode position =
     // band id, value = that band's packed sign signature.
-    val keyed = lshKeyCache.computeIfAbsent((s, d, bands, bitsPerBand), _ =>
+    val keyed = lshKeyCache.getOrBuild(s, (d, bands, bitsPerBand))(
       vecs(s, d).select(col("vec_id"),
         VectorFunctions.lshBandKeys(col("v"), bands, bitsPerBand).as("bands"))
         .localCheckpoint(true))
@@ -177,7 +181,9 @@ object Similarity {
     val v = vecs(s, d)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    // round-9 rank key — see [[bruteTopK]]'s engine-stability note
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
     v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
       .withColumn("cos", cosine(col("qv"), col("v")))
@@ -201,11 +207,10 @@ object Similarity {
   private final case class IvfIndex(
       centroids: Seq[(Int, Array[Double])], assigned: DataFrame)
 
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), IvfIndex]()
+  private val ivfCache = new graft.SessionCache[(String, Int), IvfIndex]()
 
   private def ivfIndex(s: SparkSession, d: String, k: Int): IvfIndex =
-    ivfCache.computeIfAbsent((s, d, k), { _ =>
+    ivfCache.getOrBuild(s, (d, k)) {
       import org.apache.spark.ml.functions.array_to_vector
       import org.apache.spark.ml.clustering.KMeans
       val v = vecs(s, d).withColumn("fv", array_to_vector(col("v")))
@@ -221,7 +226,7 @@ object Similarity {
       IvfIndex(
         model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq,
         assigned)
-    })
+    }
 
   /** Artifact paths shared by [[ivfTopK]] and its DuckDB oracle: the
     * per-vector cell assignments and the k-row centroid sidecar — the
@@ -272,14 +277,18 @@ object Similarity {
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     // nprobe nearest cells per query (k × |q| tiny cross join)
+    // both rankings run on the round-9 key — see [[bruteTopK]]'s
+    // engine-stability note (ADVICE r8)
     val probes = q.crossJoin(broadcast(cdf))
       .withColumn("cdist", cosine(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell"))))
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("cdist"), 9).desc, col("cell"))))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
@@ -428,12 +437,11 @@ object Similarity {
     * times; repeat query invocations must not re-pay the Gramian+SVD
     * (the [[ivfCache]] stance).
     */
-  private val pcaCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+  private val pcaCache = new graft.SessionCache[(String, Int), DataFrame]()
 
   def embeddingPca(s: SparkSession, d: String, k: Int = 8): DataFrame = {
-    val proj = pcaCache.computeIfAbsent((s, d, k),
-      _ => embeddingPcaProjected(s, d, k).localCheckpoint(true))
+    val proj = pcaCache.getOrBuild(s, (d, k))(
+      embeddingPcaProjected(s, d, k).localCheckpoint(true))
     graft.Artifacts.writeOnce(s, d, "pca_proj") {
       proj.write.mode("overwrite").parquet(PcaProjPath)
     }
@@ -619,7 +627,7 @@ object SimilarityOracles {
        |  SELECT query_id, cell FROM (
        |    SELECT q.query_id, c.cell,
        |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY ($qcCos) DESC, c.cell) AS crank
+       |        ORDER BY round(($qcCos), 9) DESC, c.cell) AS crank
        |    FROM q CROSS JOIN cent c)
        |  WHERE crank <= 3),
        |scored AS (
@@ -632,7 +640,7 @@ object SimilarityOracles {
        |ranked AS (
        |  SELECT query_id, vec_id, cos,
        |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |      ORDER BY round(cos, 9) DESC, vec_id) AS INT) AS rank
        |  FROM scored)
        |SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
        |FROM ranked
@@ -653,7 +661,7 @@ object SimilarityOracles {
        |ranked AS (
        |  SELECT query_id, vec_id, label, cos,
        |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |      ORDER BY round(cos, 9) DESC, vec_id) AS INT) AS rank
        |  FROM scored)
        |SELECT query_id, rank, vec_id, label, round(cos, 4) AS cosine
        |FROM ranked
@@ -669,7 +677,7 @@ object SimilarityOracles {
        |ranked AS (
        |  SELECT query_id, vec_id, cos,
        |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |      ORDER BY round(cos, 9) DESC, vec_id) AS INT) AS rank
        |  FROM scored)
        |SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
        |FROM ranked

@@ -187,10 +187,21 @@ object TextAnalysis {
     *
     * Scale shape: the corpus-wide work is ONE map-side-combinable hash
     * aggregate (shuffle carries (token, partial count), never token
-    * instances); the ranking window then runs over the AGGREGATED vocab
-    * table — |vocab| rows (≤ a few million for any natural corpus),
-    * orders of magnitude smaller than the corpus, so its single-partition
-    * global sort is a deliberate non-issue, not a scale trap.
+    * instances); the rank + running sum over the aggregated vocab table
+    * is a DISTRIBUTED prefix sum, not a global window (r9 — a web-scale
+    * vocab of URLs/code tokens can reach 10⁸+ types, past the
+    * single-partition comfort zone the earlier formulation assumed):
+    * range-partition on the (count desc, token asc) sort key (sampled
+    * boundaries keep each partition ~|vocab|/P even under zipfian
+    * skew), rank and cumsum WITHIN each partition, then shift every
+    * partition by the exclusive prefix of the per-partition totals.
+    * The offsets come from a conditional P²-pair aggregate over the
+    * per-partition totals (P = shuffle width, never vocab-sized) — a
+    * broadcast cross join, NOT a window, so no unpartitioned-window
+    * path runs anywhere in the plan (a literal partition key is folded
+    * away by Catalyst and does not avoid it). Partition boundaries are
+    * sample-dependent; ranks and cumsums are not (prefix sums
+    * compose), so the output is deterministic.
     */
   def vocabCoverage(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -198,14 +209,35 @@ object TextAnalysis {
       .select(explode(words).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
-    val byFreq = Window.orderBy(col("n_occurrences").desc, col("token"))
-    counts
-      .withColumn("rank", row_number().over(byFreq).cast("int"))
-      .withColumn("cum_occurrences", sum(col("n_occurrences")).over(
-        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranged = counts
+      .repartitionByRange(col("n_occurrences").desc, col("token").asc)
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+    val local = ranged
+      .withColumn("local_rank", row_number().over(wLocal))
+      .withColumn("local_cum", sum(col("n_occurrences")).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // ptot aggregates over `ranged`, not `local`, so the range exchange
+    // feeding the window and both offset subplans is one reused shuffle
+    val ptot = ranged.groupBy(col("pid"))
+      .agg(count(lit(1)).as("p_rows"), sum(col("n_occurrences")).as("p_occ"))
+    val parts = ptot.select(col("pid").as("opid"),
+      col("p_rows").as("o_rows"), col("p_occ").as("o_occ"))
+    val offsets = ptot.select(col("pid"))
+      .crossJoin(broadcast(parts))
+      .groupBy(col("pid"))
+      .agg(
+        sum(when(col("opid") < col("pid"), col("o_rows"))
+          .otherwise(lit(0L))).as("rank_off"),
+        sum(when(col("opid") < col("pid"), col("o_occ"))
+          .otherwise(lit(0L))).as("cum_off"),
+        sum(col("o_occ")).as("total"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rank", (col("rank_off") + col("local_rank")).cast("int"))
+      .withColumn("cum_occurrences", col("cum_off") + col("local_cum"))
       .withColumn("coverage", round(
-        col("cum_occurrences").cast("double") /
-          sum(col("n_occurrences")).over(Window.partitionBy()), 6))
+        col("cum_occurrences").cast("double") / col("total"), 6))
       .select(col("rank"), col("token"), col("n_occurrences"),
         col("cum_occurrences"), col("coverage"))
       .orderBy(col("rank"))
@@ -248,11 +280,10 @@ object TextAnalysis {
     * 100 TB this is the at-rest scored table the reference-corpus
     * variant would materialize beside the count-table model.
     */
-  private val lmScoredCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val lmScoredCache = new graft.SessionCache[String, DataFrame]()
 
   private def lmScored(s: SparkSession, d: String): DataFrame =
-    lmScoredCache.computeIfAbsent((s, d), _ => {
+    lmScoredCache.getOrBuild(s, d) {
       val toks = lmToks(s, d)
       val bi = lmBigrams(s, d)
       val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
@@ -276,7 +307,7 @@ object TextAnalysis {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), round(avg(col("ll")), 4).as("avg_ll"))
         .localCheckpoint(true)
-    })
+    }
 
   private def lmToks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
