@@ -38,6 +38,28 @@ class MlSpec extends SparkSpec {
     assert(math.abs(again - err) < 1e-12)
   }
 
+  test("fixed-seed golden predictions pin exact doubles (drift tripwire)") {
+    // A seeded RandomForest on a deterministic frame is bit-reproducible
+    // on a fixed Spark version; these exact doubles catch SILENT drift
+    // (Spark upgrade, default-param change, indexer-order change) that
+    // the RMSE bound above would absorb. Regenerate deliberately via
+    // `Test/runMain graft.GoldenPinMain` when the pipeline, the fixture
+    // frame, or the Spark version changes on purpose.
+    val golden = Seq(
+      ("users", 0, 0.13564837570051450),
+      ("orders", 1, 0.21275315620149388),
+      ("search", 2, 0.28018372845829637),
+      ("users", 3, 0.13626827038915917),
+      ("orders", 4, 0.21290611916445684))
+    val model = ResponseTimePipeline.train(feats).get
+    val got = model.transform(feats.limit(5))
+      .select(col("endpoint"), col("hour_of_day"), col("predicted_time"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .toSeq
+    assert(got == golden, s"golden prediction drift:\n got=$got\n exp=$golden")
+  }
+
   test("training guard: under 100 rows yields no model") {
     assert(ResponseTimePipeline.train(feats.limit(50)).isEmpty)
   }
