@@ -85,6 +85,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall exact=$exact ivf=$ivf")
   }
 
+  test("PQ/ADC topk: valid codes, recall vs exact L2, self-distance floor") {
+    // two-stage probe: recall@3 equals shortlist containment (measured
+    // 12/15 at L=64 on this deliberately PQ-hostile isotropic fixture);
+    // bound leaves margin for KMeans drift only — everything is seeded
+    val pq = Similarity.pqTopK(spark, sf)
+      .select("query_id", "vec_id", "approx_dist")
+      .as[(Long, Long, Double)].collect()
+    assert(pq.length == 15 && pq.forall(_._3 >= 0.0))
+    // code table shape: PqM codes per vector, each in [0, PqK)
+    val codes = spark.read.parquet(Similarity.PqCodesPath)
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == Similarity.PqM &&
+      c.forall(x => x >= 0 && x < Similarity.PqK)))
+    // recall@3 against exact squared-L2 (the metric ADC approximates)
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d2").asc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = pq.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall=$recall exact=$exact pq=$got")
+  }
+
   test("brute-force topk ranks the planted duplicate first") {
     val dim = 64
     def vec(seed: Long, jitter: Double): Array[Float] =
