@@ -452,39 +452,16 @@ object Similarity {
     */
   val PqShortlist = 64
 
-  /** Two-stage PQ probe — ADC shortlist, then exact re-rank — the
-    * canonical IVF-PQ query shape at 100 TB (compose with [[ivfIndex]]
-    * cells to restrict candidates first):
-    *
-    *   1. ADC scan: per query, an M×K table of squared-L2 distances
-    *      from the query's subvectors to every codebook centroid is
-    *      computed DRIVER-SIDE from the collected query rows (bounded:
-    *      |queries|·M·K doubles — the training-batch side, the
-    *      [[hardNegatives]] stance) and broadcast; scoring a corpus
-    *      vector is M array-index lookups summed — a pure scan-stage
-    *      projection over the CODE table (static GetArrayItem chains,
-    *      whole-stage codegen; no explode, no per-subspace join, no
-    *      touch of the raw floats). Top-[[PqShortlist]] per query
-    *      survive.
-    *   2. Exact re-rank: the |queries|·L shortlist is broadcast against
-    *      the raw vectors (one corpus-side broadcast-join fetch), true
-    *      squared L2 rescored, top-3 emitted. This stage is what makes
-    *      PQ's compression loss recoverable — the shortlist bounds the
-    *      exact work to L·|queries| vector reads regardless of corpus
-    *      size.
-    *
-    * Both rankings use the round-9 quantized key ([[bruteTopK]]'s
-    * engine-stability note).
+  /** Driver-side ADC distance tables: per query, an M×K table of
+    * squared-L2 distances from its subvectors to every codebook
+    * centroid, computed from the collected query rows (bounded:
+    * |queries|·M·K doubles — the training-batch side, the
+    * [[hardNegatives]] stance) and broadcast as (query_id, dtab).
     */
-  def pqTopK(s: SparkSession, d: String): DataFrame = {
-    val idx = pqIndex(s, d)
-    pinPqIndex(s, d, idx)
-    val q = vecs(s, d).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val qRows = q.collect()
-    val books = idx.codebooks
-      .map { case (m, c, ctr) => (m, c) -> ctr }.toMap
-    val qTabs = qRows.toSeq.map { r =>
+  private def adcQueryFrame(s: SparkSession, q: DataFrame,
+      codebooks: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val books = codebooks.map { case (m, c, ctr) => (m, c) -> ctr }.toMap
+    val qTabs = q.collect().toSeq.map { r =>
       val qv = r.getSeq[Double](1)
       val tab = (0 until PqM).map { m =>
         val sub = qv.slice(m * PqSubDim, (m + 1) * PqSubDim)
@@ -494,18 +471,26 @@ object Similarity {
       }
       (r.getLong(0), tab)
     }
-    val qdf = s.createDataFrame(qTabs).toDF("query_id", "dtab")
-    val adist = (0 until PqM)
-      .map(m => col("dtab").getItem(m).getItem(col("codes").getItem(m)))
-      .reduce(_ + _)
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("adist"), 9).asc, col("vec_id"))
-    val shortlist = idx.codes.crossJoin(broadcast(qdf))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adist", adist)
-      .withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= PqShortlist)
-      .select(col("query_id"), col("vec_id"), col("adist"))
+    s.createDataFrame(qTabs).toDF("query_id", "dtab")
+  }
+
+  /** ADC score of one coded vector: M array-index lookups summed — a
+    * pure scan-stage projection (static GetArrayItem chains,
+    * whole-stage codegen; no explode, no per-subspace join, no touch
+    * of the raw floats).
+    */
+  private def adcLookupSum: Column = (0 until PqM)
+    .map(m => col("dtab").getItem(m).getItem(col("codes").getItem(m)))
+    .reduce(_ + _)
+
+  /** Stage 2 of every PQ probe: the |queries|·L shortlist is broadcast
+    * against the raw vectors (one corpus-side broadcast-join fetch),
+    * true squared L2 rescored, top-3 emitted. This stage is what makes
+    * PQ's compression loss recoverable — the shortlist bounds the exact
+    * work to L·|queries| vector reads regardless of corpus size.
+    */
+  private def exactReRankL2(s: SparkSession, d: String,
+      shortlist: DataFrame, q: DataFrame): DataFrame = {
     val wEx = Window.partitionBy(col("query_id"))
       .orderBy(round(col("d2"), 9).asc, col("vec_id"))
     vecs(s, d).select(col("vec_id"), col("v"))
@@ -519,6 +504,94 @@ object Similarity {
         col("vec_id"), round(col("adist"), 4).as("approx_dist"),
         round(col("d2"), 4).as("l2_dist"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Two-stage PQ probe — ADC shortlist over the WHOLE code table, then
+    * exact re-rank ([[adcQueryFrame]]/[[adcLookupSum]]/[[exactReRankL2]]).
+    * This is the flat-PQ baseline; [[ivfPqTopK]] composes the same
+    * stages with [[ivfIndex]] cell restriction. Top-[[PqShortlist]]
+    * ADC candidates per query survive to the re-rank. Both rankings
+    * use the round-9 quantized key ([[bruteTopK]]'s engine-stability
+    * note).
+    */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val idx = pqIndex(s, d)
+    pinPqIndex(s, d, idx)
+    val q = vecs(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val qdf = adcQueryFrame(s, q, idx.codebooks)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("adist"), 9).asc, col("vec_id"))
+    val shortlist = idx.codes.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adcLookupSum)
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= PqShortlist)
+      .select(col("query_id"), col("vec_id"), col("adist"))
+    exactReRankL2(s, d, shortlist, q)
+  }
+
+  private val invListCache = new graft.SessionCache[(String, Int), DataFrame]()
+
+  /** Inverted-list table for IVF-PQ: the PQ codes stored beside the
+    * coarse cell id — (vec_id, cell, codes). At 100 TB this is ONE
+    * cell-bucketed parquet table written by the index build (probes
+    * never pay a join); the local stand-in fuses the two cached index
+    * frames once per (session, sfDir, k) and persists the result.
+    */
+  private def invLists(s: SparkSession, d: String, k: Int): DataFrame =
+    invListCache.getOrBuild(s, (d, k)) {
+      val fused = ivfIndex(s, d, k).assigned.select(col("vec_id"), col("cell"))
+        .join(pqIndex(s, d).codes, Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fused.count() // materialize: probes read the fused lists, not the join
+      fused
+    }
+
+  /** Composed IVF-PQ top-k — the full ANN query shape at 100 TB: the
+    * coarse cells bound WHICH vectors are scored, the PQ codes bound
+    * what scoring each one COSTS, and the exact re-rank bounds the
+    * approximation error.
+    *
+    *   1. nprobe-cell ranking by squared L2 to the k broadcast
+    *      centroids (metric-consistent with the ADC stage end-to-end;
+    *      [[ivfTopK]] is the cosine variant);
+    *   2. ADC lookup-sum over ONLY the probed cells' inverted lists —
+    *      ~nprobe/k of the code table, which is itself ~32× smaller
+    *      than the raw floats;
+    *   3. exact-L2 re-rank of the bounded shortlist.
+    *
+    * Oracle: DuckDB replays all three stages from the four pinned
+    * artifacts ([[IvfAssignPath]] + [[IvfCentroidsPath]] +
+    * [[PqCodesPath]] + [[PqCodebooksPath]]).
+    */
+  def ivfPqTopK(s: SparkSession, d: String, k: Int = 8, nprobe: Int = 3): DataFrame = {
+    val ivf = ivfIndex(s, d, k)
+    if (k == 8) pinIvfIndex(s, d, ivf)
+    val pq = pqIndex(s, d)
+    pinPqIndex(s, d, pq)
+    val cdf = s.createDataFrame(ivf.centroids).toDF("cell", "centroid")
+    val q = vecs(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cdist", expr(
+        "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("cdist"), 9).asc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val qdf = adcQueryFrame(s, q, pq.codebooks)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("adist"), 9).asc, col("vec_id"))
+    val shortlist = invLists(s, d, k).join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .withColumn("adist", adcLookupSum)
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= PqShortlist)
+      .select(col("query_id"), col("vec_id"), col("adist"))
+    exactReRankL2(s, d, shortlist, q)
   }
 
   /** PCA projection of the embedding column — the dimensionality
@@ -677,6 +750,7 @@ object Similarity {
     "q_embedding_quantize" -> QueryDef(embeddingQuantize, Some(SimilarityOracles.embeddingQuantize)),
     "q_embedding_pca"     -> QueryDef((s, d) => embeddingPca(s, d), Some(SimilarityOracles.embeddingPca)),
     "q_embedding_pq"      -> QueryDef(pqTopK, Some(SimilarityOracles.pqTopK)),
+    "q_embedding_ivfpq"   -> QueryDef((s, d) => ivfPqTopK(s, d), Some(SimilarityOracles.ivfPqTopK)),
     "q_semantic_dedup"    -> QueryDef((s, d) => semanticDedup(s, d), Some(SimilarityOracles.semanticDedup)),
     "q_embedding_prune"   -> QueryDef((s, d) => prototypePrune(s, d), Some(SimilarityOracles.prototypePrune)))
 }
@@ -830,14 +904,14 @@ object SimilarityOracles {
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Replays [[Similarity.pqTopK]]'s whole two-stage probe over the
-    * pinned code table + codebook sidecar: the same M×K squared-L2
-    * distance tables (list arithmetic over the raw query embeddings),
-    * the same lookup-sum ADC shortlist, the same exact-L2 re-rank with
-    * round-9-ranked top-3. The seeded per-subspace KMeans FITS are the
-    * only pinned step.
+  /** Shared CTE scaffolding for the two PQ probes — [[Similarity.pqTopK]]
+    * and [[Similarity.ivfPqTopK]] differ only in the CTEs that produce
+    * `scored` (flat ADC over every code vs ADC over the probed cells'
+    * inverted lists), so the builder takes those and the shortlist /
+    * exact-re-rank / round-9-ranked tail embeds verbatim in both — the
+    * composed oracle can't drift from the flat one it extends.
     */
-  val pqTopK: String = {
+  private def pqProbeSql(scoredCtes: String): String = {
     val sd = Similarity.PqSubDim
     s"""WITH codes AS (
        |  SELECT vec_id, codes FROM read_parquet('${Similarity.PqCodesPath}/*.parquet')),
@@ -856,11 +930,7 @@ object SimilarityOracles {
        |  SELECT vec_id, unnest(codes) AS c,
        |    unnest(range(0, ${Similarity.PqM})) AS m
        |  FROM codes),
-       |scored AS (
-       |  SELECT d.query_id, v.vec_id, sum(d.dist) AS adist
-       |  FROM vcodes v JOIN dtab d ON v.m = d.m AND v.c = d.c
-       |  WHERE v.vec_id <> d.query_id
-       |  GROUP BY d.query_id, v.vec_id),
+       |$scoredCtes,
        |shortlist AS (
        |  SELECT query_id, vec_id, adist FROM (
        |    SELECT query_id, vec_id, adist,
@@ -887,6 +957,54 @@ object SimilarityOracles {
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Replays [[Similarity.pqTopK]]'s whole two-stage probe over the
+    * pinned code table + codebook sidecar: the same M×K squared-L2
+    * distance tables (list arithmetic over the raw query embeddings),
+    * the same lookup-sum ADC shortlist, the same exact-L2 re-rank with
+    * round-9-ranked top-3. The seeded per-subspace KMeans FITS are the
+    * only pinned step.
+    */
+  val pqTopK: String = pqProbeSql(
+    """scored AS (
+      |  SELECT d.query_id, v.vec_id, sum(d.dist) AS adist
+      |  FROM vcodes v JOIN dtab d ON v.m = d.m AND v.c = d.c
+      |  WHERE v.vec_id <> d.query_id
+      |  GROUP BY d.query_id, v.vec_id)""".stripMargin)
+
+  /** Replays [[Similarity.ivfPqTopK]]'s full three-stage composition:
+    * squared-L2 nprobe-cell ranking over the pinned IVF centroids, the
+    * ADC lookup-sum restricted to the probed cells' pinned assignments,
+    * and the identical shortlist/re-rank tail via [[pqProbeSql]]. Both
+    * seeded KMeans fits (coarse cells + PQ codebooks) are the only
+    * pinned steps.
+    */
+  val ivfPqTopK: String = pqProbeSql(
+    s"""cents AS (
+       |  SELECT cell, centroid AS ccent
+       |  FROM read_parquet('${Similarity.IvfCentroidsPath}/*.parquet')),
+       |assign AS (
+       |  SELECT vec_id, cell FROM read_parquet('${Similarity.IvfAssignPath}/*.parquet')),
+       |cdists AS (
+       |  SELECT q.query_id, c.cell,
+       |    list_sum(list_transform(list_zip(q.qv, c.ccent),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS cdist
+       |  FROM q CROSS JOIN cents c),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(cdist, 9) ASC, cell) AS crank
+       |    FROM cdists)
+       |  WHERE crank <= 3),
+       |scored AS (
+       |  SELECT d.query_id, v.vec_id, sum(d.dist) AS adist
+       |  FROM vcodes v
+       |  JOIN assign a ON v.vec_id = a.vec_id
+       |  JOIN probes p ON a.cell = p.cell
+       |  JOIN dtab d ON v.m = d.m AND v.c = d.c AND d.query_id = p.query_id
+       |  WHERE v.vec_id <> p.query_id
+       |  GROUP BY d.query_id, v.vec_id)""".stripMargin)
 
   val nearDupPairs: String =
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
