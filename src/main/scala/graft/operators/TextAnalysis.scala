@@ -36,6 +36,14 @@ object TextAnalysis {
   private val nTokens =
     expr("length(text) - length(replace(text, ' ', '')) + 1")
 
+  /** Occurrences of pattern `p` in ' '||text||' ' via length difference
+    * — plain `replace`, no regex ([[TextOracles.occSql]] is the twin).
+    */
+  private def occurrences(p: String) =
+    ((length(concat(lit(" "), col("text"), lit(" "))) -
+      length(expr(s"replace(concat(' ', text, ' '), '$p', '')"))) / p.length)
+      .cast("int")
+
   /** Total token/char volume per source — the "how big is this corpus
     * slice" rollup every training-data pipeline starts with.
     */
@@ -54,11 +62,6 @@ object TextAnalysis {
     * heuristics of C4/Gopher-style corpus filters.
     */
   def textQuality(s: SparkSession, d: String): DataFrame = {
-    // occurrences of ' the ' in ' '||text||' ' via length difference
-    val padded = concat(lit(" "), col("text"), lit(" "))
-    def occurrences(p: String) =
-      ((length(padded) - length(expr(s"replace(concat(' ', text, ' '), '$p', '')"))) / p.length)
-        .cast("int")
     val stopCnt = occurrences(" the ") + occurrences(" a ") + occurrences(" and ")
     Tables.documents(s, d)
       .withColumn("n_tokens", nTokens.cast("int"))
@@ -71,6 +74,110 @@ object TextAnalysis {
           .otherwise(lit("ok")))
       .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
         col("stopword_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Feature frame shared by [[modelQuality]]'s train and score paths:
+    * four deterministic per-doc scalars, each ROUNDED to 4 decimals so
+    * the engine and the DuckDB oracle score bit-identical inputs, plus
+    * the weak-label rule the classifier distills (a function of the
+    * features — the label is reproducible from the row alone).
+    */
+  private def qualityFeatures(s: SparkSession, d: String): DataFrame = {
+    val stopCnt = occurrences(" the ") + occurrences(" a ") + occurrences(" and ")
+    Tables.documents(s, d)
+      .withColumn("ws", words)
+      .withColumn("n_words", size(col("ws")).cast("int"))
+      .filter(col("n_words") >= 1)
+      .withColumn("avg_token_len",
+        round((length(col("text")) - (nTokens - 1)).cast("double") / nTokens, 4))
+      .withColumn("stopword_ratio", round(stopCnt.cast("double") / nTokens, 4))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(col("ws"))).cast("double") / col("n_words"), 4))
+      .withColumn("weak_label",
+        (col("n_words") >= 40 && col("distinct_ratio") >= 0.35).cast("double"))
+      .select(col("doc_id"), col("n_words"), col("avg_token_len"),
+        col("stopword_ratio"), col("distinct_ratio"), col("weak_label"))
+  }
+
+  private val qualityLrCache = new graft.SessionCache[String, Seq[Double]]()
+
+  /** Hard cap on the number of documents the quality-classifier fit
+    * sees. Above it the fit trains on a DETERMINISTIC hash-mod slice of
+    * doc_id (no `.sample` — that depends on partition layout), so only
+    * the scoring scan ever touches the full corpus.
+    */
+  val QualityFitCap: Long = 200000L
+
+  /** Seeded logistic regression distilling [[qualityFeatures]]' weak
+    * label into a smooth scorer; fit once per (session, sfDir). Returns
+    * intercept +: coefficients QUANTIZED to 6 decimals — the same
+    * quantized weights are pinned for the oracle and embedded as plan
+    * literals, so both engines run identical arithmetic regardless of
+    * last-ulp drift in the LBFGS fit itself. At 100 TB the fit runs on
+    * a bounded sample (standard classifier-gate practice — the model is
+    * a constant): corpora past [[QualityFitCap]] docs train on the
+    * xxhash64(doc_id) % k == 0 slice, a partition-layout-independent
+    * choice so the weights stay reproducible.
+    */
+  private def qualityWeights(s: SparkSession, d: String): Seq[Double] =
+    qualityLrCache.getOrBuild(s, d) {
+      import org.apache.spark.ml.feature.VectorAssembler
+      import org.apache.spark.ml.classification.LogisticRegression
+      val feats = qualityFeatures(s, d)
+      val n = feats.count()
+      val train =
+        if (n <= QualityFitCap) feats
+        else {
+          val k = math.ceil(n.toDouble / QualityFitCap).toLong
+          feats.filter(pmod(xxhash64(col("doc_id")), lit(k)) === 0)
+        }
+      val asm = new VectorAssembler()
+        .setInputCols(Array("n_words", "avg_token_len", "stopword_ratio", "distinct_ratio"))
+        .setOutputCol("fv")
+      val m = new LogisticRegression().setMaxIter(100).setRegParam(0.01)
+        .setFeaturesCol("fv").setLabelCol("weak_label")
+        .fit(asm.transform(train))
+      (m.intercept +: m.coefficients.toArray.toSeq)
+        .map(w => BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+  /** Pinned weights sidecar (idx 0 = intercept, 1..4 = coefficients in
+    * [[qualityFeatures]] column order) — the tiny model artifact the
+    * oracle replays scoring from.
+    */
+  val QualityWeightsPath: String = graft.Artifacts.path("quality_weights")
+
+  private def pinQualityWeights(s: SparkSession, d: String, ws: Seq[Double]): Unit =
+    graft.Artifacts.writeOnce(s, d, "quality_weights") {
+      s.createDataFrame(ws.zipWithIndex.map { case (w, i) => (i, w) })
+        .toDF("idx", "w").coalesce(1)
+        .write.mode("overwrite").parquet(QualityWeightsPath)
+    }
+
+  /** Model-based quality gate — the trained-classifier stage
+    * (fastText/DCLM style) an LLM pipeline runs after its heuristic
+    * gates. INFERENCE IS PLAIN ARITHMETIC: the quantized weights fold
+    * into the scan as literals (whole-stage codegen — no model UDF, no
+    * shuffle, nothing collected), and the keep decision reads the SIGN
+    * of the linear term, so it cannot flip on sigmoid rounding. The
+    * oracle recomputes the same features and the same left-associated
+    * dot product from the pinned sidecar; the seeded fit is the only
+    * pinned step.
+    */
+  def modelQuality(s: SparkSession, d: String): DataFrame = {
+    val ws = qualityWeights(s, d)
+    pinQualityWeights(s, d, ws)
+    val feats = Seq("n_words", "avg_token_len", "stopword_ratio", "distinct_ratio")
+    val lin = feats.zip(ws.tail)
+      .map { case (f, w) => col(f) * lit(w) }
+      .foldLeft(lit(ws.head))(_ + _)
+    qualityFeatures(s, d)
+      .withColumn("lin", lin)
+      .select(col("doc_id"), col("n_words"), col("avg_token_len"),
+        col("stopword_ratio"), col("distinct_ratio"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("lin"))), 4).as("quality_score"),
+        (col("lin") >= 0).as("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -349,6 +456,7 @@ object TextAnalysis {
     "q_repetition_filter" -> QueryDef(repetitionFilter, Some(TextOracles.repetitionFilter)),
     "q_bpe_token_count" -> QueryDef(bpeTokenCount, Some(TextOracles.bpeTokenCount)),
     "q_text_quality" -> QueryDef(textQuality, Some(TextOracles.textQuality)),
+    "q_model_quality" -> QueryDef(modelQuality, Some(TextOracles.modelQuality)),
     "q_lang_id"      -> QueryDef(langId, Some(TextOracles.langId)),
     "q_doc_fingerprint" -> QueryDef(docFingerprint, Some(TextOracles.docFingerprint)))
 }
@@ -505,6 +613,35 @@ object TextOracles {
        |       WHEN avg_token_len < 2 OR avg_token_len > 12 THEN 'odd_tokens'
        |       ELSE 'ok' END AS quality
        |FROM feat
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[TextAnalysis.modelQuality]] replayed from the pinned weights
+    * sidecar: identical round-4 features, the identical left-associated
+    * linear term (ws[1] is the intercept — DuckDB lists are 1-based),
+    * sigmoid for the reported score, sign of the linear term for keep.
+    */
+  val modelQuality: String =
+    s"""WITH w AS (
+       |  SELECT list(w ORDER BY idx) AS ws
+       |  FROM read_parquet('${TextAnalysis.QualityWeightsPath}/*.parquet')),
+       |feat AS (
+       |  SELECT doc_id,
+       |    CAST(len($wordsSql) AS INT) AS n_words,
+       |    round(CAST(length(text) - ($nTokensSql - 1) AS DOUBLE) / $nTokensSql, 4) AS avg_token_len,
+       |    round(CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" and ")} AS DOUBLE)
+       |          / $nTokensSql, 4) AS stopword_ratio,
+       |    round(CAST(len(list_distinct($wordsSql)) AS DOUBLE) / len($wordsSql), 4) AS distinct_ratio
+       |  FROM documents
+       |  WHERE len($wordsSql) >= 1),
+       |scored AS (
+       |  SELECT f.*,
+       |    ws[1] + f.n_words * ws[2] + f.avg_token_len * ws[3]
+       |          + f.stopword_ratio * ws[4] + f.distinct_ratio * ws[5] AS lin
+       |  FROM feat f CROSS JOIN w)
+       |SELECT doc_id, n_words, avg_token_len, stopword_ratio, distinct_ratio,
+       |  round(1.0 / (1.0 + exp(-lin)), 4) AS quality_score,
+       |  lin >= 0 AS keep
+       |FROM scored
        |ORDER BY doc_id""".stripMargin
 
   val langId: String =

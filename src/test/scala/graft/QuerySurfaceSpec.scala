@@ -62,6 +62,43 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(fluent.forall(f => !out(f._1)._2), s"fluent doc flagged: $out")
   }
 
+  test("model quality gate: pinned linear scorer separates the weak classes") {
+    import org.apache.spark.sql.functions._
+    // capture the plan BEFORE caching: a cached plan string repeats the
+    // build plan under InMemoryRelation (Final + Initial AQE sections),
+    // double-counting the scan
+    val plan = operators.TextAnalysis.modelQuality(spark, sf)
+      .queryExecution.executedPlan.toString
+    val out = operators.TextAnalysis.modelQuality(spark, sf).cache()
+    // score is a probability; keep is the sign of the linear term, so
+    // keep=true can never sit below 0.5 nor keep=false above it
+    assert(out.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    assert(out.filter(col("keep") && col("quality_score") < 0.5).count() == 0)
+    assert(out.filter(!col("keep") && col("quality_score") > 0.5).count() == 0)
+    // the distilled scorer must separate the weak-label classes (the
+    // label is recomputable from the output's own feature columns)
+    val lbl = (col("n_words") >= 40 && col("distinct_ratio") >= 0.35)
+    val Array(hi, lo) = out.agg(
+      avg(when(lbl, col("quality_score"))),
+      avg(when(!lbl, col("quality_score")))).collect()(0) match {
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    assert(hi > lo, s"label-1 mean score $hi not above label-0 mean $lo")
+    // inference is scan arithmetic: one documents scan, whole-stage
+    // codegen, no UDF eval node anywhere in the plan
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(1500))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan.take(1500))
+    // the sidecar the oracle replays from: intercept + 4 coefficients,
+    // every weight already quantized at 6 decimals
+    val ws = spark.read.parquet(operators.TextAnalysis.QualityWeightsPath)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(ws.map(_._1).sameElements(0 to 4), ws.mkString(","))
+    for ((_, w) <- ws)
+      assert(BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble == w,
+        s"weight $w not 6-decimal quantized")
+    out.unpersist()
+  }
+
   test("every query runs non-empty at sf0.001") {
     // The anomaly-row extractions are legitimately empty at sf0.001
     // (no |z|>3 hour in 1k events; their DuckDB oracles agree) — they
