@@ -11,8 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (reference: postgres/init.sql:80-84).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Fixture timestamps are parquet TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ by
+    // default. The engine standardizes on ONE timestamp type,
+    // TIMESTAMP_LTZ (session tz pinned UTC everywhere): unix_micros,
+    // watermarks, and window() require it, and with a UTC session the
+    // wall-clock values the DuckDB oracle sees are identical either
+    // way. Disable NTZ inference at the single fixture entry point so
+    // the choice cannot depend on table-read order.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -21,23 +31,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the
-    * nanos as a LONG (legacy conf) and truncate to microseconds with
-    * integer DIV — identical to DuckDB's nanos→micros truncation, so the
-    * oracle sees the same values.
+  /** `events.parquet` has shipped with `ts` in two physical layouts
+    * across fixture generations: parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]) — and
+    * plain TIMESTAMP(MICROS). Branch on the footer schema: a MICROS
+    * column is a native TimestampType scan (filters push down
+    * untouched); a NANOS column is read as a LONG (legacy conf) and
+    * truncated to microseconds with integer DIV — identical to DuckDB's
+    * nanos→micros truncation, so the oracle sees the same values, with
+    * [[graft.plans.NanosPushdown]] restoring time-range pushdown
+    * through the conversion.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Restore time-range pushdown through the conversion (see
-    // graft.plans.NanosPushdown). Append-if-absent so caller-installed
-    // rules survive.
+    // Keep the nanos pushdown rule installed regardless of layout: it
+    // only matches the MicrosToTimestamp(ts DIV 1000) pattern, so it is
+    // a no-op on native-micros plans. Append-if-absent so
+    // caller-installed rules survive.
     if (!s.experimental.extraOptimizations.contains(graft.plans.NanosPushdown))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.NanosPushdown
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000L")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000L")))
+      case _ => raw // native TIMESTAMP(MICROS) fixture layout
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

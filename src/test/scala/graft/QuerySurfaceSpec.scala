@@ -75,15 +75,17 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(out.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
     assert(out.filter(col("keep") && col("quality_score") < 0.5).count() == 0)
     assert(out.filter(!col("keep") && col("quality_score") > 0.5).count() == 0)
-    // the distilled scorer must separate the weak-label classes (the
-    // label is recomputable from the output's own feature columns)
-    val lbl = (col("n_words") >= 40 && col("distinct_ratio") >= 0.35)
-    val Array(hi, lo) = out.agg(
-      avg(when(lbl, col("quality_score"))),
-      avg(when(!lbl, col("quality_score")))).collect()(0) match {
+    // the classifier must have learned real structure: the training
+    // label (lang = 'en') is metadata NOT derivable from the feature
+    // vector, so separation here is evidence of fit, not construction
+    val withLang = out.join(
+      graft.Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+    val Array(hi, lo) = withLang.agg(
+      avg(when(col("lang") === "en", col("quality_score"))),
+      avg(when(col("lang") =!= "en", col("quality_score")))).collect()(0) match {
       case r => Array(r.getDouble(0), r.getDouble(1))
     }
-    assert(hi > lo, s"label-1 mean score $hi not above label-0 mean $lo")
+    assert(hi > lo, s"en mean score $hi not above non-en mean $lo")
     // inference is scan arithmetic: one documents scan, whole-stage
     // codegen, no UDF eval node anywhere in the plan
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(1500))
