@@ -177,6 +177,95 @@ case class LshBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
     copy(child = newChild)
 }
 
+/** Fused max-cosine against a fixed reference matrix: ONE expression
+  * scanning the reference rows (a driver-small benchmark set — the
+  * semantic-decontamination gate's blocklist) and returning the MAXIMUM
+  * per-row cosine, each cosine rounded to 6 decimals BEFORE the max
+  * (BigDecimal HALF_UP = Spark's `round` = DuckDB's round-half-away,
+  * so the engine and the oracle take the max of identical quantized
+  * values — the round-9 stability convention applied inside the loop).
+  *
+  * Per reference row the loop is [[CosineSimilarity]]'s fused
+  * dot/|a|²/|b|² accumulation in the same ascending-j order, keeping
+  * the arithmetic identical to the oracle's `list_sum` formulation.
+  * The matrix rides the expression as a plan-referenced object
+  * (`ctx.addReferenceObj`), not a literal — no giant array literal in
+  * the plan tree, and the whole probe stays inside whole-stage codegen
+  * with zero joins and zero shuffle on the corpus side.
+  *
+  * Equality is reference-based on the matrix (like any
+  * constructor-object expression) — worst case a missed common-subexpr
+  * elimination, never a wrong result.
+  */
+case class MaxCosineSim(child: Expression, mat: Array[Array[Double]])
+    extends UnaryExpression {
+  require(mat.nonEmpty, "reference matrix must be non-empty")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_max_cosine"
+
+  private def roundedCos(buf: Array[Double], t: Array[Double]): Double = {
+    val n = math.min(buf.length, t.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    while (j < n) {
+      val xv = buf(j); val yv = t(j)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      j += 1
+    }
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    java.math.BigDecimal.valueOf(c)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val buf = input.asInstanceOf[ArrayData].toDoubleArray()
+    var best = Double.NegativeInfinity
+    var r = 0
+    while (r < mat.length) {
+      val c = roundedCos(buf, mat(r))
+      if (c > best) best = c
+      r += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val matRef = ctx.addReferenceObj("testMat", mat, "double[][]")
+      val buf = ctx.freshName("buf")
+      val best = ctx.freshName("best")
+      val r = ctx.freshName("r")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val c = ctx.freshName("c")
+      s"""double[] $buf = $a.toDoubleArray();
+         |double $best = Double.NEGATIVE_INFINITY;
+         |for (int $r = 0; $r < $matRef.length; $r++) {
+         |  double[] $t = $matRef[$r];
+         |  int $n = java.lang.Math.min($buf.length, $t.length);
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $xv = $buf[$j]; double $yv = $t[$j];
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  double $c = java.math.BigDecimal.valueOf(
+         |      $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)))
+         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  if ($c > $best) $best = $c;
+         |}
+         |${ev.value} = $best;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session registration + Column helpers. Registration is idempotent and
   * per-session (temp functions), so builders call [[register]] before
   * using the helpers.
@@ -192,10 +281,22 @@ object VectorFunctions {
       (es: Seq[Expression]) => LshBandKeys(es(0),
         es(1).eval().asInstanceOf[Number].intValue(),
         es(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    // the matrix argument must be a foldable nested-array literal; it is
+    // evaluated once at resolution and carried as a plan object, so the
+    // per-row loop never touches Catalyst array accessors for it
+    reg.createOrReplaceTempFunction("graft_max_cosine",
+      (es: Seq[Expression]) => {
+        val ad = es(1).eval().asInstanceOf[ArrayData]
+        val mat = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+        MaxCosineSim(es(0), mat)
+      }, "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def lshBandKeys(v: Column, bands: Int, bitsPerBand: Int): Column =
     call_function("graft_lsh_bands", v, lit(bands), lit(bitsPerBand))
+  def maxCosine(v: Column, mat: Array[Array[Double]]): Column =
+    call_function("graft_max_cosine", v,
+      org.apache.spark.sql.functions.typedlit(mat.map(_.toSeq).toSeq))
 }

@@ -740,6 +740,51 @@ object Similarity {
   // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
   // object back -- would deadlock-null mid-initialization when a composed
   // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  /** Similarity threshold for [[semanticDecontaminate]]. 0.35 is tuned
+    * to the synthetic fixture (isotropic vectors: cross-split max-sim
+    * spans ~0.15–0.49, so the gate drops a real minority and keeps a
+    * real majority — both branches exercised); production text-embedding
+    * pipelines run the same gate at ~0.95+.
+    */
+  val SemDecontamThreshold: Double = 0.35
+
+  /** Embedding-space benchmark decontamination — the semantic analogue
+    * of the exact/Bloom/n-gram `q_*_decontaminate` family (the GPT-3 /
+    * Llama contamination-audit stage): drop every training vector whose
+    * max cosine against the held-out benchmark set reaches the
+    * threshold. Same [[graft.GoldenHash]] 10% membership rule as the
+    * text-side family, applied to `vec_id`.
+    *
+    * Scale shape: the benchmark side is driver-small BY CONSTRUCTION
+    * (real benchmark suites are thousands of vectors; the 10% hash
+    * split is the fixture stand-in) and rides the plan as a reference
+    * object inside ONE fused native expression
+    * ([[graft.functions.MaxCosineSim]]) — the corpus is scanned once
+    * inside whole-stage codegen with ZERO joins and ZERO shuffle
+    * (contrast: a broadcast-crossJoin + groupBy(vec_id) max formulation
+    * shuffles one row per corpus vector for the final agg). Each
+    * per-benchmark cosine is quantized to 6 decimals before the max in
+    * BOTH engines, so the threshold compare and the emitted value
+    * cannot flip on summation-order ulp drift. For corpora where even
+    * the scan-stage k·N probe is too hot, the IVF-restricted variant
+    * ([[semanticDedup]]'s cell blocking) bounds candidates per cell.
+    */
+  def semanticDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val isTestVec = graft.GoldenHash.bucket(col("vec_id"), 10) === 0
+    val testMat = v.filter(isTestVec).select(col("vec_id"), col("v"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    v.filter(!isTestVec)
+      .withColumn("max_test_sim",
+        graft.functions.VectorFunctions.maxCosine(col("v"), testMat))
+      .filter(col("max_test_sim") < SemDecontamThreshold)
+      .select(col("vec_id"), col("label"),
+        round(col("max_test_sim"), 4).as("max_test_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   lazy val defs: Map[String, QueryDef] = Map(
     "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK)),
     "q_hard_negatives"    -> QueryDef(hardNegatives, Some(SimilarityOracles.hardNegatives)),
@@ -752,6 +797,7 @@ object Similarity {
     "q_embedding_pq"      -> QueryDef(pqTopK, Some(SimilarityOracles.pqTopK)),
     "q_embedding_ivfpq"   -> QueryDef((s, d) => ivfPqTopK(s, d), Some(SimilarityOracles.ivfPqTopK)),
     "q_semantic_dedup"    -> QueryDef((s, d) => semanticDedup(s, d), Some(SimilarityOracles.semanticDedup)),
+    "q_semantic_decontaminate" -> QueryDef(semanticDecontaminate, Some(SimilarityOracles.semanticDecontaminate)),
     "q_embedding_prune"   -> QueryDef((s, d) => prototypePrune(s, d), Some(SimilarityOracles.prototypePrune)))
 }
 
@@ -1035,6 +1081,31 @@ object SimilarityOracles {
     * iterations) is pinned as data, the dedup decision itself is
     * independently recomputed.
     */
+  /** [[Similarity.semanticDecontaminate]] as the quadratic definition:
+    * train × test cross join, per-pair DOUBLE cosine rounded to 6
+    * decimals BEFORE the per-train max (the engine's in-loop
+    * quantization), threshold on the quantized max.
+    */
+  val semanticDecontaminate: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |test AS (
+       |  SELECT v FROM e WHERE ${graft.GoldenHash.bucketSql("vec_id", 10)} = 0),
+       |sims AS (
+       |  SELECT t.vec_id, t.label,
+       |    max(round(
+       |      list_sum(list_transform(list_zip(t.v, s.v), x -> x[1] * x[2]))
+       |        / (sqrt(list_sum(list_transform(t.v, x -> x * x)))
+       |           * sqrt(list_sum(list_transform(s.v, x -> x * x)))), 6)) AS m
+       |  FROM (SELECT * FROM e
+       |        WHERE ${graft.GoldenHash.bucketSql("vec_id", 10)} <> 0) t
+       |  CROSS JOIN test s
+       |  GROUP BY 1, 2)
+       |SELECT vec_id, label, round(m, 4) AS max_test_sim
+       |FROM sims
+       |WHERE m < ${Similarity.SemDecontamThreshold}
+       |ORDER BY vec_id""".stripMargin
+
   val semanticDedup: String =
     s"""WITH assign AS (
        |  SELECT vec_id, cell FROM read_parquet('${Similarity.IvfAssignPath}/*.parquet')),

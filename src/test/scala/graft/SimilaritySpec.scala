@@ -26,6 +26,40 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(first.getDouble(0) - 32.0) < 1e-12)
   }
 
+  test("semantic decontamination drops exactly the above-threshold trainers, scan-stage") {
+    VectorFunctions.register(spark)
+    val out = Similarity.semanticDecontaminate(spark, sf).cache()
+    // independent quadratic recomputation: per-train max of round-6
+    // cosines against the test split (plain DataFrame ops, no native
+    // expression — a bug in MaxCosineSim can't self-verify)
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val isTest = GoldenHash.bucket(col("vec_id"), 10) === 0
+    val expected = v.filter(!isTest)
+      .crossJoin(broadcast(v.filter(isTest).select(col("v").as("tv"))))
+      .withColumn("cos", round(VectorFunctions.cosine(col("v"), col("tv")), 6))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("m"))
+      .filter(col("m") < Similarity.SemDecontamThreshold)
+      .select(col("vec_id"), round(col("m"), 4).as("max_test_sim"))
+      .as[(Long, Double)].collect().toMap
+    val got = out.select(col("vec_id"), col("max_test_sim"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == expected, s"kept-set mismatch: ${got.size} vs ${expected.size}")
+    // both branches must be exercised at fixture scale: some trainers
+    // dropped, most kept
+    val trainers = v.filter(!isTest).count()
+    assert(got.nonEmpty && got.size < trainers,
+      s"degenerate gate: kept ${got.size} of $trainers")
+    // scale contract: ONE corpus scan fused in codegen — no join node,
+    // no aggregate, no extra exchange beyond the output sort
+    val plan = Similarity.semanticDecontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+    out.unpersist()
+  }
+
   test("LSH near-dup connects a planted near-dup cluster to its representative") {
     // plant a 5-member cluster of nearly-parallel vectors among noise;
     // banded sign-LSH + star edges must link every member to the
