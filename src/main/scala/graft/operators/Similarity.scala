@@ -768,6 +768,15 @@ object Similarity {
     * cannot flip on summation-order ulp drift. For corpora where even
     * the scan-stage k·N probe is too hot, the IVF-restricted variant
     * ([[semanticDedup]]'s cell blocking) bounds candidates per cell.
+    *
+    * The emitted similarity is the round-6 max ITSELF — never re-round
+    * a quantized value: the sf1 rehearsal caught Spark (BigDecimal
+    * HALF_UP on the shortest decimal repr) and DuckDB (scale, C-round,
+    * descale) disagreeing on `round(m, 4)` exactly when the first
+    * rounding had manufactured a decimal midpoint like 0.32785 (3 of
+    * 6418 rows). One rounding per value; midpoints then only arise
+    * from raw-cosine doubles straddling a repr boundary, the same
+    * measure-zero class every other oracle already accepts.
     */
   def semanticDecontaminate(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
@@ -780,8 +789,7 @@ object Similarity {
       .withColumn("max_test_sim",
         graft.functions.VectorFunctions.maxCosine(col("v"), testMat))
       .filter(col("max_test_sim") < SemDecontamThreshold)
-      .select(col("vec_id"), col("label"),
-        round(col("max_test_sim"), 4).as("max_test_sim"))
+      .select(col("vec_id"), col("label"), col("max_test_sim"))
       .orderBy(col("vec_id"))
   }
 
@@ -1084,7 +1092,8 @@ object SimilarityOracles {
   /** [[Similarity.semanticDecontaminate]] as the quadratic definition:
     * train × test cross join, per-pair DOUBLE cosine rounded to 6
     * decimals BEFORE the per-train max (the engine's in-loop
-    * quantization), threshold on the quantized max.
+    * quantization), threshold on the quantized max, which is emitted
+    * AS-IS (single-rounding convention — see the builder's scaladoc).
     */
   val semanticDecontaminate: String =
     s"""WITH e AS (
@@ -1101,7 +1110,7 @@ object SimilarityOracles {
        |        WHERE ${graft.GoldenHash.bucketSql("vec_id", 10)} <> 0) t
        |  CROSS JOIN test s
        |  GROUP BY 1, 2)
-       |SELECT vec_id, label, round(m, 4) AS max_test_sim
+       |SELECT vec_id, label, m AS max_test_sim
        |FROM sims
        |WHERE m < ${Similarity.SemDecontamThreshold}
        |ORDER BY vec_id""".stripMargin

@@ -40,7 +40,7 @@ class SimilaritySpec extends SparkSpec {
       .withColumn("cos", round(VectorFunctions.cosine(col("v"), col("tv")), 6))
       .groupBy(col("vec_id")).agg(max(col("cos")).as("m"))
       .filter(col("m") < Similarity.SemDecontamThreshold)
-      .select(col("vec_id"), round(col("m"), 4).as("max_test_sim"))
+      .select(col("vec_id"), col("m").as("max_test_sim"))
       .as[(Long, Double)].collect().toMap
     val got = out.select(col("vec_id"), col("max_test_sim"))
       .as[(Long, Double)].collect().toMap
