@@ -97,11 +97,39 @@ object Bench {
         q.stop()
         secs
       }
+      // Anomaly path (ADVICE r9 item 7): the reference's anomaly job
+      // end-to-end — memstream → full parse chain → per-batch key
+      // counts → z-score vs a broadcast baseline → anomaly-row sink.
+      def runAnomaly(n: Int): Double = {
+        val mem =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+        val parsed = graft.parse.LogParse.ingestChain(mem.toDF())
+        val hist = (0 until 512)
+          .map(i => (s"10.0.${i % 256}.${i / 256}", 40.0, 8.0))
+          .toDF("remote_addr", "avg_requests", "stddev_requests")
+          .persist()
+        hist.count()
+        val cp = java.nio.file.Files.createTempDirectory("graft-bench-acp").toString
+        val q = graft.streaming.StreamPipelines.anomalyPipeline(
+          parsed, hist, (df: org.apache.spark.sql.DataFrame, _: Long) => { df.count(); () },
+          cp, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+        val t0 = System.nanoTime()
+        (0 until n).map(wireLine).grouped(math.max(1, n / 10))
+          .foreach(chunk => mem.addData(chunk))
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop(); hist.unpersist()
+        secs
+      }
       try {
         run(500) // warm
         val n = 50000
         val secs = run(n)
-        s""""streaming":{"pipeline":"memstream_parse_foreachBatch","rows":$n,"sec":${fmt(secs)},"rows_per_sec":${fmt(n / secs)}},"""
+        runAnomaly(500) // warm
+        val na = 50000
+        val secsA = runAnomaly(na)
+        s""""streaming":{"pipeline":"memstream_parse_foreachBatch","rows":$n,"sec":${fmt(secs)},"rows_per_sec":${fmt(n / secs)}},""" +
+          s""""streaming_anomaly":{"pipeline":"memstream_parse_zscore_sink","rows":$na,"sec":${fmt(secsA)},"rows_per_sec":${fmt(na / secsA)}},"""
       } catch { case NonFatal(_) => s""""streaming":"error",""" }
     }
 

@@ -24,6 +24,8 @@ object SparkEntry {
     operators.Multimodal.defs,
     operators.TypedSessions.defs,
     operators.TrainingPrep.defs,
+    operators.BpeTrain.defs,
+    operators.AnnMaintain.defs,
     operators.ScaleOps.defs,
     operators.Graph.defs,
     sources.CatalogTables.defs,

@@ -788,6 +788,16 @@ object DedupOracles {
     * propagation loop reaches true connected components, not a
     * truncated approximation. The candidate-degree rollup
     * (`n_candidates`) is re-derived from the same band table.
+    *
+    * SCALE NOTE (r11 sf1 rehearsal): the `reach` closure materializes
+    * |component|² rows — exact and cheap at the sf0.01/sf0.1 gate
+    * scales, intractable on dup-rich rehearsal fixtures (sf1's 36k-doc
+    * band bucket → giant verified component → closure never finishes;
+    * the ENGINE side is unaffected, its propagation loop is linear in
+    * edges). Large-SF rehearsals verify this query with
+    * `tools/uf_check_minhash.py` instead: identical candidates +
+    * verification in DuckDB, then union-find labels — 36 s at sf1,
+    * 50000/50000 rows matched (BASELINE.md round 11).
     */
   val minhashDedup: String =
     s"""WITH RECURSIVE

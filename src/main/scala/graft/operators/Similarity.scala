@@ -27,7 +27,7 @@ object Similarity {
 
   /** embeddings with the vector cast to array<double> once; registers
     * the native vector expressions on the session. */
-  private def vecs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))

@@ -162,8 +162,10 @@ object TextAnalysis {
     * (fastText/DCLM style) an LLM pipeline runs after its heuristic
     * gates. INFERENCE IS PLAIN ARITHMETIC: the quantized weights fold
     * into the scan as literals (whole-stage codegen — no model UDF, no
-    * shuffle, nothing collected), and the keep decision reads the SIGN
-    * of the linear term, so it cannot flip on sigmoid rounding. The
+    * shuffle, nothing collected), the emitted value is the round-6
+    * LOGIT (pure arithmetic; a sigmoid would ride libm exp(), which
+    * differs between engines in the last ulp — r11 sf1 finding), and
+    * the keep decision reads the SIGN of the same linear term. The
     * oracle recomputes the same features and the same left-associated
     * dot product from the pinned sidecar; the seeded fit is the only
     * pinned step.
@@ -175,11 +177,18 @@ object TextAnalysis {
     val lin = feats.zip(ws.tail)
       .map { case (f, w) => col(f) * lit(w) }
       .foldLeft(lit(ws.head))(_ + _)
+    // emit the LOGIT, not the sigmoid: exp() is libm-dependent (Java
+    // and DuckDB differ in the last ulp), so round(sigmoid, 4) flips on
+    // boundary rows at scale (3 of 50k rows in the r11 sf1 rehearsal).
+    // The logit is pure +/* arithmetic over round-4 features and 6dp
+    // weight literals — bit-identical in both engines — and is a
+    // monotone transform of the score, so ranking/thresholding
+    // semantics are unchanged; keep stays the sign of the same term.
     qualityFeatures(s, d)
       .withColumn("lin", lin)
       .select(col("doc_id"), col("n_words"), col("avg_token_len"),
         col("stopword_ratio"), col("distinct_ratio"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("lin"))), 4).as("quality_score"),
+        round(col("lin"), 6).as("quality_logit"),
         (col("lin") >= 0).as("keep"))
       .orderBy(col("doc_id"))
   }
@@ -621,7 +630,8 @@ object TextOracles {
   /** [[TextAnalysis.modelQuality]] replayed from the pinned weights
     * sidecar: identical round-4 features, the identical left-associated
     * linear term (ws[1] is the intercept — DuckDB lists are 1-based),
-    * sigmoid for the reported score, sign of the linear term for keep.
+    * the round-6 logit as the reported value (no sigmoid — libm exp()
+    * ulp drift, see the builder), sign of the linear term for keep.
     */
   val modelQuality: String =
     s"""WITH w AS (
@@ -642,7 +652,7 @@ object TextOracles {
        |          + f.stopword_ratio * ws[4] + f.distinct_ratio * ws[5] AS lin
        |  FROM feat f CROSS JOIN w)
        |SELECT doc_id, n_words, avg_token_len, stopword_ratio, distinct_ratio,
-       |  round(1.0 / (1.0 + exp(-lin)), 4) AS quality_score,
+       |  round(lin, 6) AS quality_logit,
        |  lin >= 0 AS keep
        |FROM scored
        |ORDER BY doc_id""".stripMargin

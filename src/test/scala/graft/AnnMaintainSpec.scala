@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.AnnMaintain
+
+/** Incremental ANN maintenance: append mechanics + the ADVICE r9 bar —
+  * probing the incrementally-maintained index matches a full rebuild
+  * for the appended batch, directionally (the frozen quantizers may
+  * cost a little recall, never collapse).
+  */
+class AnnMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs: DataFrame = {
+    VectorFunctions.register(spark)
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
+  private def isDelta = GoldenHash.bucket(col("vec_id"), 20) === 7
+
+  test("append emits one frozen-quantizer row per delta vector") {
+    val out = operators.AnnMaintain.annIndexAppend(spark, sf).cache()
+    val nDelta = vecs.filter(isDelta).count()
+    assert(out.count() == nDelta, s"${out.count()} rows for $nDelta delta vecs")
+    val rows = out.collect()
+    rows.foreach { r =>
+      val cell = r.getAs[Int]("cell")
+      assert(cell >= 0 && cell < 8, s"cell $cell out of range")
+      val codes = r.getAs[String]("codes").split("-")
+      assert(codes.length == operators.Similarity.PqM, r.toString)
+      codes.foreach(c => assert(c.toInt >= 0 && c.toInt < operators.Similarity.PqK))
+    }
+    // drift monitor covers every frozen cell exactly once, and the
+    // retrain flag is reproducible from the row's own emitted values
+    val drift = operators.AnnMaintain.annIndexDrift(spark, sf).collect()
+    assert(drift.map(_.getAs[Int]("cell")).sorted.sameElements(0 until 8))
+    val avgTotal = drift.map(r =>
+      r.getAs[Long]("n_old") + r.getAs[Long]("n_new")).sum.toDouble / drift.length
+    drift.foreach { r =>
+      val total = r.getAs[Long]("n_old") + r.getAs[Long]("n_new")
+      val dNew = Option(r.getAs[java.lang.Double]("mean_d2_new")).map(_.toDouble)
+      val expectFlag = total > AnnMaintain.SkewFactor * avgTotal ||
+        dNew.exists(_ > AnnMaintain.DriftFactor * r.getAs[Double]("mean_d2_old"))
+      assert(r.getAs[Boolean]("retrain") == expectFlag, r.toString)
+    }
+    out.unpersist()
+  }
+
+  /** nprobe-cell IVF probe over an (vec_id, v, cell) assignment frame —
+    * the spec's own copy of the probe so both index variants run the
+    * identical search.
+    */
+  private def probe(assigned: DataFrame, cdf: DataFrame, q: DataFrame): Map[Long, Seq[Long]] = {
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cdist", VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("cdist"), 9).desc, col("cell"))))
+      .filter(col("crank") <= 3)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+  }
+
+  test("incremental probe recall tracks a full rebuild for the appended batch") {
+    val all = vecs.persist()
+    val appended = operators.AnnMaintain.annIndexAppend(spark, sf)
+      .select(col("vec_id"), col("cell"))
+      .join(all, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("cell"))
+    // incremental index: frozen at-rest assignments + appended rows,
+    // probed against the PINNED centroid sidecar (the operational path)
+    val cdfFrozen = spark.read.parquet(AnnMaintain.CentroidsPath)
+    val oldAssigned = AnnMaintain.assignCells(all.filter(!isDelta), cdfFrozen)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val incr = oldAssigned.union(appended).persist()
+    // full rebuild: refit the coarse quantizer on the ENTIRE corpus
+    val centsFull = AnnMaintain.fitCells(all)
+    val cdfFull = spark.createDataFrame(centsFull).toDF("cell", "centroid")
+    val rebuilt = AnnMaintain.assignCells(all, cdfFull)
+      .select(col("vec_id"), col("v"), col("cell")).persist()
+
+    val q = all.filter(isDelta).orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("cos"), 9).desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+    val incrHits = probe(incr, cdfFrozen, q)
+    val rebuildHits = probe(rebuilt, cdfFull, q)
+    def recall(hits: Map[Long, Seq[Long]]): Int =
+      hits.map { case (qid, ids) => ids.count(exact(qid)) }.sum
+    val (ri, rb) = (recall(incrHits), recall(rebuildHits))
+    // directional: the frozen-quantizer index may trail the rebuild
+    // slightly, but must stay in its neighborhood and useful in absolute
+    // terms (15 = 5 queries x top-3)
+    assert(ri >= rb - 3, s"incremental recall $ri collapsed vs rebuild $rb")
+    assert(ri >= 8, s"incremental recall $ri/15 below absolute floor")
+    all.unpersist(); incr.unpersist(); rebuilt.unpersist()
+  }
+}

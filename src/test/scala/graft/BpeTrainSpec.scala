@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BpeTrain
+
+/** BPE induction vs an independent in-memory reference implementing the
+  * same documented conventions (all-adjacent freq-weighted counting,
+  * (cnt DESC, pair ASC) argmax, single-pass leftmost merge application).
+  */
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala reference: no DataFrames, no shared code with the
+    * operator — a learning bug cannot self-verify.
+    */
+  private def naiveBpe(
+      docs: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+    val words = docs.flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+    val freq = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    var states = freq.keys.map(w => w -> (" " + w.map(c => s"$c ").mkString)).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, seq) <- states) {
+        val syms = seq.trim.split(" ")
+        for (i <- 0 until syms.length - 1)
+          counts(syms(i) + " " + syms(i + 1)) += freq(w)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, cnt) = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+        val Array(a, b) = pair.split(" ", 2)
+        out += ((r, a, b, cnt))
+        states = states.map { case (w, s0) => w -> s0.replace(s" $a $b ", s" $a$b ") }
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  private def writeDocs(docs: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    docs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("learned merges match the naive reference, incl. repeated-pair and tie cases") {
+    val docs = Seq(
+      "the cat sat on the mat with the hat",
+      "thin then there they them the the",
+      "xyxy xyxy zaza zaza zaza", // adjacent repeated pairs: single-pass convention
+      "aa ab aa ab ba ba",        // tie-break on pair string
+      "banana bandana ban")
+    val dir = writeDocs(docs)
+    val got = BpeTrain.bpeTrain(spark, dir)
+      .select(col("merge_round"), col("lft"), col("rgt"), col("cnt"))
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val expected = naiveBpe(docs, BpeTrain.Rounds)
+    assert(got == expected,
+      s"merge drift:\n got=${got.mkString("\n     ")}\n exp=${expected.mkString("\n     ")}")
+    // the merged column is lft||rgt by construction
+    val merged = BpeTrain.bpeTrain(spark, dir)
+      .select(col("lft"), col("rgt"), col("merged")).as[(String, String, String)]
+      .collect()
+    merged.foreach { case (a, b, m) => assert(m == a + b) }
+  }
+
+  test("fixture corpus learns the full round budget deterministically") {
+    val m1 = BpeTrain.bpeTrain(spark, sf)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m1.size == BpeTrain.Rounds, s"only ${m1.size} merges learned")
+    // counts are non-increasing is NOT guaranteed by BPE in general, but
+    // rounds must be dense and 1-based, symbols single-space-free
+    assert(m1.map(_._1) == (1 to BpeTrain.Rounds))
+    m1.foreach { case (_, a, b, m, cnt) =>
+      assert(!a.contains(" ") && !b.contains(" ") && m == a + b && cnt > 0)
+    }
+    // session cache: second build returns identical rows
+    val m2 = BpeTrain.bpeTrain(spark, sf)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m1 == m2)
+  }
+}
