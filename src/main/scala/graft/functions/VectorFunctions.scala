@@ -180,10 +180,17 @@ case class LshBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
 /** Fused max-cosine against a fixed reference matrix: ONE expression
   * scanning the reference rows (a driver-small benchmark set — the
   * semantic-decontamination gate's blocklist) and returning the MAXIMUM
-  * per-row cosine, each cosine rounded to 6 decimals BEFORE the max
-  * (BigDecimal HALF_UP = Spark's `round` = DuckDB's round-half-away,
-  * so the engine and the oracle take the max of identical quantized
-  * values — the round-9 stability convention applied inside the loop).
+  * per-row cosine rounded to 6 decimals BEFORE the max, so the engine
+  * and the oracle take the max of identical quantized values — the
+  * round-9 stability convention applied inside the loop.
+  *
+  * The in-loop quantization is `Math.round(c * 1e6) / 1e6` — pure FP,
+  * no per-pair allocation. The first cut used BigDecimal HALF_UP,
+  * which allocated once per corpus-row × benchmark-row pair and
+  * dominated the sf1 profile (36M pairs, 23 s — BASELINE r11); the FP
+  * form agrees with DuckDB's `round(x, 6)` (scale, C-round, descale)
+  * on every double except exact decimal midpoints of the RAW cosine,
+  * measure-zero, the class every single-rounding oracle accepts.
   *
   * Per reference row the loop is [[CosineSimilarity]]'s fused
   * dot/|a|²/|b|² accumulation in the same ascending-j order, keeping
@@ -213,8 +220,7 @@ case class MaxCosineSim(child: Expression, mat: Array[Array[Double]])
       j += 1
     }
     val c = dot / (math.sqrt(na) * math.sqrt(nb))
-    java.math.BigDecimal.valueOf(c)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    Math.round(c * 1e6) / 1e6
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -254,9 +260,8 @@ case class MaxCosineSim(child: Expression, mat: Array[Array[Double]])
          |    double $xv = $buf[$j]; double $yv = $t[$j];
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  double $c = java.math.BigDecimal.valueOf(
-         |      $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)))
-         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  double $c = java.lang.Math.round(
+         |      $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)) * 1e6) / 1e6;
          |  if ($c > $best) $best = $c;
          |}
          |${ev.value} = $best;""".stripMargin
