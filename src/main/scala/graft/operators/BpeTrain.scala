@@ -114,8 +114,42 @@ object BpeTrain {
     out
   }
 
+  /** Tokenize the corpus under the learned merges — the apply step
+    * that completes the tokenizer story (train → encode): per doc, the
+    * word-instance count, the BPE token count after all [[Rounds]]
+    * merges, and the letter-character count (chars/token is the
+    * compression the merges bought).
+    *
+    * Scale shape: the merge application runs on the VOCAB table (each
+    * distinct word tokenized once — the same frequency-table stance as
+    * the training loop), and the corpus pays one scan joined to that
+    * per-word token count. At fixture scale the vocab side broadcasts;
+    * at 100 TB a 10–100M-row vocab makes this the standard shuffle
+    * join on the word key — either way corpus text is never
+    * re-tokenized per row.
+    */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val ms = learnMerges(s, d)
+    val tokenized = ms.foldLeft(vocab(s, d)) { (df, mg) =>
+      df.withColumn("seq",
+        replace(col("seq"), lit(s" ${mg.lft} ${mg.rgt} "), lit(s" ${mg.lft}${mg.rgt} ")))
+    }
+      .select(col("word"), size(split(trim(col("seq")), " ")).as("n_tok"),
+        length(col("word")).as("wchars"))
+    val docWords = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    docWords.join(tokenized, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_tokens"),
+        sum(col("wchars")).as("n_letter_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   lazy val defs: Map[String, QueryDef] = Map(
-    "q_bpe_train" -> QueryDef(bpeTrain, Some(BpeOracles.bpeTrain)))
+    "q_bpe_train" -> QueryDef(bpeTrain, Some(BpeOracles.bpeTrain)),
+    "q_bpe_apply" -> QueryDef(bpeApply, Some(BpeOracles.bpeApply)))
 }
 
 /** DuckDB oracle: full independent replay of the BPE induction. The
@@ -166,4 +200,41 @@ object BpeOracles {
        |FROM ranked
        |WHERE rn = 1 AND r < ${BpeTrain.Rounds}
        |ORDER BY merge_round""".stripMargin
+
+  /** [[BpeTrain.bpeApply]] replayed from the pinned merges: the same
+    * recursive state CTE to the FINAL round, per-word token counts,
+    * then the corpus join and per-doc rollup.
+    */
+  val bpeApply: String =
+    s"""WITH RECURSIVE m AS (
+       |  SELECT merge_round, lft, rgt
+       |  FROM read_parquet('${BpeTrain.MergesPath}/*.parquet')),
+       |base AS (
+       |  SELECT word,
+       |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+       |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM documents)),
+       |states AS (
+       |  SELECT word, seq, 0 AS r FROM base
+       |  UNION ALL
+       |  SELECT s.word,
+       |    replace(s.seq, ' ' || m.lft || ' ' || m.rgt || ' ',
+       |            ' ' || m.lft || m.rgt || ' '),
+       |    s.r + 1
+       |  FROM states s JOIN m ON m.merge_round = s.r + 1),
+       |final AS (
+       |  SELECT word, CAST(len(str_split(trim(seq), ' ')) AS BIGINT) AS n_tok,
+       |    CAST(length(word) AS BIGINT) AS wchars
+       |  FROM states
+       |  WHERE r = (SELECT max(merge_round) FROM m)),
+       |docwords AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(f.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(f.wchars) AS BIGINT) AS n_letter_chars
+       |FROM docwords d JOIN final f USING (word)
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -70,6 +70,30 @@ class BpeTrainSpec extends SparkSpec {
     merged.foreach { case (a, b, m) => assert(m == a + b) }
   }
 
+  test("apply tokenizes docs to the naive reference's counts") {
+    val docs = Seq(
+      "the cat sat on the mat with the hat",
+      "thin then there they them the the",
+      "banana bandana ban bans")
+    val dir = writeDocs(docs)
+    // naive: learn merges, apply to each word, sum per doc
+    val merges = naiveBpe(docs, BpeTrain.Rounds)
+    def tokens(word: String): Int = {
+      var seq = " " + word.map(c => s"$c ").mkString
+      merges.foreach { case (_, a, b, _) => seq = seq.replace(s" $a $b ", s" $a$b ") }
+      seq.trim.split(" ").length
+    }
+    val expected = docs.zipWithIndex.map { case (t, i) =>
+      val ws = "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+      (i.toLong, ws.size.toLong, ws.map(tokens(_).toLong).sum, ws.map(_.length.toLong).sum)
+    }.toSet
+    val got = BpeTrain.bpeApply(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+    // merges strictly compress: tokens within [n_words, n_letter_chars]
+    got.foreach { case (_, nw, nt, nc) => assert(nw <= nt && nt <= nc) }
+  }
+
   test("fixture corpus learns the full round budget deterministically") {
     val m1 = BpeTrain.bpeTrain(spark, sf)
       .as[(Int, String, String, String, Long)].collect().toSeq
