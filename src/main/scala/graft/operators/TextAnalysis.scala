@@ -457,11 +457,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashing-trick buckets for [[hashEmbed]]. */
+  val HashDim = 64
+
+  /** Hashing-trick text featurization — the text→vector bridge
+    * (fastText / Vowpal-Wabbit hashing trick): each `[a-z]+` token
+    * hashes to one of [[HashDim]] buckets with an engine-portable
+    * rolling polynomial (`h = (h*31 + code) mod 2³¹` over ASCII codes
+    * — pure integer arithmetic both engines evaluate identically; no
+    * xxhash/murmur, whose implementations differ between Spark and
+    * DuckDB), and a document's feature vector is its bucket-count
+    * histogram. Emits the per-doc INTEGER summary (token count,
+    * occupied buckets, position-weighted checksum, squared L2 norm) —
+    * exact-compare oracle columns, the [[Similarity.embeddingPca]]
+    * checksum convention — while the bucket histogram itself is the
+    * vector the ANN/semantic family consumes.
+    *
+    * Scale shape ([[BpeTrain.bpeApply]]'s stance): the per-char hash
+    * fold runs once per DISTINCT word on the vocab table (HOF cost is
+    * vocab-bound, never corpus-bound), then the corpus pays one scan
+    * broadcast-joined to the per-word bucket.
+    */
+  def hashEmbed(s: SparkSession, d: String): DataFrame = {
+    val vocabHash = Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .distinct()
+      .withColumn("bucket", expr(
+        s"""aggregate(transform(sequence(1, length(word)), i -> cast(ascii(substr(word, i, 1)) as bigint)),
+           |  cast(0 as bigint), (h, c) -> (h * 31 + c) % 2147483648) % $HashDim""".stripMargin)
+        .cast("int"))
+    val docWords = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    docWords.join(vocabHash, Seq("word"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).cast("long").as("n_buckets"),
+        sum(col("cnt") * (col("bucket") + 1)).as("checksum"),
+        sum(col("cnt") * col("cnt")).as("l2sq"))
+      .orderBy(col("doc_id"))
+  }
+
   // lazy: oracle objects reference operator constants (e.g. DedupOracles
   // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
   // object back -- would deadlock-null mid-initialization when a composed
   // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
   lazy val defs: Map[String, QueryDef] = Map(
+    "q_hash_embed"   -> QueryDef(hashEmbed, Some(TextOracles.hashEmbed)),
     "q_lm_quality"   -> QueryDef(lmQuality, Some(TextOracles.lmQuality)),
     "q_token_count"  -> QueryDef(tokenCount, Some(TextOracles.tokenCount)),
     "q_vocab_coverage" -> QueryDef(vocabCoverage, Some(TextOracles.vocabCoverage)),
@@ -625,6 +669,37 @@ object TextOracles {
        |       WHEN avg_token_len < 2 OR avg_token_len > 12 THEN 'odd_tokens'
        |       ELSE 'ok' END AS quality
        |FROM feat
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[TextAnalysis.hashEmbed]]'s rolling-hash twin: the identical
+    * `(h*31 + code) mod 2³¹` fold (list_reduce needs the 0 seed
+    * prepended — it folds from the first element, Spark's aggregate
+    * takes an explicit init), identical bucket mod, identical integer
+    * rollup.
+    */
+  val hashEmbed: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT word,
+       |    CAST(list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length(word) + 1),
+       |          i -> CAST(ord(substr(word, i, 1)) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % 2147483648) % ${TextAnalysis.HashDim} AS INT) AS bucket
+       |  FROM (SELECT DISTINCT word FROM words)),
+       |perbucket AS (
+       |  SELECT w.doc_id, v.bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM words w JOIN vocab v USING (word)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(cnt * (bucket + 1)) AS BIGINT) AS checksum,
+       |  CAST(sum(cnt * cnt) AS BIGINT) AS l2sq
+       |FROM perbucket
+       |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
   /** [[TextAnalysis.modelQuality]] replayed from the pinned weights

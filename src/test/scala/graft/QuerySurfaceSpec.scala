@@ -7,6 +7,29 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("hash-embed bucket rollup matches a plain-Scala fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // independent reference: same rolling hash, no Spark expressions
+    def bucket(w: String): Int =
+      (w.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 2147483648L) %
+        operators.TextAnalysis.HashDim).toInt
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val expected = docs.flatMap { case (id, t) =>
+      "[a-z]+".r.findAllIn(t.toLowerCase).map(w => (id, bucket(w)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .groupBy(_._1._1).map { case (id, bs) =>
+        val cnts = bs.map(_._2)
+        val chks = bs.map { case ((_, b), c) => c * (b + 1) }
+        (id, cnts.sum, bs.size.toLong, chks.sum, cnts.map(c => c * c).sum)
+      }.toSet
+    val got = operators.TextAnalysis.hashEmbed(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"hash-embed drift: ${got.size} vs ${expected.size} docs")
+  }
+
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
