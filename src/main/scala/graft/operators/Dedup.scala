@@ -650,7 +650,37 @@ object Dedup {
   // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
   // object back -- would deadlock-null mid-initialization when a composed
   // oracle (TrainingOracles.corpusPrep4) initializes the oracle object first
+  /** Quality-aware canonical selection — the refinement a production
+    * dedup pass runs instead of keep-min-id: within each near-dup
+    * cluster ([[minhashDedup]]'s connected components), keep the copy
+    * with the HIGHEST model-quality logit
+    * ([[TextAnalysis.modelQuality]]), doc_id ascending as the
+    * tie-break. Rank runs on the round-6 quantized logit both engines
+    * already emit, so canonical choice cannot flip on fit-side ulp
+    * drift; docs the quality gate never scored (empty after
+    * tokenization) rank at a -1e9 sentinel. Composition of two cached
+    * builders + one join + one cluster-partitioned window;
+    * verified-not-benched (both constituents hold bench slots —
+    * the corpusPrep-prefix precedent).
+    */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val clusters = minhashDedup(s, d)
+      .select(col("doc_id"), col("kept_doc_id").as("cluster_id"))
+    val quality = TextAnalysis.modelQuality(s, d)
+      .select(col("doc_id"), col("quality_logit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("q").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"), "left")
+      .withColumn("q", coalesce(col("quality_logit"), lit(-1e9)))
+      .withColumn("canonical_doc_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_doc_id"),
+        (col("doc_id") === col("canonical_doc_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   lazy val defs: Map[String, QueryDef] = Map(
+    "q_dedup_canonical" -> QueryDef(dedupCanonical, Some(DedupOracles.dedupCanonical), headline = false),
     "q_dedup_exact"     -> QueryDef(dedupExact, Some(DedupOracles.dedupExact)),
     "q_exact_distinct"  -> QueryDef(exactDistinct, Some(DedupOracles.exactDistinct)),
     "q_approx_distinct" -> QueryDef(approxDistinct, None),
@@ -851,6 +881,32 @@ object DedupOracles {
        |  l.label <> l.doc_id AS is_duplicate,
        |  CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates
        |FROM labels l LEFT JOIN ncand n USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[Dedup.dedupCanonical]] composed from the two constituent
+    * oracles as derived tables (cluster labels from the recursive-CTE
+    * closure, quality logits from the pinned-weights replay), then the
+    * identical quality-desc/doc_id-asc first_value window. Lazy for
+    * the cross-oracle-object reference ([[TextOracles.modelQuality]])
+    * — the TrainingOracles composition precedent.
+    */
+  lazy val dedupCanonical: String =
+    s"""WITH mh AS (
+       |  SELECT doc_id, kept_doc_id AS cluster_id FROM ($minhashDedup) t),
+       |mq AS (
+       |  SELECT doc_id, quality_logit FROM (${TextOracles.modelQuality}) t),
+       |j AS (
+       |  SELECT mh.doc_id, mh.cluster_id,
+       |    coalesce(mq.quality_logit, -1e9) AS q
+       |  FROM mh LEFT JOIN mq USING (doc_id)),
+       |canon AS (
+       |  SELECT doc_id, cluster_id,
+       |    first_value(doc_id) OVER (
+       |      PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS canonical_doc_id
+       |  FROM j)
+       |SELECT doc_id, cluster_id, canonical_doc_id,
+       |  doc_id = canonical_doc_id AS is_canonical
+       |FROM canon
        |ORDER BY doc_id""".stripMargin
 
   /** Replays [[Dedup.minhashDecontaminate]] downstream of the hashes

@@ -413,4 +413,35 @@ class DedupSpec extends SparkSpec {
     val recall = exact.intersect(flagged).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall (${exact.size} true, ${flagged.size} flagged)")
   }
+
+  test("canonical selection keeps the max-quality copy per cluster, min-id ties") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.dedupCanonical(spark, sf).cache()
+    // cluster membership must be exactly minhashDedup's
+    val clusters = Dedup.minhashDedup(spark, sf)
+      .select(col("doc_id"), col("kept_doc_id"))
+      .as[(Long, Long)].collect().toMap
+    val rows = out.select("doc_id", "cluster_id", "canonical_doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == clusters.size)
+    rows.foreach { case (d, c, _) => assert(clusters(d) == c) }
+    // exactly one canonical per cluster, and it is a cluster member
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      val canon = ms.map(_._3).distinct
+      assert(canon.length == 1, s"cluster $c has canonicals $canon")
+      assert(ms.map(_._1).contains(canon.head), s"canonical outside cluster $c")
+    }
+    // the canonical really is the (quality desc, doc_id asc) argmax
+    val q = graft.operators.TextAnalysis.modelQuality(spark, sf)
+      .select(col("doc_id"), col("quality_logit"))
+      .as[(Long, Double)].collect().toMap
+    byCluster.foreach { case (c, ms) =>
+      val expected = ms.map(_._1)
+        .sortBy(d => (-q.getOrElse(d, -1e9), d)).head
+      assert(ms.head._3 == expected,
+        s"cluster $c canonical ${ms.head._3} != expected $expected")
+    }
+    out.unpersist()
+  }
 }
