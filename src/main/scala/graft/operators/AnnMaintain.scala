@@ -121,19 +121,16 @@ object AnnMaintain {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("v"), col("cell"), col("d2"))
 
-  /** The append: delta batch → frozen-cell assignment + frozen-codebook
-    * PQ codes — the rows a deployment appends to its inverted-list
-    * table. No refit anywhere; the corpus is never touched.
+  /** Frozen-quantizer encode of a (vec_id, v) batch: nearest-cell
+    * assignment + PQ codes against the given centroid/codebook frames —
+    * the shared core of the batch append query and its streaming twin
+    * ([[graft.streaming.StreamPipelines.streamingAnnAppend]]). Cost ∝
+    * batch rows; the frozen frames broadcast.
     */
-  def annIndexAppend(s: SparkSession, d: String): DataFrame = {
-    val fz = frozen(s, d)
-    pinFrozen(s, d, fz)
-    val cdf = s.createDataFrame(fz.centroids).toDF("cell", "centroid")
-    val bdf = s.createDataFrame(fz.codebooks).toDF("m", "c", "centroid")
-    val delta = Similarity.vecs(s, d).filter(isDelta)
-      .select(col("vec_id"), col("v"))
-    val assigned = assignCells(delta, cdf)
-    val codes = delta.crossJoin(broadcast(bdf))
+  private[graft] def encodeBatch(
+      batch: DataFrame, cdf: DataFrame, bdf: DataFrame): DataFrame = {
+    val assigned = assignCells(batch, cdf)
+    val codes = batch.crossJoin(broadcast(bdf))
       .withColumn("sub",
         slice(col("v"), col("m") * Similarity.PqSubDim + lit(1), lit(Similarity.PqSubDim)))
       .withColumn("sd2", sqL2("sub", "centroid"))
@@ -147,7 +144,20 @@ object AnnMaintain {
         .as("codes"))
     assigned.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("cell"), round(col("d2"), 4).as("cell_d2"), col("codes"))
-      .orderBy(col("vec_id"))
+  }
+
+  /** The append: delta batch → frozen-cell assignment + frozen-codebook
+    * PQ codes — the rows a deployment appends to its inverted-list
+    * table. No refit anywhere; the corpus is never touched.
+    */
+  def annIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val fz = frozen(s, d)
+    pinFrozen(s, d, fz)
+    val cdf = s.createDataFrame(fz.centroids).toDF("cell", "centroid")
+    val bdf = s.createDataFrame(fz.codebooks).toDF("m", "c", "centroid")
+    val delta = Similarity.vecs(s, d).filter(isDelta)
+      .select(col("vec_id"), col("v"))
+    encodeBatch(delta, cdf, bdf).orderBy(col("vec_id"))
   }
 
   /** Thresholds for the retrain trigger: a cell is flagged when its

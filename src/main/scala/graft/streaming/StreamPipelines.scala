@@ -486,6 +486,35 @@ object StreamPipelines {
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** Streaming twin of [[graft.operators.AnnMaintain.annIndexAppend]] —
+    * continuous inverted-list maintenance: each micro-batch of newly
+    * arrived embeddings (vec_id, v array<double>) is assigned to its
+    * nearest FROZEN coarse centroid and PQ-encoded with the FROZEN
+    * codebooks, and the encoded rows go to the sink (the at-rest
+    * inverted-list appender). The quantizers are plan constants, so
+    * state is EMPTY — per-batch cost ∝ batch rows, the same
+    * [[graft.operators.AnnMaintain.encodeBatch]] core as the batch
+    * query, and exactly how a production vector pipeline keeps its ANN
+    * index fresh between rebuilds (the drift monitor stays a batch
+    * job over the at-rest table).
+    */
+  def streamingAnnAppend(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.AnnMaintain.encodeBatch(batch, centroids, codebooks), id)
+      }
+      .start()
 }
 
 /** One verified near-dup hit of [[StreamPipelines.streamingNearDedup]]:

@@ -50,6 +50,37 @@ class AnnMaintainSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("streaming append encodes micro-batches identically to the batch path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // frozen sidecars: pin via the batch query, then read the artifacts
+    // (the operational handoff — the stream consumes what the build pinned)
+    operators.AnnMaintain.annIndexAppend(spark, sf).count()
+    val cdf = spark.read.parquet(AnnMaintain.CentroidsPath)
+    val bdf = spark.read.parquet(AnnMaintain.CodebooksPath)
+    val newVecs = vecs.filter(isDelta).orderBy(col("vec_id")).limit(20)
+      .as[(Long, Seq[Double])].collect().toSeq
+    val expected = AnnMaintain.encodeBatch(
+      newVecs.toDF("vec_id", "v"), cdf, bdf)
+      .as[(Long, Int, Double, String)].collect().toSet
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val sunk = scala.collection.mutable.Set.empty[(Long, Int, Double, String)]
+    val cp = java.nio.file.Files.createTempDirectory("graft-annx-cp").toString
+    val q = graft.streaming.StreamPipelines.streamingAnnAppend(
+      mem.toDF().toDF("vec_id", "v"), cdf, bdf,
+      (df, _) => sunk.synchronized {
+        sunk ++= df.as[(Long, Int, Double, String)].collect()
+      }, cp)
+    // two micro-batches: the encode must be batch-boundary-invariant
+    mem.addData(newVecs.take(12): _*)
+    q.processAllAvailable()
+    mem.addData(newVecs.drop(12): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.toSet == expected,
+      s"streamed ${sunk.size} rows != batch ${expected.size}")
+  }
+
   /** nprobe-cell IVF probe over an (vec_id, v, cell) assignment frame —
     * the spec's own copy of the probe so both index variants run the
     * identical search.

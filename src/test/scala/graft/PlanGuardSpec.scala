@@ -30,4 +30,27 @@ class PlanGuardSpec extends SparkSpec {
       s"single-partition global-window plans (the lmQuality-ntile scale " +
         s"trap class): $offenders")
   }
+
+  test("no registered query executes a non-broadcast cartesian product") {
+    // Every cross join in the fleet must broadcast its small side
+    // (BroadcastNestedLoopJoin); a CartesianProductExec shuffles BOTH
+    // sides all-to-all — |A|×|B| partition pairs, invisible at fixture
+    // scale and fatal at 100 TB. The two documented exact all-pairs
+    // baselines (Similarity.nearDupPairs / bruteTopK) broadcast their
+    // small side too, so NO query is exempt.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sf).queryExecution.executedPlan
+          val bad = plan.collect {
+            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          }
+          if (bad.nonEmpty) Some(name) else None
+        } catch {
+          case e: Throwable => Some(s"$name (planning failed: ${e.getMessage})")
+        }
+    }
+    assert(offenders.isEmpty,
+      s"non-broadcast cartesian-product plans: $offenders")
+  }
 }
