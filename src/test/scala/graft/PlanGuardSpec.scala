@@ -31,6 +31,17 @@ class PlanGuardSpec extends SparkSpec {
         s"trap class): $offenders")
   }
 
+  /** AQE (on by default in Spark 4) wraps any plan with exchanges in
+    * `AdaptiveSparkPlanExec` — a LeafExecNode whose `collect()` never
+    * descends into the wrapped plan, so a node-type match is vacuously
+    * green for exactly the query class this guard polices. The rendered
+    * tree string always shows the current physical plan through the
+    * adaptive wrapper (and through subquery plans), so match on that,
+    * like the sibling window-guard matches the logical plan.
+    */
+  private def plansCartesian(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("CartesianProduct")
+
   test("no registered query executes a non-broadcast cartesian product") {
     // Every cross join in the fleet must broadcast its small side
     // (BroadcastNestedLoopJoin); a CartesianProductExec shuffles BOTH
@@ -41,16 +52,30 @@ class PlanGuardSpec extends SparkSpec {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
-          val plan = fn(spark, sf).queryExecution.executedPlan
-          val bad = plan.collect {
-            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-          }
-          if (bad.nonEmpty) Some(name) else None
+          if (plansCartesian(fn(spark, sf))) Some(name) else None
         } catch {
           case e: Throwable => Some(s"$name (planning failed: ${e.getMessage})")
         }
     }
     assert(offenders.isEmpty,
       s"non-broadcast cartesian-product plans: $offenders")
+  }
+
+  test("the cartesian detector fires through the AQE wrapper (positive control)") {
+    // Non-vacuousness proof: a deliberate cartesian (broadcast disabled,
+    // cross join, both sides shuffled so AQE wraps the plan) must be
+    // caught, and the same join WITH broadcast must pass.
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = spark.range(100).toDF("x").repartition(2)
+      val b = spark.range(100).toDF("y").repartition(2)
+      assert(plansCartesian(a.crossJoin(b)),
+        "detector missed a deliberate CartesianProductExec under AQE")
+      assert(!plansCartesian(
+        a.crossJoin(org.apache.spark.sql.functions.broadcast(b))),
+        "detector false-positived on a broadcast nested-loop join")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 }
