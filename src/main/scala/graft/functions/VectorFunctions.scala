@@ -189,82 +189,149 @@ case class LshBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
   * which allocated once per corpus-row × benchmark-row pair and
   * dominated the sf1 profile (36M pairs, 23 s — BASELINE r11); the FP
   * form agrees with DuckDB's `round(x, 6)` (scale, C-round, descale)
-  * on every double except exact decimal midpoints of the RAW cosine,
-  * measure-zero, the class every single-rounding oracle accepts.
+  * on every double except exact decimal midpoints of the RAW cosine —
+  * measure-zero, the class every single-rounding oracle accepts — and
+  * on those midpoints the disagreement is one-sided: `Math.round`
+  * rounds half toward +∞ while DuckDB rounds half away from zero, so
+  * POSITIVE midpoints agree and NEGATIVE midpoints differ by 1e-6
+  * (e.g. raw cosine exactly -0.1234565 → engine -0.123456, DuckDB
+  * -0.123457). Irrelevant for the ≥-threshold gate (thresholds are
+  * positive) but stated here so the emitted-value hash contract is
+  * explicit (ADVICE r11).
+  *
+  * Degenerate inputs: a zero-norm vector on EITHER side makes that
+  * pair's cosine 0/0 = NaN. `Math.round(NaN)` is 0, which would
+  * silently map "undefined" to "orthogonal"; instead NaN is detected
+  * BEFORE rounding and propagated as the overall result, matching
+  * DuckDB, whose `max()` orders NaN greatest — both engines then emit
+  * NaN for any corpus row involved in a degenerate pair (ADVICE r11).
+  * Dense embedding columns never hit this path.
   *
   * Per reference row the loop is [[CosineSimilarity]]'s fused
   * dot/|a|²/|b|² accumulation in the same ascending-j order, keeping
   * the arithmetic identical to the oracle's `list_sum` formulation.
-  * The matrix rides the expression as a plan-referenced object
+  * The matrix rides the plan as a reference object
   * (`ctx.addReferenceObj`), not a literal — no giant array literal in
   * the plan tree, and the whole probe stays inside whole-stage codegen
-  * with zero joins and zero shuffle on the corpus side.
+  * with zero joins and zero shuffle on the corpus side. The
+  * [[MaxCosineSimBc]] variant additionally ships the matrix ONCE per
+  * executor via torrent broadcast instead of once per task closure —
+  * the form every driver-side caller should use (VERDICT r11 #1).
   *
   * Equality is reference-based on the matrix (like any
   * constructor-object expression) — worst case a missed common-subexpr
   * elimination, never a wrong result.
   */
-case class MaxCosineSim(child: Expression, mat: Array[Array[Double]])
-    extends UnaryExpression {
-  require(mat.nonEmpty, "reference matrix must be non-empty")
+abstract class MaxCosineBase extends UnaryExpression {
+  /** Interpreted-path matrix; codegen resolves its own reference. */
+  protected def matrix: Array[Array[Double]]
   override def dataType: DataType = DoubleType
-  override def prettyName: String = "graft_max_cosine"
-
-  private def roundedCos(buf: Array[Double], t: Array[Double]): Double = {
-    val n = math.min(buf.length, t.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var j = 0
-    while (j < n) {
-      val xv = buf(j); val yv = t(j)
-      dot += xv * yv; na += xv * xv; nb += yv * yv
-      j += 1
-    }
-    val c = dot / (math.sqrt(na) * math.sqrt(nb))
-    Math.round(c * 1e6) / 1e6
-  }
 
   override def nullSafeEval(input: Any): Any = {
     val buf = input.asInstanceOf[ArrayData].toDoubleArray()
+    val mat = matrix
     var best = Double.NegativeInfinity
     var r = 0
     while (r < mat.length) {
-      val c = roundedCos(buf, mat(r))
+      val t = mat(r)
+      val n = math.min(buf.length, t.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val xv = buf(j); val yv = t(j)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        j += 1
+      }
+      val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (java.lang.Double.isNaN(raw)) return Double.NaN
+      val c = Math.round(raw * 1e6) / 1e6
       if (c > best) best = c
       r += 1
     }
     best
   }
 
+  /** Shared codegen loop; `matVar` must be a double[][] variable in
+    * scope. Kept textually parallel to [[nullSafeEval]] — same
+    * accumulation order, same NaN-before-round check.
+    */
+  protected final def genLoop(ctx: CodegenContext, a: String, matVar: String,
+      ev: ExprCode): String = {
+    val buf = ctx.freshName("buf")
+    val best = ctx.freshName("best")
+    val r = ctx.freshName("r")
+    val t = ctx.freshName("t")
+    val j = ctx.freshName("j")
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val xv = ctx.freshName("xv")
+    val yv = ctx.freshName("yv")
+    val raw = ctx.freshName("raw")
+    val c = ctx.freshName("c")
+    s"""double[] $buf = $a.toDoubleArray();
+       |double $best = Double.NEGATIVE_INFINITY;
+       |for (int $r = 0; $r < $matVar.length; $r++) {
+       |  double[] $t = $matVar[$r];
+       |  int $n = java.lang.Math.min($buf.length, $t.length);
+       |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+       |  for (int $j = 0; $j < $n; $j++) {
+       |    double $xv = $buf[$j]; double $yv = $t[$j];
+       |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+       |  }
+       |  double $raw = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       |  if (java.lang.Double.isNaN($raw)) { $best = Double.NaN; break; }
+       |  double $c = java.lang.Math.round($raw * 1e6) / 1e6;
+       |  if ($c > $best) $best = $c;
+       |}
+       |${ev.value} = $best;""".stripMargin
+  }
+}
+
+/** Literal-matrix form, reachable through the `graft_max_cosine` SQL
+  * function (the matrix arrives as a foldable nested-array literal).
+  * The matrix serializes inside every task closure — fine for the
+  * SQL-surface's small inline matrices; driver-side callers with a
+  * collected matrix must use [[MaxCosineSimBc]] instead.
+  */
+case class MaxCosineSim(child: Expression, mat: Array[Array[Double]])
+    extends MaxCosineBase {
+  require(mat.nonEmpty, "reference matrix must be non-empty")
+  override def prettyName: String = "graft_max_cosine"
+  override protected def matrix: Array[Array[Double]] = mat
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      genLoop(ctx, a, ctx.addReferenceObj("testMat", mat, "double[][]"), ev))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Broadcast-matrix form: the reference matrix ships ONCE per executor
+  * via torrent broadcast; only the (tiny) `Broadcast` handle rides the
+  * task closure and the plan reference array. This is the scale-safe
+  * form for a driver-collected benchmark matrix — the literal form
+  * re-serializes the full matrix into EVERY task binary (the r11
+  * round-close bench showed 1.2 MiB tasks from exactly that).
+  * Dereferenced once per codegen object (lazily, in a mutable-state
+  * init) — never per row.
+  */
+case class MaxCosineSimBc(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+    extends MaxCosineBase {
+  override def prettyName: String = "graft_max_cosine_bc"
+  @transient private lazy val localMat: Array[Array[Double]] = bc.value
+  override protected def matrix: Array[Array[Double]] = localMat
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val matRef = ctx.addReferenceObj("testMat", mat, "double[][]")
-      val buf = ctx.freshName("buf")
-      val best = ctx.freshName("best")
-      val r = ctx.freshName("r")
-      val t = ctx.freshName("t")
-      val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      val c = ctx.freshName("c")
-      s"""double[] $buf = $a.toDoubleArray();
-         |double $best = Double.NEGATIVE_INFINITY;
-         |for (int $r = 0; $r < $matRef.length; $r++) {
-         |  double[] $t = $matRef[$r];
-         |  int $n = java.lang.Math.min($buf.length, $t.length);
-         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    double $xv = $buf[$j]; double $yv = $t[$j];
-         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
-         |  }
-         |  double $c = java.lang.Math.round(
-         |      $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)) * 1e6) / 1e6;
-         |  if ($c > $best) $best = $c;
-         |}
-         |${ev.value} = $best;""".stripMargin
+      val bcRef = ctx.addReferenceObj("testMatBc", bc,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      val matVar = ctx.addMutableState("double[][]", "maxCosMat",
+        v => s"$v = (double[][]) $bcRef.value();")
+      genLoop(ctx, a, matVar, ev)
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -304,4 +371,14 @@ object VectorFunctions {
   def maxCosine(v: Column, mat: Array[Array[Double]]): Column =
     call_function("graft_max_cosine", v,
       org.apache.spark.sql.functions.typedlit(mat.map(_.toSeq).toSeq))
+
+  /** Broadcast form — the only form driver-side callers with a
+    * collected matrix should use; see [[MaxCosineSimBc]]. Built via
+    * [[org.apache.spark.sql.GraftColumnBridge]] because a `Broadcast`
+    * handle cannot ride a SQL function argument.
+    */
+  def maxCosineBc(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MaxCosineSimBc(org.apache.spark.sql.GraftColumnBridge.expr(v), bc))
 }

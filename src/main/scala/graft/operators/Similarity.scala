@@ -748,6 +748,17 @@ object Similarity {
     */
   val SemDecontamThreshold: Double = 0.35
 
+  /** Hard cap on the collected benchmark side of
+    * [[semanticDecontaminate]]. Real benchmark suites are thousands of
+    * vectors; 200k × 32 dims × 8 B ≈ 50 MB is already generous for a
+    * driver-held broadcast matrix. The gate FAILS LOUD past the cap
+    * rather than silently degrading into a driver-memory / scan-cost
+    * bottleneck — an unbounded benchmark side must switch to the
+    * ANN-prefiltered escalation documented on the operator (VERDICT
+    * r11 #1).
+    */
+  val SemDecontamMaxBenchRows: Int = 200000
+
   /** Embedding-space benchmark decontamination — the semantic analogue
     * of the exact/Bloom/n-gram `q_*_decontaminate` family (the GPT-3 /
     * Llama contamination-audit stage): drop every training vector whose
@@ -755,14 +766,22 @@ object Similarity {
     * threshold. Same [[graft.GoldenHash]] 10% membership rule as the
     * text-side family, applied to `vec_id`.
     *
-    * Scale shape: the benchmark side is driver-small BY CONSTRUCTION
-    * (real benchmark suites are thousands of vectors; the 10% hash
-    * split is the fixture stand-in) and rides the plan as a reference
-    * object inside ONE fused native expression
-    * ([[graft.functions.MaxCosineSim]]) — the corpus is scanned once
-    * inside whole-stage codegen with ZERO joins and ZERO shuffle
+    * Scale shape: the benchmark side must be driver-small — real
+    * benchmark suites are thousands of vectors; the 10% hash split is
+    * the fixture stand-in — and that contract is now ENFORCED, not
+    * assumed: the collect fails loud past [[SemDecontamMaxBenchRows]],
+    * and the collected matrix ships via `sc.broadcast` (once per
+    * executor, torrent) inside ONE fused native expression
+    * ([[graft.functions.MaxCosineSimBc]]) rather than riding every
+    * task closure as an expression field — the r11 bench tail showed
+    * 1.2 MiB tasks from the un-broadcast form. The corpus is scanned
+    * once inside whole-stage codegen with ZERO joins and ZERO shuffle
     * (contrast: a broadcast-crossJoin + groupBy(vec_id) max formulation
-    * shuffles one row per corpus vector for the final agg). Each
+    * shuffles one row per corpus vector for the final agg). For a
+    * benchmark side too large for the cap, the correct escalation is
+    * NOT raising it: IVF-prefilter both sides ([[semanticDedup]]'s
+    * cell blocking) so each corpus row probes only its cell's
+    * benchmark vectors, turning the k·N scan into (k/cells)·N. Each
     * per-benchmark cosine is quantized to 6 decimals before the max in
     * BOTH engines, so the threshold compare and the emitted value
     * cannot flip on summation-order ulp drift. For corpora where even
@@ -782,12 +801,17 @@ object Similarity {
     val v = vecs(s, d)
     val isTestVec = graft.GoldenHash.bucket(col("vec_id"), 10) === 0
     val testMat = v.filter(isTestVec).select(col("vec_id"), col("v"))
+      .limit(SemDecontamMaxBenchRows + 1)
       .collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
+    require(testMat.length <= SemDecontamMaxBenchRows,
+      s"semanticDecontaminate benchmark side exceeds the driver-collect cap " +
+        s"($SemDecontamMaxBenchRows rows) — use the IVF-prefiltered escalation " +
+        s"(see scaladoc) instead of collecting an unbounded split")
+    val bcMat = s.sparkContext.broadcast(
+      testMat.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray))
     v.filter(!isTestVec)
       .withColumn("max_test_sim",
-        graft.functions.VectorFunctions.maxCosine(col("v"), testMat))
+        graft.functions.VectorFunctions.maxCosineBc(col("v"), bcMat))
       .filter(col("max_test_sim") < SemDecontamThreshold)
       .select(col("vec_id"), col("label"), col("max_test_sim"))
       .orderBy(col("vec_id"))

@@ -60,6 +60,41 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("max-cosine: broadcast and literal forms agree; zero-norm pairs propagate NaN") {
+    VectorFunctions.register(spark)
+    val mat = Array(Array(1.0, 0.0), Array(0.6, 0.8))
+    val bc = spark.sparkContext.broadcast(mat)
+    val df = Seq((1L, Array(3.0, 4.0)), (2L, Array(-1.0, 1.0)),
+      (3L, Array(0.0, 0.0))).toDF("id", "v")
+    val got = df.select(col("id"),
+      VectorFunctions.maxCosineBc(col("v"), bc).as("m_bc"),
+      VectorFunctions.maxCosine(col("v"), mat).as("m_lit"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // both forms identical on every row (codegen path)
+    got.values.foreach { case (b, l) =>
+      assert(b == l || (b.isNaN && l.isNaN), s"bc=$b lit=$l") }
+    // (3,4)·(0.6,0.8)/5 = 1.0 exactly; zero-norm input → NaN, not
+    // Math.round(NaN)=0 masquerading as "orthogonal"
+    assert(got(1L)._1 == 1.0)
+    assert(got(3L)._1.isNaN)
+    // a zero-norm REFERENCE row poisons every probe — matches DuckDB's
+    // NaN-greatest max() ordering
+    val bcBad = spark.sparkContext.broadcast(Array(Array(1.0, 0.0), Array(0.0, 0.0)))
+    val gotBad = df.select(VectorFunctions.maxCosineBc(col("v"), bcBad).as("m"))
+      .collect().map(_.getDouble(0))
+    assert(gotBad.forall(_.isNaN), gotBad.toSeq.toString)
+    // interpreted path (no codegen) agrees with the codegen path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def interp(v: Array[Double], m: Array[Array[Double]]): Double =
+      graft.functions.MaxCosineSim(
+        Literal.create(v, ArrayType(DoubleType)), m)
+        .eval(null).asInstanceOf[Double]
+    assert(interp(Array(3.0, 4.0), mat) == 1.0)
+    assert(interp(Array(0.0, 0.0), mat).isNaN)
+    assert(interp(Array(3.0, 4.0), Array(Array(0.0, 0.0))).isNaN)
+  }
+
   test("LSH near-dup connects a planted near-dup cluster to its representative") {
     // plant a 5-member cluster of nearly-parallel vectors among noise;
     // banded sign-LSH + star edges must link every member to the
