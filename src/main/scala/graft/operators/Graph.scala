@@ -53,9 +53,74 @@ object Graph {
     */
   def connectedComponents(
       vertices: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val lock = confLocks.getOrBuild(vertices.sparkSession, ())(new Object)
-    lock.synchronized {
-      connectedComponentsLoop(vertices, edges, maxRounds)
+    val (labels, changed, _) = propagate(vertices, edges, maxRounds)
+    // the loop always converges in <= component-diameter rounds, so the
+    // cap is a runaway backstop, not an expected exit: hitting it means
+    // TRUNCATED (wrong) labels. This is a public operator — a caller
+    // without an oracle behind it would silently consume wrong component
+    // ids off a WARN, so exhaustion throws instead (ADVICE r7)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents hit maxRounds=$maxRounds before convergence " +
+          s"($changed labels still changing) — labels would be truncated; raise maxRounds")
+    labels
+  }
+
+  /** Round budget for [[components]]' propagation probe: the first
+    * round stacks 4 hops and later rounds 2, so 6 rounds cover
+    * component diameter ≤ ~14 — comfortably past every hub-shaped
+    * dedup-bucket graph (diameter ≤ ~4 in practice) while capping the
+    * worst-case wasted work on a deep graph at 6 cheap label rounds
+    * before the structural plan takes over.
+    */
+  val ComponentsProbeRounds: Int = 6
+
+  /** Auto-selecting exact connected components — the plan choice the
+    * r11 verdict asked the OPERATOR to own instead of its callers:
+    * propagation rounds scale with component diameter (best plan for
+    * the hub-shaped graphs dedup actually produces; each round moves
+    * only |V| labels over a pinned edge list), while large-star/
+    * small-star converges in O(log² n) rounds regardless of diameter
+    * but rewrites the full edge multiset every round. No cheap static
+    * stat predicts diameter, so the most predictive graph stat is
+    * measured directly: the probe RUNS propagation under a
+    * [[ComponentsProbeRounds]] budget, and its convergence IS the
+    * decision. If the budget exhausts, nothing is thrown away — the
+    * partial labels are a valid contraction (every vertex already
+    * holds the min id of its ≤k-hop neighborhood, and each true
+    * component minimum m keeps label m), so the escalation runs
+    * large-star/small-star on the CONTRACTED residual graph (one
+    * label-join per endpoint + distinct — typically far smaller than
+    * the input edge list, since the probe has already collapsed every
+    * shallow component to a point) and composes the result through the
+    * probe labels. Measured r12 on the sf1 rehearsal graph (50k
+    * vertices / 823k edges, hub-shaped): all plans land in 5–10 s —
+    * propagation 6.9 s, star rewrite 9.3 s, auto 5–10 s — so on the
+    * graphs this engine actually produces the probe converges and auto
+    * ≈ propagation; the escalation exists for the deep-component
+    * regime (GraphSpec plants diameter-59 chains), where the probe's
+    * bounded waste buys an O(log² n)-round finish instead of rounds ∝
+    * diameter.
+    */
+  def components(vertices: DataFrame, edges: DataFrame,
+      probeRounds: Int = ComponentsProbeRounds, maxRounds: Int = 50): DataFrame = {
+    val (labels, changed, _) = propagate(vertices, edges, probeRounds)
+    if (changed == 0) labels
+    else {
+      // contract: rewrite each edge endpoint to its probe label; edges
+      // internal to an already-collapsed region vanish in the filter
+      val lbl = labels
+      val contracted = edges
+        .join(lbl.select(col("id").as("src"), col("component").as("cu")), Seq("src"))
+        .join(lbl.select(col("id").as("dst"), col("component").as("cv")), Seq("dst"))
+        .select(col("cu").as("src"), col("cv").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val contractedVerts = lbl.select(col("component").as("id")).distinct()
+      val roots = largeSmallStarComponents(contractedVerts, contracted, maxRounds)
+      lbl.select(col("id"), col("component").as("probe_component"))
+        .join(roots.select(col("id").as("probe_component"), col("component")),
+          Seq("probe_component"))
+        .select(col("id"), col("component"))
     }
   }
 
@@ -64,8 +129,19 @@ object Graph {
     */
   private val confLocks = new graft.SessionCache[Unit, Object]()
 
-  private def connectedComponentsLoop(
-      vertices: DataFrame, edges: DataFrame, maxRounds: Int): DataFrame = {
+  /** The budgeted propagation loop shared by [[connectedComponents]]
+    * (which throws on budget exhaustion) and [[components]] (which
+    * escalates). Returns (labels, stillChanging, roundsRun) — labels
+    * are EXACT iff stillChanging == 0, otherwise a valid contraction.
+    */
+  private def propagate(vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int): (DataFrame, Long, Int) = {
+    val lock = confLocks.getOrBuild(vertices.sparkSession, ())(new Object)
+    lock.synchronized { propagateLoop(vertices, edges, maxRounds) }
+  }
+
+  private def propagateLoop(
+      vertices: DataFrame, edges: DataFrame, maxRounds: Int): (DataFrame, Long, Int) = {
     // symmetrized edges PLUS a self-loop per vertex. The self-loops are
     // the load-bearing trick (profiled r8): they make one propagation
     // hop a single join + min-aggregate that references the label frame
@@ -198,16 +274,7 @@ object Graph {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set("spark.sql.shuffle.partitions", partsWas)
     }
-    // the loop always converges in <= component-diameter rounds, so the
-    // cap is a runaway backstop, not an expected exit: hitting it means
-    // TRUNCATED (wrong) labels. This is a public operator — a caller
-    // without an oracle behind it would silently consume wrong component
-    // ids off a WARN, so exhaustion throws instead (ADVICE r7)
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents hit maxRounds=$maxRounds before convergence " +
-          s"($changed labels still changing) — labels would be truncated; raise maxRounds")
-    labels
+    (labels, changed, rounds)
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
@@ -316,10 +383,13 @@ object Graph {
     * them with a recursive-CTE transitive closure, so this query
     * cross-checks the whole propagation loop with no pinned artifact
     * (the technique [[DedupOracles.minhashDedup]] applies to the hashed
-    * pipeline, applied here hash-free).
+    * pipeline, applied here hash-free). Benches the AUTO-selecting
+    * [[components]] — the probe-then-escalate plan — so the headline
+    * number reflects the plan the operator actually picks at each
+    * scale, not a caller-frozen variant (VERDICT r11 #2).
     */
   def docComponents(s: SparkSession, d: String): DataFrame =
-    docComponentsWith(s, d)((v, e) => connectedComponents(v, e))
+    docComponentsWith(s, d)((v, e) => components(v, e))
 
   /** [[docComponents]] computed by [[largeSmallStarComponents]] instead
     * of label propagation — same exact components, so it shares the same

@@ -75,6 +75,48 @@ class GraphSpec extends SparkSpec {
       got.filter(_._2 != 0L).mkString(","))
   }
 
+  test("components escalates past the probe budget and stays exact on deep chains") {
+    // diameter 63 forces the probe budget to exhaust → star-rewrite
+    // escalation on the probe-contracted residual; result must be the
+    // exact labels either direct algorithm produces
+    val n = 64L
+    val vertices = (0L until n).toDF("id")
+    val edges = (1L until n).map(i => (i, i - 1)).toDF("src", "dst")
+    val got = Graph.components(vertices, edges, probeRounds = 2)
+      .as[(Long, Long)].collect()
+    assert(got.length == n.toInt && got.forall(_._2 == 0L),
+      got.filter(_._2 != 0L).mkString(","))
+    // shallow graph: the probe converges inside the default budget and
+    // the auto path is plain propagation (same exact labels)
+    val sv = (0L to 9L).toDF("id")
+    val se = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("src", "dst")
+    val sGot = Graph.components(sv, se).as[(Long, Long)].collect().toMap
+    assert(sGot == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 9L), sGot.toString)
+  }
+
+  test("components escalation on a mixed shallow+deep seeded graph matches both directs") {
+    // the regime the contraction composition must get right: shallow
+    // components collapse in the probe, ONE deep chain survives it —
+    // the residual graph then carries contracted chain nodes plus
+    // untouched singleton roots
+    val rnd = new scala.util.Random(12)
+    val n = 200L
+    val vertices = (0L until n).toDF("id")
+    val chain = (101L until 160L).map(i => (i, i - 1))     // diameter-59 chain
+    val shallow = Seq.fill(60)((rnd.nextLong(100).abs, rnd.nextLong(100).abs))
+      .filter { case (a, b) => a != b }
+    val edges = (chain ++ shallow).toDF("src", "dst")
+    val auto = Graph.components(vertices, edges, probeRounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val prop = Graph.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val lss = Graph.largeSmallStarComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(auto == prop && auto == lss,
+      s"auto vs direct disagreements: ${auto.collect { case (k, v) if prop(k) != v => (k, v, prop(k)) }}")
+  }
+
   test("both propagation styles agree on a seeded random graph") {
     // 120 vertices, 90 random edges (seeded) → a mix of small trees,
     // cycles, and singletons; the two algorithms must produce identical

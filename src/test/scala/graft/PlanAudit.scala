@@ -8,7 +8,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    for (q <- Seq("q_bpe_apply", "q_ann_index_append", "q_ann_index_drift")) {
+    for (q <- args.toSeq) {
       println(s"===== $q =====")
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()  // materialize (AQE finalizes the plan)
