@@ -43,7 +43,38 @@ object BpeTrain {
   /** Merge rounds learned (vocab size = alphabet + Rounds). */
   val Rounds = 16
 
+  /** Rounds for the deep-induction query — past
+    * [[DistributedRoundsMax]], so it exercises the driver-side path.
+    */
+  val DeepRounds = 64
+
+  /** Largest round count run as per-round distributed aggregations.
+    * Each distributed round is a driver-launched job over the vocab
+    * table: fine at 16, but a production tokenizer needs 30k+ merges —
+    * 30k sequential Spark jobs is hours of scheduler overhead alone
+    * (VERDICT r11 #3). Past this threshold [[learnMerges]] collects the
+    * (vocab-bound by construction) frequency table and induces the
+    * merges driver-side with incrementally-maintained pair counts —
+    * the classic tokenizer-trainer algorithm, whose per-round cost is
+    * the words CONTAINING the merged pair, not the vocab. The
+    * distributed formulation stays the small-R path because the oracle
+    * replays it round-by-round; BpeTrainSpec pins that both paths
+    * produce IDENTICAL merges on the same corpus and round count.
+    */
+  val DistributedRoundsMax = 16
+
+  /** Fail-loud bound on the driver-side vocab collect: distinct
+    * lowercase words, each a short string + freq. 10M rows ≈ a few
+    * hundred MB driver-side — the scale real web corpora produce after
+    * lowercasing ([a-z]+ tokens only). A corpus past the cap should
+    * min-frequency-prune its vocab first (standard BPE practice —
+    * hapax words cannot win an argmax round against any repeated pair
+    * unless the alphabet is near-exhausted) rather than raise it.
+    */
+  val DriverVocabCap: Int = 10000000
+
   val MergesPath: String = graft.Artifacts.path("bpe_merges")
+  val DeepMergesPath: String = graft.Artifacts.path("bpe_merges_deep")
 
   /** Distinct lowercase words with corpus frequency and initial
     * char-split state. The single corpus-scale shuffle.
@@ -68,33 +99,125 @@ object BpeTrain {
         expr("transform(sequence(0, size(l)-2), i -> l[i] || ' ' || l[i+1])")).as("pair"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
 
-  private def learnMerges(s: SparkSession, d: String): Seq[Merge] =
-    mergeCache.getOrBuild(s, d) {
-      val base = vocab(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      base.count()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-      var states = base
-      var r = 1
-      var exhausted = false
-      while (r <= Rounds && !exhausted) {
-        val top = pairCounts(states)
-          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val pair = top(0).getString(0)
-          val cnt = top(0).getLong(1)
-          val Array(a, b) = pair.split(" ", 2)
-          merges += Merge(r, a, b, cnt)
-          // functions.replace = the exact leftmost non-overlapping scan
-          // DuckDB's replace performs — NOT a regex
-          states = states.withColumn("seq",
-            replace(col("seq"), lit(s" $a $b "), lit(s" $a$b ")))
-          r += 1
+  private[graft] def learnMerges(s: SparkSession, d: String, rounds: Int = Rounds): Seq[Merge] =
+    mergeCache.getOrBuild(s, s"$d#$rounds") {
+      if (rounds <= DistributedRoundsMax) learnDistributed(s, d, rounds)
+      else learnDriverSide(s, d, rounds)
+    }
+
+  private def learnDistributed(s: SparkSession, d: String, rounds: Int): Seq[Merge] = {
+    val base = vocab(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var states = base
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = pairCounts(states)
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += Merge(r, a, b, cnt)
+        // functions.replace = the exact leftmost non-overlapping scan
+        // DuckDB's replace performs — NOT a regex
+        states = states.withColumn("seq",
+          replace(col("seq"), lit(s" $a $b "), lit(s" $a$b ")))
+        r += 1
+      }
+    }
+    base.unpersist()
+    merges.toSeq
+  }
+
+  /** Driver-side induction over the collected frequency table — ONE
+    * corpus-scale Spark job total (the vocab aggregation), then pure
+    * driver compute, so 30k merges cost zero scheduler overhead.
+    * Semantics are IDENTICAL to the distributed loop by construction:
+    * word states are the same spaced strings and each merge applies
+    * via Java `String.replace`, the exact leftmost non-overlapping
+    * scan `functions.replace` and DuckDB `replace` perform (including
+    * the documented deferred second merge on `a b a b`). Pair counts
+    * are maintained INCREMENTALLY: a round recounts only the words
+    * containing the merged pair (tracked in an occurrence index), and
+    * the argmax pops from a TreeSet ordered (cnt DESC, pair ASC) —
+    * per-round cost ∝ affected words, not vocab, which is what makes
+    * a 30k-round production vocabulary tractable.
+    */
+  private def learnDriverSide(s: SparkSession, d: String, rounds: Int): Seq[Merge] = {
+    val collected = vocab(s, d).select(col("seq"), col("freq"))
+      .limit(DriverVocabCap + 1).collect()
+    require(collected.length <= DriverVocabCap,
+      s"BPE driver-side vocab exceeds $DriverVocabCap distinct words — " +
+        "min-frequency-prune the vocab first (see DriverVocabCap scaladoc)")
+    val seqs = collected.map(_.getString(0))
+    val freqs = collected.map(_.getLong(1))
+
+    def pairsOf(seq: String): Array[String] = {
+      val syms = seq.trim.split(" ")
+      if (syms.length < 2) Array.empty
+      else Array.tabulate(syms.length - 1)(i => syms(i) + " " + syms(i + 1))
+    }
+
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    val index = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Set[Int]]
+    // TreeSet keyed (−cnt, pair): head is the (cnt DESC, pair ASC) argmax
+    implicit val ord: Ordering[(Long, String)] =
+      Ordering.Tuple2(Ordering.Long.reverse, Ordering.String)
+    val heap = scala.collection.mutable.TreeSet.empty[(Long, String)]
+    def bump(pair: String, delta: Long): Unit = {
+      val old = counts.getOrElse(pair, 0L)
+      if (old != 0L) heap.remove((old, pair))
+      val nw = old + delta
+      if (nw == 0L) counts.remove(pair)
+      else { counts(pair) = nw; heap.add((nw, pair)) }
+    }
+    var i = 0
+    while (i < seqs.length) {
+      val f = freqs(i)
+      pairsOf(seqs(i)).foreach { p =>
+        bump(p, f)
+        index.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+      }
+      i += 1
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    while (r <= rounds && heap.nonEmpty) {
+      val (cnt, pair) = heap.head
+      val Array(a, b) = pair.split(" ", 2)
+      merges += Merge(r, a, b, cnt)
+      // pull the entry out FIRST: the apply loop re-registers any word
+      // where the merged pair survives its own round (the deferred
+      // `a b a b` case), so after the loop the index holds exactly the
+      // deferred occurrences — removing afterwards would orphan them
+      val affected = index.remove(pair)
+        .getOrElse(scala.collection.mutable.Set.empty[Int])
+      affected.foreach { w =>
+        val before = pairsOf(seqs(w))
+        val after0 = seqs(w).replace(s" $a $b ", s" $a$b ")
+        if (after0 != seqs(w)) {
+          val after = pairsOf(after0)
+          seqs(w) = after0
+          val f = freqs(w)
+          before.foreach(bump(_, -f))
+          after.foreach { p =>
+            bump(p, f)
+            index.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += w
+          }
         }
       }
-      base.unpersist()
-      merges.toSeq
+      // stale index entries (a pair broken by an INTERVENING merge) are
+      // harmless: counts are exact via the multiset deltas, the index
+      // only scopes which words a round must touch, and the no-op
+      // replace check skips words the pair has left
+      r += 1
     }
+    merges.toSeq
+  }
 
   /** The learned merge table: one row per round with the merged symbol
     * and its count at learn time. Driver-small by construction (the
@@ -102,16 +225,37 @@ object BpeTrain {
     * ran as [[Rounds]] distributed aggregations.
     */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
-    val ms = learnMerges(s, d)
-    import s.implicits._
-    val out = ms.toDF("merge_round", "lft", "rgt", "cnt")
-      .select(col("merge_round"), col("lft"), col("rgt"),
-        concat(col("lft"), col("rgt")).as("merged"), col("cnt"))
-      .orderBy(col("merge_round"))
+    val out = mergesDf(s, learnMerges(s, d))
     graft.Artifacts.writeOnce(s, d, "bpe_merges") {
       out.coalesce(1).write.mode("overwrite").parquet(MergesPath)
     }
     out
+  }
+
+  /** [[bpeTrain]] at [[DeepRounds]] — past [[DistributedRoundsMax]],
+    * so the induction runs DRIVER-SIDE over the collected frequency
+    * table (one corpus-scale job, zero per-round scheduler cost). The
+    * oracle replays the whole 64-round induction from the pinned
+    * merges with the same recursive CTE as `q_bpe_train`, recomputing
+    * every round's argmax independently — so the incremental
+    * pair-count bookkeeping (the part that makes 30k-round production
+    * vocabularies tractable) is verified round-by-round against the
+    * from-scratch definition, not trusted.
+    */
+  def bpeTrainDeep(s: SparkSession, d: String): DataFrame = {
+    val out = mergesDf(s, learnMerges(s, d, DeepRounds))
+    graft.Artifacts.writeOnce(s, d, "bpe_merges_deep") {
+      out.coalesce(1).write.mode("overwrite").parquet(DeepMergesPath)
+    }
+    out
+  }
+
+  private def mergesDf(s: SparkSession, ms: Seq[Merge]): DataFrame = {
+    import s.implicits._
+    ms.toDF("merge_round", "lft", "rgt", "cnt")
+      .select(col("merge_round"), col("lft"), col("rgt"),
+        concat(col("lft"), col("rgt")).as("merged"), col("cnt"))
+      .orderBy(col("merge_round"))
   }
 
   /** Tokenize the corpus under the learned merges — the apply step
@@ -149,6 +293,7 @@ object BpeTrain {
 
   lazy val defs: Map[String, QueryDef] = Map(
     "q_bpe_train" -> QueryDef(bpeTrain, Some(BpeOracles.bpeTrain)),
+    "q_bpe_train_deep" -> QueryDef(bpeTrainDeep, Some(BpeOracles.bpeTrainDeep)),
     "q_bpe_apply" -> QueryDef(bpeApply, Some(BpeOracles.bpeApply)))
 }
 
@@ -160,10 +305,15 @@ object BpeTrain {
   */
 object BpeOracles {
 
-  val bpeTrain: String =
+  /** Full-induction replay, parameterized over the pinned-merge
+    * artifact and round bound so the distributed (`q_bpe_train`) and
+    * driver-side (`q_bpe_train_deep`) trainers are held to the SAME
+    * round-by-round argmax definition.
+    */
+  private def trainReplay(mergesPath: String, rounds: Int): String =
     s"""WITH RECURSIVE m AS (
        |  SELECT merge_round, lft, rgt
-       |  FROM read_parquet('${BpeTrain.MergesPath}/*.parquet')),
+       |  FROM read_parquet('$mergesPath/*.parquet')),
        |base AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
        |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
@@ -198,8 +348,11 @@ object BpeOracles {
        |  str_split(pair, ' ')[1] || str_split(pair, ' ')[2] AS merged,
        |  cnt
        |FROM ranked
-       |WHERE rn = 1 AND r < ${BpeTrain.Rounds}
+       |WHERE rn = 1 AND r < $rounds
        |ORDER BY merge_round""".stripMargin
+
+  val bpeTrain: String = trainReplay(BpeTrain.MergesPath, BpeTrain.Rounds)
+  val bpeTrainDeep: String = trainReplay(BpeTrain.DeepMergesPath, BpeTrain.DeepRounds)
 
   /** [[BpeTrain.bpeApply]] replayed from the pinned merges: the same
     * recursive state CTE to the FINAL round, per-word token counts,

@@ -94,6 +94,37 @@ class BpeTrainSpec extends SparkSpec {
     got.foreach { case (_, nw, nt, nc) => assert(nw <= nt && nt <= nc) }
   }
 
+  test("driver-side deep induction matches the naive reference and the distributed path") {
+    val docs = Seq(
+      "the cat sat on the mat with the hat",
+      "thin then there they them the the",
+      "xyxy xyxy zaza zaza zaza",
+      "aa ab aa ab ba ba",
+      "banana bandana ban bans and bananas abound")
+    val dir = writeDocs(docs)
+    // past DistributedRoundsMax → the driver-side incremental trainer;
+    // the naive reference recounts every pair from scratch each round,
+    // so agreement verifies the incremental bookkeeping round-by-round
+    val deep = BpeTrain.learnMerges(spark, dir, rounds = 40)
+      .map(m => (m.round, m.lft, m.rgt, m.cnt))
+    val expected = naiveBpe(docs, 40)
+    assert(deep == expected,
+      s"deep drift:\n got=${deep.mkString("\n     ")}\n exp=${expected.mkString("\n     ")}")
+    // the two engine paths agree exactly on their shared prefix: the
+    // first DistributedRoundsMax merges of the deep run ARE the
+    // distributed run (argmax is history-determined, so prefix
+    // equality is exact path equivalence at equal rounds)
+    val dist = BpeTrain.learnMerges(spark, dir, BpeTrain.DistributedRoundsMax)
+      .map(m => (m.round, m.lft, m.rgt, m.cnt))
+    assert(deep.take(dist.length) == dist,
+      s"path divergence:\n deep=${deep.take(dist.length)}\n dist=$dist")
+    // exhaustion: a corpus whose pairs run out stops early, same as
+    // the distributed loop's empty-argmax exit
+    val tiny = writeDocs(Seq("ab ab ab"))
+    val ex = BpeTrain.learnMerges(spark, tiny, rounds = 50)
+    assert(ex.nonEmpty && ex.size < 50, s"expected early exhaustion, got ${ex.size}")
+  }
+
   test("fixture corpus learns the full round budget deterministically") {
     val m1 = BpeTrain.bpeTrain(spark, sf)
       .as[(Int, String, String, String, Long)].collect().toSeq
