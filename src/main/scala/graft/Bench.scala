@@ -121,16 +121,23 @@ object Bench {
         q.stop(); hist.unpersist()
         secs
       }
-      try {
-        run(500) // warm
-        val n = 50000
-        val secs = run(n)
-        runAnomaly(500) // warm
-        val na = 50000
-        val secsA = runAnomaly(na)
-        s""""streaming":{"pipeline":"memstream_parse_foreachBatch","rows":$n,"sec":${fmt(secs)},"rows_per_sec":${fmt(n / secs)}},""" +
+      // each streaming bench owns its try: a failure in one must not
+      // discard the other's already-valid measurement (ADVICE r11)
+      val parseJson =
+        try {
+          run(500) // warm
+          val n = 50000
+          val secs = run(n)
+          s""""streaming":{"pipeline":"memstream_parse_foreachBatch","rows":$n,"sec":${fmt(secs)},"rows_per_sec":${fmt(n / secs)}},"""
+        } catch { case NonFatal(_) => s""""streaming":"error",""" }
+      val anomalyJson =
+        try {
+          runAnomaly(500) // warm
+          val na = 50000
+          val secsA = runAnomaly(na)
           s""""streaming_anomaly":{"pipeline":"memstream_parse_zscore_sink","rows":$na,"sec":${fmt(secsA)},"rows_per_sec":${fmt(na / secsA)}},"""
-      } catch { case NonFatal(_) => s""""streaming":"error",""" }
+        } catch { case NonFatal(_) => s""""streaming_anomaly":"error",""" }
+      parseJson + anomalyJson
     }
 
     val full = line(qJson(results.toSeq), s""""n_queries":${results.size},$streamJson""")

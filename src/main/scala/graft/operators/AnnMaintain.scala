@@ -185,14 +185,20 @@ object AnnMaintain {
     val neu = assignCells(v.filter(isDelta), cdf)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_new"), round(avg(col("d2")), 4).as("mean_d2_new"))
-    val per = old.join(neu, Seq("cell"), "left")
-      .na.fill(0L, Seq("n_new"))
+    // FULL outer: a frozen cell with zero at-rest members but appended
+    // vectors is the strongest retrain signal there is — a left join
+    // dropped it from the report (and from the avg_total denominator)
+    // entirely (ADVICE r11). Null mean_d2_old on such a cell flags
+    // immediate retrain.
+    val per = old.join(neu, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
       .withColumn("n_total", col("n_old") + col("n_new"))
     val totals = per.groupBy().agg(
       (sum(col("n_total")).cast("double") / count(lit(1))).as("avg_total"))
     per.crossJoin(broadcast(totals))
       .withColumn("retrain",
         col("n_total") > lit(SkewFactor) * col("avg_total") ||
+          col("mean_d2_old").isNull ||
           (col("mean_d2_new").isNotNull &&
             col("mean_d2_new") > lit(DriftFactor) * col("mean_d2_old")))
       .select(col("cell"), col("n_old"), col("n_new"),
@@ -271,14 +277,15 @@ object AnnMaintainOracles {
               s"SELECT vec_id, v FROM e WHERE ${AnnMaintain.deltaSql}")})
        |  GROUP BY cell),
        |per AS (
-       |  SELECT o.cell, o.n_old, coalesce(n.n_new, 0) AS n_new,
+       |  SELECT cell, coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new,
        |    o.mean_d2_old, n.mean_d2_new,
-       |    o.n_old + coalesce(n.n_new, 0) AS n_total
-       |  FROM old o LEFT JOIN neu n USING (cell)),
+       |    coalesce(o.n_old, 0) + coalesce(n.n_new, 0) AS n_total
+       |  FROM old o FULL OUTER JOIN neu n USING (cell)),
        |tot AS (
        |  SELECT CAST(sum(n_total) AS DOUBLE) / count(*) AS avg_total FROM per)
        |SELECT cell, n_old, n_new, mean_d2_old, mean_d2_new,
        |  (n_total > ${AnnMaintain.SkewFactor} * avg_total
+       |   OR mean_d2_old IS NULL
        |   OR (mean_d2_new IS NOT NULL
        |       AND mean_d2_new > ${AnnMaintain.DriftFactor} * mean_d2_old)) AS retrain
        |FROM per CROSS JOIN tot
