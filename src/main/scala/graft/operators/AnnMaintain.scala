@@ -47,7 +47,7 @@ object AnnMaintain {
   val CentroidsPath: String = graft.Artifacts.path("annx_centroids")
   val CodebooksPath: String = graft.Artifacts.path("annx_codebooks")
 
-  private final case class Frozen(
+  private[graft] final case class Frozen(
       centroids: Seq[(Int, Seq[Double])],
       codebooks: Seq[(Int, Int, Seq[Double])])
 
@@ -66,30 +66,39 @@ object AnnMaintain {
     m.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
   }
 
+  /** Full quantizer fit over an arbitrary (vec_id, v) corpus frame —
+    * coarse centroids + PQ codebooks, same seeds/params as the original
+    * index build. Shared by the frozen at-rest fit and the
+    * drift-triggered rebuild ([[maintainOnDrift]]).
+    */
+  private[graft] def fitQuantizers(corpus: DataFrame): Frozen = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.clustering.KMeans
+    val df = corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    val cents = fitCells(df)
+    val withSubs = (0 until Similarity.PqM).foldLeft(df) { (acc, m) =>
+      acc.withColumn(s"fs_$m", array_to_vector(
+        slice(col("v"), m * Similarity.PqSubDim + 1, Similarity.PqSubDim)))
+    }
+    val books = for {
+      m <- 0 until Similarity.PqM
+      model = new KMeans().setK(Similarity.PqK).setSeed(42L + m).setMaxIter(10)
+        .setFeaturesCol(s"fs_$m").setPredictionCol(s"code_$m")
+        .fit(withSubs)
+      (ctr, c) <- model.clusterCenters.zipWithIndex
+    } yield (m, c, ctr.toArray.toSeq)
+    df.unpersist()
+    Frozen(cents, books)
+  }
+
   /** Frozen structures: coarse centroids + PQ codebooks, fit on the
     * AT-REST split only (the delta never existed when they trained).
     */
   private def frozen(s: SparkSession, d: String): Frozen =
     frozenCache.getOrBuild(s, d) {
-      import org.apache.spark.ml.functions.array_to_vector
-      import org.apache.spark.ml.clustering.KMeans
-      val atRest = Similarity.vecs(s, d).filter(!isDelta)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      atRest.count()
-      val cents = fitCells(atRest)
-      val withSubs = (0 until Similarity.PqM).foldLeft(atRest) { (df, m) =>
-        df.withColumn(s"fs_$m", array_to_vector(
-          slice(col("v"), m * Similarity.PqSubDim + 1, Similarity.PqSubDim)))
-      }
-      val books = for {
-        m <- 0 until Similarity.PqM
-        model = new KMeans().setK(Similarity.PqK).setSeed(42L + m).setMaxIter(10)
-          .setFeaturesCol(s"fs_$m").setPredictionCol(s"code_$m")
-          .fit(withSubs)
-        (ctr, c) <- model.clusterCenters.zipWithIndex
-      } yield (m, c, ctr.toArray.toSeq)
-      atRest.unpersist()
-      Frozen(cents, books)
+      fitQuantizers(Similarity.vecs(s, d).filter(!isDelta))
     }
 
   private def pinFrozen(s: SparkSession, d: String, fz: Frozen): Unit =
@@ -179,10 +188,20 @@ object AnnMaintain {
     pinFrozen(s, d, fz)
     val cdf = s.createDataFrame(fz.centroids).toDF("cell", "centroid")
     val v = Similarity.vecs(s, d).select(col("vec_id"), col("v"))
-    val old = assignCells(v.filter(!isDelta), cdf)
+    driftReport(v.filter(!isDelta), v.filter(isDelta), cdf)
+  }
+
+  /** The drift report core over arbitrary at-rest / appended (vec_id, v)
+    * frames and a centroid frame — [[annIndexDrift]] wires it to the
+    * fixture split; [[maintainOnDrift]] reuses it against whatever
+    * index generation is currently live.
+    */
+  private[graft] def driftReport(
+      atRest: DataFrame, batch: DataFrame, cdf: DataFrame): DataFrame = {
+    val old = assignCells(atRest, cdf)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_old"), round(avg(col("d2")), 4).as("mean_d2_old"))
-    val neu = assignCells(v.filter(isDelta), cdf)
+    val neu = assignCells(batch, cdf)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_new"), round(avg(col("d2")), 4).as("mean_d2_new"))
     // FULL outer: a frozen cell with zero at-rest members but appended
@@ -204,6 +223,62 @@ object AnnMaintain {
       .select(col("cell"), col("n_old"), col("n_new"),
         col("mean_d2_old"), col("mean_d2_new"), col("retrain"))
       .orderBy(col("cell"))
+  }
+
+  /** Drift-triggered rebuild (VERDICT r11 item 5) — the monitor is no
+    * longer report-only. Runs [[driftReport]] for `batch` against the
+    * sidecars at `centroidsPath`/`codebooksPath`; if ANY cell flags
+    * retrain, refits BOTH quantizer levels on at-rest ∪ batch with the
+    * original build parameters and atomically swaps the pinned sidecars
+    * (write-aside then directory rename — readers see either the old
+    * generation or the new one, never a partial write; on an object
+    * store the same protocol runs through a manifest pointer).
+    *
+    * Returns (rebuilt?, report rows) so callers can log the decision.
+    * Scale shape: the report is the one corpus-wide scan the monitor
+    * already paid; the refit — the expensive step — runs ONLY when
+    * triggered, which is the entire point of monitoring drift instead
+    * of rebuilding on a timer.
+    */
+  def maintainOnDrift(
+      s: SparkSession,
+      atRest: DataFrame,
+      batch: DataFrame,
+      centroidsPath: String = CentroidsPath,
+      codebooksPath: String = CodebooksPath): (Boolean, Array[org.apache.spark.sql.Row]) = {
+    val cdf = s.read.parquet(centroidsPath)
+    val report = driftReport(atRest, batch, cdf).collect()
+    val rebuilt = report.exists(_.getAs[Boolean]("retrain"))
+    if (rebuilt) {
+      val fz = fitQuantizers(atRest.union(batch))
+      swapSidecar(s, s.createDataFrame(fz.centroids).toDF("cell", "centroid"), centroidsPath)
+      swapSidecar(s, s.createDataFrame(fz.codebooks).toDF("m", "c", "centroid"), codebooksPath)
+    }
+    (rebuilt, report)
+  }
+
+  /** Write `df` beside `livePath` then rename into place: retire the
+    * live generation to `<path>_prev` (dropped after the swap) and
+    * promote the new one with a directory rename — the only
+    * non-instantaneous step is a metadata op.
+    */
+  private def swapSidecar(s: SparkSession, df: DataFrame, livePath: String): Unit = {
+    val next = new java.io.File(livePath + "_next")
+    val prev = new java.io.File(livePath + "_prev")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(next); rm(prev)
+    df.coalesce(1).write.mode("overwrite").parquet(next.getPath)
+    val live = new java.io.File(livePath)
+    if (live.exists() && !live.renameTo(prev))
+      sys.error(s"sidecar swap: could not retire $livePath")
+    if (!next.renameTo(live)) {
+      prev.renameTo(live) // roll back to the old generation
+      sys.error(s"sidecar swap: could not promote ${next.getPath}")
+    }
+    rm(prev)
   }
 
   lazy val defs: Map[String, QueryDef] = Map(

@@ -148,4 +148,125 @@ class AnnMaintainSpec extends SparkSpec {
     assert(ri >= 8, s"incremental recall $ri/15 below absolute floor")
     all.unpersist(); incr.unpersist(); rebuilt.unpersist()
   }
+
+  test("drift monitor triggers a rebuild that recovers recall on a drifted batch") {
+    val all = vecs.persist()
+    val atRest = all.filter(!isDelta).select(col("vec_id"), col("v"))
+    // drifted batch: the delta split pushed off the at-rest manifold by
+    // a constant offset — a region the frozen quantizers never saw.
+    // Half the batch arrives now (triggers the rebuild), half arrives
+    // after (proves the new generation absorbed the shift). The 0.5
+    // magnitude is the DriftProbeMain-measured regime where the frozen
+    // Voronoi boundaries cut the drifted region into ~3 cells (recall
+    // collapses at nprobe=1) while a rebuild gives it one dedicated
+    // cell — larger offsets degenerate the OTHER way (the whole batch
+    // collapses into one frozen cell, recall survives by accidental
+    // brute force and only the scan cost explodes).
+    val drifted = all.filter(isDelta)
+      .select(col("vec_id"), expr("transform(v, x -> x + 0.5d)").as("v"))
+    // NB: Gamma ≡ 1 (mod 20), so delta membership means vec_id ≡ 7
+    // (mod 20) — every small-modulus split of vec_id itself is
+    // degenerate; key the arrival split on the quotient instead
+    val driftA = drifted.filter(floor(col("vec_id") / 20) % 2 === 0)
+    val driftB = drifted.filter(floor(col("vec_id") / 20) % 2 === 1)
+
+    // generation 0: fit on at-rest only, pinned to SPEC-LOCAL sidecars
+    // (the fixture's oracle-pinned sidecars must not see this swap)
+    val fz = AnnMaintain.fitQuantizers(atRest)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annx-swap").toString
+    val (cPath, bPath) = (s"$tmp/cents", s"$tmp/books")
+    val cdfFrozen = spark.createDataFrame(fz.centroids).toDF("cell", "centroid")
+    cdfFrozen.coalesce(1).write.parquet(cPath)
+    spark.createDataFrame(fz.codebooks).toDF("m", "c", "centroid")
+      .coalesce(1).write.parquet(bPath)
+
+    def d2Flags(rows: Seq[org.apache.spark.sql.Row]): Int = rows.count { r =>
+      val dOld = Option(r.getAs[java.lang.Double]("mean_d2_old")).map(_.toDouble)
+      val dNew = Option(r.getAs[java.lang.Double]("mean_d2_new")).map(_.toDouble)
+      (dOld.isEmpty && r.getAs[Long]("n_new") > 0) ||
+        (dOld.nonEmpty && dNew.exists(_ > AnnMaintain.DriftFactor * dOld.get))
+    }
+
+    // drift fires on the quantizer-decay condition specifically (not
+    // just occupancy skew), and the maintain call swaps the sidecars
+    val (rebuilt, report) = AnnMaintain.maintainOnDrift(spark, atRest, driftA, cPath, bPath)
+    assert(rebuilt, "drifted batch did not trigger a rebuild")
+    assert(d2Flags(report.toSeq) > 0,
+      s"no cell flagged quantizer decay:\n${report.mkString("\n")}")
+
+    // the swapped-in generation differs: some centroid now sits in the
+    // drifted region (its coordinate mean tracks the +0.5 offset, well
+    // above anything the at-rest-only generation has)
+    val cdfNew = spark.read.parquet(cPath)
+    def maxCoordMean(cdf: DataFrame): Double =
+      cdf.select(max(expr(
+        "aggregate(centroid, 0D, (a, x) -> a + x) / size(centroid)"))).head.getDouble(0)
+    val (mmF, mmN) = (maxCoordMean(cdfFrozen), maxCoordMean(cdfNew))
+    assert(mmN > mmF + 0.2,
+      s"no rebuilt centroid tracks the drifted region (frozen $mmF, rebuilt $mmN)")
+
+    // a later batch from the same drifted distribution is ABSORBED by
+    // the rebuilt generation: its assignment distance collapses from
+    // ~||offset||^2 under the frozen centroids to the intra-cluster
+    // spread under the rebuilt ones. (A zero-flag assertion on the
+    // report would be brittle — the 1.5x ratio over 5-row cell means is
+    // sample noise at this fixture size — the order-of-magnitude
+    // distance drop is the robust form of the same claim.)
+    val union = atRest.union(driftA)
+    def avgAssignD2(df: DataFrame, cdf: DataFrame): Double =
+      AnnMaintain.assignCells(df, cdf).agg(avg(col("d2"))).head.getDouble(0)
+    val (dFrozen, dNew) = (avgAssignD2(driftB, cdfFrozen), avgAssignD2(driftB, cdfNew))
+    assert(dNew < dFrozen / 5,
+      s"rebuilt generation did not absorb the drift: $dNew vs frozen $dFrozen")
+    // and no rebuilt cell is in the pathological zero-at-rest state
+    val report2 = AnnMaintain.driftReport(union, driftB, cdfNew).collect().toSeq
+    assert(report2.forall(r => r.getAs[Long]("n_old") > 0),
+      s"rebuilt index has an at-rest-empty cell:\n${report2.mkString("\n")}")
+
+    // recall on drifted queries at nprobe=1: the rebuilt generation must
+    // recover what the frozen one loses
+    val q = driftB.orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = union.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("cos"), 9).desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+    def recall1(cdf: DataFrame): Int = {
+      val assigned = AnnMaintain.assignCells(union, cdf)
+        .select(col("vec_id"), col("v"), col("cell"))
+      val probes = q.crossJoin(broadcast(cdf))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(round(col("d2"), 9).asc, col("cell"))))
+        .filter(col("crank") === 1)
+        .select(col("query_id"), col("qv"), col("cell"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", VectorFunctions.cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(round(col("cos"), 9).desc, col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("vec_id"))
+        .as[(Long, Long)].collect()
+        .count { case (qid, vid) => exact(qid)(vid) }
+    }
+    val (rFrozen, rRebuilt) = (recall1(cdfFrozen), recall1(cdfNew))
+    // the recovery claim: the frozen generation's Voronoi boundaries
+    // scatter the drifted neighborhoods (measured 4/15); the rebuilt
+    // generation restores them (measured 15/15)
+    assert(rRebuilt >= rFrozen + 5,
+      s"rebuild recall $rRebuilt did not recover over frozen $rFrozen")
+    assert(rRebuilt >= 12, s"post-rebuild recall $rRebuilt/15 below floor")
+    all.unpersist()
+  }
 }
