@@ -39,8 +39,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     import scala.util.control.NonFatal
+    // `runMain graft.Bench streaming` = streaming benches only (dev
+    // loop for the throughput records, skips the query suite)
+    val streamOnly = args.sameElements(Array("streaming"))
     val qs =
-      if (args.isEmpty) SparkEntry.benchQueries
+      if (streamOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else if (args.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter { case (n, _) => args.contains(n) }
     qs.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case NonFatal(_) => () }
@@ -53,13 +57,28 @@ object Bench {
     // the total, so the headline can't silently understate. Fatal JVM
     // errors (OOM etc.) propagate: NonFatal only.
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = qs.map { case (name, fn) =>
+    val allTimes = qs.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case NonFatal(_) => errors += name; None }
       }
-      name -> (if (times.nonEmpty) Some(times.min) else None)
+      name -> times
+    }
+    val results = allTimes.map { case (n, ts) =>
+      n -> (if (ts.nonEmpty) Some(ts.min) else None)
+    }
+    // Artifact-backed queries measure a WARM pinned index by design
+    // (min-of-2 + writeOnce memo); their first timed run at sfDir is
+    // the one that BUILDS the artifact, so record it as the cold-start
+    // number beside the steady-state one (VERDICT r11 item 6). The
+    // sf0.001 warmup pass doesn't touch these caches — they're keyed
+    // by sfDir.
+    val coldTracked = Set(
+      "q_bpe_train", "q_bpe_train_deep", "q_embedding_lsh", "q_embedding_ivf",
+      "q_embedding_pq", "q_embedding_ivfpq", "q_ann_index_append", "q_ann_index_drift")
+    val cold = allTimes.collect {
+      case (n, ts) if coldTracked(n) && ts.nonEmpty => n -> Some(ts.head)
     }
     def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def qJson(m: Seq[(String, Option[Double])]): String =
@@ -77,8 +96,16 @@ object Bench {
     // sleep per line); this records the engine-side ceiling for
     // round-over-round comparison. A short warm pass absorbs streaming
     // machinery class-load so the timed number is steady-state.
-    val streamJson = if (args.nonEmpty) "" else {
+    val streamJson = if (args.nonEmpty && !streamOnly) "" else {
       import spark.implicits._
+      // Per-micro-batch plans are a few thousand rows: AQE's query-stage
+      // materialization and a 32-wide reduce are pure scheduling
+      // overhead at that size. A real deployment tunes its streaming
+      // session the same way; restored after the streaming benches.
+      val (aqe0, shuf0) = (spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       def wireLine(i: Int): String = {
         val min = (i / 60) % 60; val sec = i % 60
         f"""{"time_iso8601": "2025-07-25T10:$min%02d:$sec%02d+00:00", "remote_addr": "10.0.${i % 256}%d.${(i / 256) % 256}%d", "request": "GET /api/users/${i % 500}%d HTTP/1.1", "request_uri": "/api/users/${i % 500}%d", "status": "${if (i % 17 == 0) 500 else 200}%d", "request_time": "0.${i % 1000}%03d", "http_user_agent": "bench/1"}"""
@@ -137,10 +164,13 @@ object Bench {
           val secsA = runAnomaly(na)
           s""""streaming_anomaly":{"pipeline":"memstream_parse_zscore_sink","rows":$na,"sec":${fmt(secsA)},"rows_per_sec":${fmt(na / secsA)}},"""
         } catch { case NonFatal(_) => s""""streaming_anomaly":"error",""" }
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.shuffle.partitions", shuf0)
       parseJson + anomalyJson
     }
 
-    val full = line(qJson(results.toSeq), s""""n_queries":${results.size},$streamJson""")
+    val full = line(qJson(results.toSeq),
+      s""""n_queries":${results.size},"cold_start":${qJson(cold.toSeq)},$streamJson""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 

@@ -163,15 +163,16 @@ object StreamPipelines {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          val counts = batch.groupBy(col("remote_addr"))
-            .agg(count(lit(1)).as("request_count"),
-              avg(col("request_time_seconds")).as("avg_request_time"))
-          val scored = zscoreClassify(
-            counts.select(col("remote_addr"), col("request_count")),
-            histBaseline, "remote_addr")
-          sink(scored.filter(col("is_anomaly")), id)
-        }
+        // no batch.isEmpty pre-check: it costs a scheduled job on EVERY
+        // batch to save work only on idle-trigger empties — the sinks
+        // guard emptiness themselves (and pay it only when writing)
+        val counts = batch.groupBy(col("remote_addr"))
+          .agg(count(lit(1)).as("request_count"),
+            avg(col("request_time_seconds")).as("avg_request_time"))
+        val scored = zscoreClassify(
+          counts.select(col("remote_addr"), col("request_count")),
+          histBaseline, "remote_addr")
+        sink(scored.filter(col("is_anomaly")), id)
       }
       .start()
 
