@@ -272,7 +272,18 @@ object BpeTrain {
     * join on the word key — either way corpus text is never
     * re-tokenized per row.
     */
-  def bpeApply(s: SparkSession, d: String): DataFrame = {
+  def bpeApply(s: SparkSession, d: String): DataFrame =
+    bpeTokensOf(s, d, Tables.documents(s, d))
+
+  /** Token accounting under the frozen learned merges for any documents
+    * frame — [[bpeApply]] runs it corpus-wide; the incremental admission
+    * pipeline ([[TrainingPrep.corpusPrepDelta]]) runs it on the admitted
+    * batch alone. The word-level tokenization table is corpus-vocab-bound
+    * and amortized via the cached merges, so per-batch cost is the word
+    * explode + one vocab join.
+    */
+  private[operators] def bpeTokensOf(
+      s: SparkSession, d: String, docs: DataFrame): DataFrame = {
     val ms = learnMerges(s, d)
     val tokenized = ms.foldLeft(vocab(s, d)) { (df, mg) =>
       df.withColumn("seq",
@@ -280,7 +291,7 @@ object BpeTrain {
     }
       .select(col("word"), size(split(trim(col("seq")), " ")).as("n_tok"),
         length(col("word")).as("wchars"))
-    val docWords = Tables.documents(s, d)
+    val docWords = docs
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
     docWords.join(tokenized, Seq("word"))

@@ -159,6 +159,14 @@ object Dedup {
   private[operators] def minhashIndex(s: SparkSession, d: String): DataFrame =
     indexCache.getOrBuild(s, d)(minhashIndexOf(Tables.documents(s, d)))
 
+  /** Pin the full-corpus (doc_id, bands, grams) artifact without running
+    * a dedup query — consumers whose ORACLE replays banding/verification
+    * from the artifact ([[TrainingPrep.corpusPrepDelta]]) call this to
+    * guarantee the pin regardless of query execution order in a session.
+    */
+  private[operators] def ensureMinhashPinned(s: SparkSession, d: String): Unit =
+    pinMinhashIndex(s, d, minhashIndex(s, d))
+
   /** Per-doc dedup index (signatures + sorted gram hashes) for any
     * (doc_id, text) frame — the table-agnostic core of [[minhashIndex]].
     */

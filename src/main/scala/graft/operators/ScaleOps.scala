@@ -321,23 +321,27 @@ object ScaleOps {
     * cost); kept as strings here so the oracle replays them verbatim.
     */
   def ngramDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val n = 5
-    def gramsOf(df: DataFrame): DataFrame = df
-      .withColumn("ws", TextAnalysis.words)
-      .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
-        .as("g"))
     val docs = Tables.documents(s, d)
-    val benchGrams = gramsOf(docs.filter(graft.GoldenHash.isTestDoc(col("doc_id"))))
+    val benchGrams = wordGramsOf(docs.filter(graft.GoldenHash.isTestDoc(col("doc_id"))))
       .select(col("g")).distinct()
-    gramsOf(docs.filter(!graft.GoldenHash.isTestDoc(col("doc_id"))))
+    wordGramsOf(docs.filter(!graft.GoldenHash.isTestDoc(col("doc_id"))))
       .join(broadcast(benchGrams), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_grams_hit"),
         count(lit(1)).as("n_positions"))
       .orderBy(col("doc_id"))
   }
+
+  /** (doc_id, g) word n-grams of any documents frame — the shared gram
+    * projection of [[ngramDecontaminate]] and the incremental admission
+    * pipeline ([[TrainingPrep.corpusPrepDelta]]).
+    */
+  private[operators] def wordGramsOf(df: DataFrame, n: Int = 5): DataFrame = df
+    .withColumn("ws", TextAnalysis.words)
+    .filter(size(col("ws")) >= n)
+    .select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
+      .as("g"))
 
   /** Per-source document cap — the domain-cap admission rule of web
     * corpus prep ("keep at most N pages per domain"): an unbiased

@@ -61,9 +61,16 @@ object TextAnalysis {
     * stopword ratio, and a CASE quality gate — the length/punct/stopword
     * heuristics of C4/Gopher-style corpus filters.
     */
-  def textQuality(s: SparkSession, d: String): DataFrame = {
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    textQualityOf(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** Frame-parametric core of [[textQuality]] — the quality gate is
+    * stateless per-doc, so incremental admission
+    * ([[TrainingPrep.corpusPrepDelta]]) runs it on the batch alone.
+    */
+  private[operators] def textQualityOf(docs: DataFrame): DataFrame = {
     val stopCnt = occurrences(" the ") + occurrences(" a ") + occurrences(" and ")
-    Tables.documents(s, d)
+    docs
       .withColumn("n_tokens", nTokens.cast("int"))
       .withColumn("avg_token_len",
         round((length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4))
@@ -74,7 +81,6 @@ object TextAnalysis {
           .otherwise(lit("ok")))
       .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
         col("stopword_ratio"), col("quality"))
-      .orderBy(col("doc_id"))
   }
 
   /** Feature frame shared by [[modelQuality]]'s train and score paths:
@@ -581,7 +587,7 @@ object TextOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
+  private[operators] val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
 
   /** Same count/rank/cumsum algebra as [[TextAnalysis.vocabCoverage]];
     * the coverage ratio divides as DOUBLE in both dialects before the

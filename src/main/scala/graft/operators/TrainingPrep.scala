@@ -536,6 +536,70 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental corpus admission — the NIGHTLY-DELTA operational form
+    * of corpus prep at 100 TB: the at-rest corpus is NOT reprocessed;
+    * a new ingest batch (the [[graft.GoldenHash]] 5% delta split) is
+    * admitted against frozen at-rest artifacts. Stages, cheap→costly,
+    * each dropping rows before the next pays for them:
+    *
+    *   1. stateless quality gate ([[TextAnalysis.textQualityOf]] on the
+    *      batch alone — no corpus scan);
+    *   2. exact-duplicate drop vs at-rest (anti join on text; at fleet
+    *      scale the at-rest side is an md5-bucketed index — same plan,
+    *      hashed key);
+    *   3. near-duplicate admission via the BUCKETED at-rest minhash
+    *      index ([[Dedup.writeDedupIndex]] built once per corpus
+    *      version, [[Dedup.incrementalNearDups]] probe ∝ batch — the
+    *      index side never reshuffles);
+    *   4. benchmark 5-gram decontamination (benchmark gram set is
+    *      fixed-size → broadcast; batch side streams);
+    *   5. token accounting under the FROZEN learned BPE merges
+    *      ([[BpeTrain.bpeTokensOf]] — production tokenizers are frozen
+    *      long before ingest, so applying the pinned merges is exactly
+    *      the deployed semantics).
+    *
+    * The oracle replays the ENTIRE chain: quality thresholds, the
+    * anti joins, banding + gram verification from the pinned minhash
+    * artifact, benchmark gram probe, and the merge-steered
+    * tokenization recursion from the pinned merges.
+    */
+  def corpusPrepDelta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isDelta = graft.GoldenHash.bucket(col("doc_id"), 20) === 7
+    val delta = docs.filter(isDelta)
+    val atRest = docs.filter(!isDelta)
+
+    // at-rest artifacts: bucketed dedup index (probe side) + the pinned
+    // (bands, grams) parquet the ORACLE replays banding from — both
+    // once per (session, corpus version)
+    graft.Artifacts.writeOnce(s, d, "delta_dedup_index") {
+      Dedup.writeDedupIndex(atRest, "deltadx")
+    }
+    Dedup.ensureMinhashPinned(s, d)
+
+    val qualityOk = delta.join(
+      TextAnalysis.textQualityOf(delta)
+        .filter(col("quality") === "ok").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val exactClean = qualityOk
+      .join(atRest.select(col("text")), Seq("text"), "left_anti")
+    val nearClean = exactClean.join(
+      Dedup.incrementalNearDups(s, exactClean, "deltadx").select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val benchGrams = ScaleOps.wordGramsOf(
+      docs.filter(graft.GoldenHash.isTestDoc(col("doc_id"))))
+      .select(col("g")).distinct()
+    val admitted = nearClean.join(
+      ScaleOps.wordGramsOf(nearClean).join(broadcast(benchGrams), Seq("g"))
+        .select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    BpeTrain.bpeTokensOf(s, d, admitted)
+      .join(admitted.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        col("n_bpe_tokens"), col("n_letter_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // lazy: oracle objects reference operator constants (e.g. DedupOracles
   // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
   // object back -- would deadlock-null mid-initialization when a composed
@@ -557,6 +621,7 @@ object TrainingPrep {
     "q_corpus_prep2"      -> QueryDef(corpusPrep2, Some(TrainingOracles.corpusPrep2),
       headline = false),
     "q_corpus_prep4"      -> QueryDef(corpusPrep4, Some(TrainingOracles.corpusPrep4)),
+    "q_corpus_prep_delta" -> QueryDef(corpusPrepDelta, Some(TrainingOracles.corpusPrepDelta)),
     "q_corpus_prep3"      -> QueryDef(corpusPrep3, Some(TrainingOracles.corpusPrep3),
       headline = false),
     "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms)),
@@ -1025,4 +1090,105 @@ object TrainingOracles {
       |FROM docs d LEFT JOIN probed p USING (doc_id)
       |WHERE d.is_test
       |ORDER BY d.doc_id""".stripMargin
+
+  /** [[TrainingPrep.corpusPrepDelta]] replayed end-to-end: quality
+    * thresholds on the delta split, the exact-text anti join, minhash
+    * banding + gram-Jaccard verification from the pinned index
+    * artifact, the benchmark 5-gram probe, and the merge-steered BPE
+    * tokenization recursion from the pinned merges.
+    */
+  val corpusPrepDelta: String = {
+    val nt = TextOracles.nTokensSql
+    val g5 = "array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' ')"
+    s"""WITH RECURSIVE
+       |m AS (
+       |  SELECT merge_round, lft, rgt
+       |  FROM read_parquet('${BpeTrain.MergesPath}/*.parquet')),
+       |art AS (
+       |  SELECT doc_id, bands, grams
+       |  FROM read_parquet('${Dedup.MinhashIndexPath}/*.parquet')),
+       |delta AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  WHERE ${graft.GoldenHash.bucketSql("doc_id", 20)} = 7),
+       |atrest AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ${graft.GoldenHash.bucketSql("doc_id", 20)} <> 7),
+       |q AS (
+       |  SELECT doc_id, text, lang FROM (
+       |    SELECT doc_id, text, lang,
+       |      CAST($nt AS INT) AS n_tokens,
+       |      round(CAST(length(text) - ($nt - 1) AS DOUBLE) / $nt, 4) AS avg_token_len
+       |    FROM delta)
+       |  WHERE n_tokens >= 10 AND avg_token_len >= 2 AND avg_token_len <= 12),
+       |e2 AS (
+       |  SELECT q.* FROM q
+       |  WHERE NOT EXISTS (SELECT 1 FROM atrest a WHERE a.text = q.text)),
+       |banded AS (
+       |  SELECT doc_id, i AS band, bands[i + 1] AS key
+       |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i)),
+       |cand AS (
+       |  SELECT DISTINCT bd.doc_id, ba.doc_id AS idx_doc
+       |  FROM banded bd
+       |  JOIN banded ba USING (band, key)
+       |  JOIN e2 ON bd.doc_id = e2.doc_id
+       |  JOIN atrest ar ON ba.doc_id = ar.doc_id
+       |  WHERE bd.doc_id <> ba.doc_id),
+       |rej AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM cand c
+       |  JOIN art ga ON c.doc_id = ga.doc_id
+       |  JOIN art gb ON c.idx_doc = gb.doc_id
+       |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |        / (len(ga.grams) + len(gb.grams)
+       |           - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+       |e3 AS (
+       |  SELECT * FROM e2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
+       |ws3 AS (
+       |  SELECT doc_id, ${TextOracles.wordsSql} AS ws FROM e3),
+       |pos3 AS (
+       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+       |  FROM ws3 WHERE len(ws) >= 5),
+       |grams3 AS (SELECT doc_id, $g5 AS g FROM pos3),
+       |wsb AS (
+       |  SELECT doc_id, ${TextOracles.wordsSql} AS ws FROM documents
+       |  WHERE ${graft.GoldenHash.isTestDocSql}),
+       |posb AS (
+       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+       |  FROM wsb WHERE len(ws) >= 5),
+       |bench AS (SELECT DISTINCT $g5 AS g FROM posb),
+       |contaminated AS (
+       |  SELECT DISTINCT g3.doc_id FROM grams3 g3 JOIN bench b ON g3.g = b.g),
+       |e4 AS (
+       |  SELECT * FROM e3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |base AS (
+       |  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+       |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM e4)),
+       |states AS (
+       |  SELECT word, seq, 0 AS r FROM base
+       |  UNION ALL
+       |  SELECT s.word,
+       |    replace(s.seq, ' ' || m.lft || ' ' || m.rgt || ' ',
+       |            ' ' || m.lft || m.rgt || ' '),
+       |    s.r + 1
+       |  FROM states s JOIN m ON m.merge_round = s.r + 1),
+       |final AS (
+       |  SELECT word, CAST(len(str_split(trim(seq), ' ')) AS BIGINT) AS n_tok,
+       |    CAST(length(word) AS BIGINT) AS wchars
+       |  FROM states
+       |  WHERE r = (SELECT max(merge_round) FROM m)),
+       |docwords AS (
+       |  SELECT doc_id, lang,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM e4)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(f.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(f.wchars) AS BIGINT) AS n_letter_chars
+       |FROM docwords d JOIN final f USING (word)
+       |GROUP BY 1, 2
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -160,12 +160,23 @@ object LogStore {
     * no exchange.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int = 8): Unit =
+      buckets: Int = 8): Unit = {
+    // a managed table written by a PREVIOUS JVM leaves its warehouse
+    // directory behind while the fresh session's catalog has no entry —
+    // saveAsTable then refuses with LOCATION_ALREADY_EXISTS. Drop both
+    // the catalog entry and the default location before writing.
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Latest-wins upsert (MERGE-lite) into a [[writePartitioned]] store.
     *

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.TrainingPrep
+import graft.operators.{Dedup, ScaleOps, TrainingPrep}
 
 /** Invariant tests for the training-data prep operators (the DuckDB
   * oracle hash-check is the primary gate; these pin the semantic
@@ -226,5 +226,41 @@ class TrainingPrepSpec extends SparkSpec {
       assert(wids.head == 0L && wids.sameElements(wids.head to wids.last),
         s"sparse window ids: ${wids.take(10).toSeq}")
     }
+  }
+
+  test("corpusPrepDelta admission agrees with its constituent gates") {
+    val docs = Tables.documents(spark, sf)
+    val isDelta = GoldenHash.bucket(col("doc_id"), 20) === 7
+    val deltaIds = docs.filter(isDelta).select("doc_id").as[Long].collect().toSet
+    val admitted = TrainingPrep.corpusPrepDelta(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    // admitted ⊆ delta, and the dup-heavy fixture rejects a real majority
+    assert(admitted.subsetOf(deltaIds))
+    assert(admitted.nonEmpty && admitted.size < deltaIds.size,
+      s"degenerate funnel: ${admitted.size} of ${deltaIds.size}")
+    // no admitted doc is flagged by the corpus-wide n-gram
+    // decontamination gate (delta ⊆ train split by hash arithmetic)
+    val contaminated = ScaleOps.ngramDecontaminate(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert((admitted & contaminated).isEmpty,
+      s"admitted contaminated docs: ${(admitted & contaminated).take(5)}")
+    // no admitted doc shares text with the at-rest corpus
+    val atRestTexts = docs.filter(!isDelta).select("text").as[String].collect().toSet
+    val admittedTexts = docs.filter(col("doc_id").isin(admitted.toSeq: _*))
+      .select("text").as[String].collect()
+    assert(admittedTexts.forall(t => !atRestTexts(t)), "admitted an exact dup")
+    // rejected-by-near-dup docs really have an at-rest near-dup: spot
+    // check via the corpus-wide minhash components — every rejected doc
+    // that minhashDedup clusters must share its cluster with an at-rest
+    // doc OR have been dropped by an earlier stage
+    val clusters = Dedup.minhashDedup(spark, sf)
+      .select(col("doc_id"), col("kept_doc_id")).as[(Long, Long)].collect()
+    val byCluster = clusters.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+    val clusterOf = clusters.toMap
+    val rejected = deltaIds -- admitted
+    val withAtRestMate = rejected.filter { id =>
+      clusterOf.get(id).exists(c => (byCluster(c) - id).exists(!deltaIds(_)))
+    }
+    assert(withAtRestMate.nonEmpty, "no rejected doc shows an at-rest cluster mate")
   }
 }
