@@ -646,13 +646,37 @@ object Dedup {
 
   /** Probe a [[writeDedupIndex]] index with a new batch: near-duplicate
     * admission control. Candidates come from band-key equality against
-    * the bucketed band table; only candidates pay the exact
-    * merge-intersect Jaccard against the bucketed gram store. Returns
-    * one row per REJECTED new doc: its canonical existing duplicate
-    * (`dup_of` = min matching indexed id) and the best Jaccard. New
+    * the bucketed band table, PRUNED per (new doc, bucket) to at most
+    * ProbeCandPerBucket members instead of the full bucket membership.
+    * On a dup-heavy corpus a colliding bucket IS the new doc's
+    * duplicate cluster, so bucket occupancy grows with duplicate
+    * multiplicity and the unpruned probe is quadratic in it: the sf1
+    * rehearsal measured 231 s for the all-pairs probe vs ~8 s pruned,
+    * because every additional candidate ships a multi-KB gram array
+    * through the verify joins. Pruning keeps the candidate derivation
+    * ids-only (the heavy arrays attach to ≤ ProbeCandPerBucket·bands
+    * pairs per doc); precision stays exact (every emitted pair is
+    * gram-verified). The K members kept per bucket are the MINIMUM OF
+    * EACH id-residue class mod K: this includes the bucket minimum,
+    * spreads picks across a merged bucket's different dup clusters
+    * (id-ADJACENT picks measured 18% worse on the sf1 rehearsal — a
+    * probe id's bucket neighbors belong to OTHER clusters), and biases
+    * low, where keep-min-id canonicalization concentrates the cluster
+    * originals a fresh copy is most likely to verify against. Recall
+    * is spec-bounded ≥ 0.8 against unblocked exact truth.
+    *
+    * Returns one row per REJECTED new doc: its canonical existing
+    * duplicate (`dup_of` = min VERIFIED candidate id) and the best
+    * verified Jaccard — both over the pruned candidate set, which is
+    * deterministic and replayed verbatim by the DuckDB oracle. New
     * docs absent from the output are admitted; appending their own
     * index rows is the caller's follow-up write.
     */
+  /** Candidates verified per (new doc, band bucket) by the incremental
+    * probe — the per-id-residue-class minimums (see scaladoc above).
+    */
+  val ProbeCandPerBucket = 8
+
   def incrementalNearDups(s: SparkSession, newDocs: DataFrame,
       prefix: String): DataFrame = {
     val newIdx = minhashIndexOf(newDocs)
@@ -660,10 +684,27 @@ object Dedup {
     // (re-ingest, replay), the doc must not be flagged as a duplicate
     // of ITSELF at jaccard 1.0 — identical ids are the same document
     // by definition, so only cross-id candidates verify (ADVICE r6)
-    val cand = fusedBandKeys(newIdx)
+    val hits = fusedBandKeys(newIdx)
       .join(s.table(s"${prefix}_bands")
         .select(col("bkey"), col("doc_id").as("idx_doc")), Seq("bkey"))
       .filter(col("doc_id") =!= col("idx_doc"))
+    // K codegen'd conditional minimums, NOT a row_number window and NOT
+    // a typed top-K aggregate: the window has no partial aggregation
+    // (shuffles the full bucket membership — 213 s at sf1), and a
+    // TypedImperativeAggregate rides ObjectHashAggregate, which breaks
+    // whole-stage-codegen fusion with the band join (143 s: 400M joined
+    // rows each paying a boxed eval). Plain min(when(...)) aggregates
+    // fuse into the join's codegen stage, so bucket members stream
+    // through registers and only ≤ K longs per group ever materialize.
+    val cand = hits
+      .groupBy(col("doc_id"), col("bkey"))
+      .agg(
+        min(when(pmod(col("idx_doc"), lit(ProbeCandPerBucket)) === 0, col("idx_doc"))).as("c0"),
+        (1 until ProbeCandPerBucket).map(r =>
+          min(when(pmod(col("idx_doc"), lit(ProbeCandPerBucket)) === r, col("idx_doc"))).as(s"c$r")): _*)
+      .select(col("doc_id"), explode(array(
+        (0 until ProbeCandPerBucket).map(r => col(s"c$r")): _*)).as("idx_doc"))
+      .filter(col("idx_doc").isNotNull)
       .select(col("doc_id"), col("idx_doc")).distinct()
     cand
       .join(newIdx.select(col("doc_id"), col("grams").as("gn")), Seq("doc_id"))

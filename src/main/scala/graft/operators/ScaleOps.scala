@@ -333,10 +333,11 @@ object ScaleOps {
   }
 
   /** (doc_id, g) word n-grams of any documents frame — the shared gram
-    * projection of [[ngramDecontaminate]] and the incremental admission
-    * pipeline ([[TrainingPrep.corpusPrepDelta]]).
+    * projection of [[ngramDecontaminate]], the incremental admission
+    * pipeline ([[TrainingPrep.corpusPrepDelta]]), and the streaming
+    * admission gate ([[graft.streaming.StreamPipelines.streamingDecontaminate]]).
     */
-  private[operators] def wordGramsOf(df: DataFrame, n: Int = 5): DataFrame = df
+  private[graft] def wordGramsOf(df: DataFrame, n: Int = 5): DataFrame = df
     .withColumn("ws", TextAnalysis.words)
     .filter(size(col("ws")) >= n)
     .select(col("doc_id"), explode(expr(

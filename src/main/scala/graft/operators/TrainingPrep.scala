@@ -1126,13 +1126,18 @@ object TrainingOracles {
        |banded AS (
        |  SELECT doc_id, i AS band, bands[i + 1] AS key
        |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i)),
-       |cand AS (
-       |  SELECT DISTINCT bd.doc_id, ba.doc_id AS idx_doc
+       |hits AS (
+       |  SELECT bd.doc_id, bd.band, bd.key, ba.doc_id AS idx_doc
        |  FROM banded bd
        |  JOIN banded ba USING (band, key)
        |  JOIN e2 ON bd.doc_id = e2.doc_id
        |  JOIN atrest ar ON ba.doc_id = ar.doc_id
        |  WHERE bd.doc_id <> ba.doc_id),
+       |cand AS (
+       |  SELECT DISTINCT doc_id, idx_doc FROM (
+       |    SELECT doc_id, min(idx_doc) AS idx_doc
+       |    FROM hits
+       |    GROUP BY doc_id, band, key, idx_doc % ${Dedup.ProbeCandPerBucket})),
        |rej AS (
        |  SELECT DISTINCT c.doc_id
        |  FROM cand c

@@ -516,6 +516,38 @@ object StreamPipelines {
           sink(graft.operators.AnnMaintain.encodeBatch(batch, centroids, codebooks), id)
       }
       .start()
+
+  /** Streaming twin of [[graft.operators.ScaleOps.ngramDecontaminate]]
+    * — benchmark decontamination AT INGEST TIME, before a contaminated
+    * document ever reaches the at-rest corpus. Each micro-batch of
+    * (doc_id, text) is probed against the FIXED benchmark gram set
+    * (`benchGrams`, one `g` column — held-out suites are fixed-size,
+    * so it broadcasts as a plan constant; streaming state is EMPTY),
+    * and each contaminated doc goes to the sink with its hit counts —
+    * the same (doc_id, n_grams_hit, n_positions) verdict as the batch
+    * gate, so the two paths are interchangeable downstream. Per-batch
+    * cost ∝ batch grams; nothing scales with stream length.
+    */
+  def streamingDecontaminate(
+      docs: DataFrame,
+      benchGrams: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(
+          graft.operators.ScaleOps.wordGramsOf(batch)
+            .join(broadcast(benchGrams), Seq("g"))
+            .groupBy(col("doc_id"))
+            .agg(countDistinct(col("g")).as("n_grams_hit"),
+              count(lit(1)).as("n_positions")),
+          id)
+      }
+      .start()
 }
 
 /** One verified near-dup hit of [[StreamPipelines.streamingNearDedup]]:

@@ -248,6 +248,39 @@ class StreamingSpec extends SparkSpec {
       hits.toSeq.toString)
   }
 
+  test("streaming decontamination matches the batch gate verdict across batch boundaries") {
+    import spark.implicits._
+    // batch-gate ground truth at this SF: the corpus-wide train-side
+    // verdict (doc_id, n_grams_hit, n_positions)
+    val expected = graft.operators.ScaleOps.ngramDecontaminate(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture has no contaminated docs")
+    val benchGrams = graft.operators.ScaleOps.wordGramsOf(
+      Tables.documents(spark, sf).filter(GoldenHash.isTestDoc(col("doc_id"))))
+      .select(col("g")).distinct()
+    val train = Tables.documents(spark, sf)
+      .filter(!GoldenHash.isTestDoc(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val sunk = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val cp = java.nio.file.Files.createTempDirectory("graft-decontam-cp").toString
+    val q = StreamPipelines.streamingDecontaminate(
+      mem.toDF().toDF("doc_id", "text"), benchGrams,
+      (df, _) => sunk.synchronized { sunk ++= df.as[(Long, Long, Long)].collect() }, cp)
+    // two micro-batches: the verdict is per-doc stateless, so the split
+    // must not change anything
+    val (b1, b2) = train.splitAt(train.size / 2)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.toSet == expected,
+      s"streamed ${sunk.size} verdicts != batch ${expected.size}")
+  }
+
   test("ingest with dedupe window drops replayed duplicate request_ids") {
     val mem = MemoryStream[String](spark)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
