@@ -600,6 +600,49 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** Output shards for [[tokenShards]]. */
+  val NumShards = 8
+
+  /** Token-balanced output sharding — the training-shard writer's
+    * assignment step: spread documents across [[NumShards]] output
+    * shards so every shard carries a near-equal TOKEN total (data
+    * loaders read shards in parallel; a token-skewed shard is the
+    * straggler of every epoch). Count-balance is trivial
+    * (hash mod S — [[stratifiedSample]]'s trick); token balance is
+    * the real contract and naive hashing only converges on it slowly.
+    *
+    * Plan: band documents by token-count magnitude (bit length of
+    * n_tokens — integer algebra, NOT floor(log2(·)): float log2 of an
+    * exact power of two can land on either side of the integer in
+    * different engines), then assign serpentine within each band
+    * — rank docs per band (count desc, id asc), shard =
+    * snake(rank mod 2S) — so each shard receives the same number of
+    * docs ± 1 from every size band, and within-band count variance is
+    * bounded by the band's 2× size ratio. Deterministic, join-free,
+    * one window PARTITIONED BY BAND (never a global window: a global
+    * token-sorted snake would funnel the corpus through one
+    * partition — the exact plan shape [[graft.PlanGuardSpec]]
+    * forbids). At 100 TB bands are ~60 keys of corpus-scale rows;
+    * skew inside a band is handled by the same salting escalation as
+    * any windowed rank ([[ScaleOps.sourceCap]]'s documented path).
+    */
+  def tokenShards(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("band"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val snake = {
+      val r0 = row_number().over(w) - 1
+      val phase = (r0 % lit(2 * NumShards)).cast("int")
+      when(phase < NumShards, phase).otherwise(lit(2 * NumShards - 1) - phase)
+    }
+    Tables.documents(s, d)
+      .withColumn("n_tokens",
+        expr("length(text) - length(replace(text, ' ', '')) + 1").cast("bigint"))
+      .withColumn("band", (length(expr("bin(n_tokens)")) - 1).cast("int"))
+      .withColumn("shard", snake.cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("band"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   // lazy: oracle objects reference operator constants (e.g. DedupOracles
   // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
   // object back -- would deadlock-null mid-initialization when a composed
@@ -622,6 +665,7 @@ object TrainingPrep {
       headline = false),
     "q_corpus_prep4"      -> QueryDef(corpusPrep4, Some(TrainingOracles.corpusPrep4)),
     "q_corpus_prep_delta" -> QueryDef(corpusPrepDelta, Some(TrainingOracles.corpusPrepDelta)),
+    "q_token_shards"      -> QueryDef(tokenShards, Some(TrainingOracles.tokenShards)),
     "q_corpus_prep3"      -> QueryDef(corpusPrep3, Some(TrainingOracles.corpusPrep3),
       headline = false),
     "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms)),
@@ -1090,6 +1134,30 @@ object TrainingOracles {
       |FROM docs d LEFT JOIN probed p USING (doc_id)
       |WHERE d.is_test
       |ORDER BY d.doc_id""".stripMargin
+
+  /** [[TrainingPrep.tokenShards]] — identical whitespace token
+    * arithmetic, integer bit-length banding, per-band serpentine rank.
+    */
+  val tokenShards: String = {
+    val nt = TextOracles.nTokensSql
+    val s2 = 2 * TrainingPrep.NumShards
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST($nt AS BIGINT) AS n_tokens FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(length(bin(n_tokens)) - 1 AS INT) AS band
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, n_tokens, band,
+       |    CAST((row_number() OVER (PARTITION BY band
+       |      ORDER BY n_tokens DESC, doc_id ASC) - 1) % $s2 AS INT) AS phase
+       |  FROM b)
+       |SELECT doc_id, n_tokens, band,
+       |  CASE WHEN phase < ${TrainingPrep.NumShards} THEN phase
+       |       ELSE ${s2 - 1} - phase END AS shard
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** [[TrainingPrep.corpusPrepDelta]] replayed end-to-end: quality
     * thresholds on the delta split, the exact-text anti join, minhash
