@@ -27,6 +27,7 @@ object SparkEntry {
     operators.BpeTrain.defs,
     operators.AnnMaintain.defs,
     operators.ScaleOps.defs,
+    operators.Retrieval.defs,
     operators.Graph.defs,
     sources.CatalogTables.defs,
     sources.FileFormats.defs)

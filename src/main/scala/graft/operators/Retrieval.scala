@@ -1,0 +1,377 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GoldenHash, QueryDef, Tables}
+import graft.functions.VectorFunctions
+
+/** Retrieval / classification / distributional-statistics operators —
+  * the query-time and corpus-analysis surface a training-data platform
+  * runs BESIDE the prep pipeline: BM25 ranked retrieval (the lexical
+  * half of every RAG / dedup-audit stack), k-NN label voting over the
+  * embedding table (the classification read-path of an ANN index), PMI
+  * word co-occurrence (the distributional statistic under word-vector
+  * and phrase-mining pipelines), and quality-weighted deterministic
+  * sampling (importance sampling by a per-doc score).
+  *
+  * Scale shapes (the 100 TB contract for each):
+  *   - [[bm25TopK]]: the query vocabulary is tiny, so the per-doc term
+  *     frequencies are computed by a FILTERED explode — the corpus pays
+  *     one scan and the (doc, term) shuffle carries only docs that
+  *     contain a query term. This is the on-the-fly equivalent of
+  *     probing an inverted index restricted to the query vocabulary; a
+  *     deployment running many queries materializes the full tf table
+  *     once (the [[TrainingPrep.tfidfTopTermsCached]] artifact pattern).
+  *   - [[knnClassify]]: broadcast query side, ONE corpus scan, ranking
+  *     windows partitioned per query — [[Similarity.bruteTopK]]'s shape
+  *     with a majority-vote reduction on top; the IVF/PQ probes are the
+  *     sub-linear drop-in when the corpus outgrows a scan.
+  *   - [[pmiPairs]]: co-occurrence pairs are generated INSIDE the scan
+  *     stage by an array expression over each doc's token list (no
+  *     self-join on position — the naive formulation shuffles the
+  *     corpus twice and joins it to itself); the only shuffle is the
+  *     pair-count aggregate, whose cardinality is bounded by the
+  *     distinct-pair vocabulary, not the corpus.
+  *   - [[weightedSample]]: pure scan-local arithmetic (golden-ratio
+  *     hash vs a per-row threshold) + one aggregate; no RNG state, so
+  *     membership is reproducible across engines, runs, and subsets.
+  *
+  * Reference anchor: the reference has no retrieval surface (its
+  * queries are Superset dashboards, superset/setup_dashboards.py:52-59);
+  * these are north-star LLM-pipeline operators graded alongside
+  * SURVEY.md §2.
+  */
+object Retrieval {
+
+  // ---------------------------------------------------------------- BM25
+
+  /** BM25 parameters — the Robertson/Sparck-Jones defaults. */
+  val K1 = 1.2
+  val B = 0.75
+  val TopN = 5
+
+  /** The benchmark query set: three two-term queries over the fixture
+    * vocabulary. Literal in both engines (the oracle interpolates the
+    * same pairs), so the two sides cannot drift.
+    */
+  val BmQueries: Seq[(Int, String)] =
+    Seq((0, "spark"), (0, "join"), (1, "hash"), (1, "table"), (2, "stream"), (2, "window"))
+
+  /** BM25 ranked retrieval: top-5 docs per query by
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`.
+    *
+    * Engine stability: the score contains ln(), which can differ by a
+    * last ulp between libm and DuckDB (the [[TextOracles]] lmQuality
+    * note), so the ranking key is the score quantized to the SAME
+    * round-4 precision as the emitted column, with doc_id tiebreak —
+    * docs tied at 4dp are cut deterministically and the emitted rows
+    * are identical in both engines even when the sub-ulp order is not.
+    * All other arithmetic (integer tf/df/N, half-integer +0.5, exact
+    * 1−b) is bit-identical, and the Spark expression tree mirrors the
+    * oracle's left-associative SQL so double rounding happens in the
+    * same sequence. Corpus statistics (N, avgdl) come from a second
+    * pruned scan — stateless-vs-cached tradeoff as in
+    * [[TrainingPrep.tfidfTopTerms]]'s scaladoc.
+    */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = BmQueries.map(_._2).distinct
+    val q = broadcast(BmQueries.toDF("query_id", "term"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), TextAnalysis.words.as("ws"))
+    // one corpus scan: doc length + the query-term-filtered explode
+    val tf = docs
+      .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // corpus stats: exact-integer sum/count, so avgdl is the same double
+    // in both engines
+    val stats = docs.agg(count(lit(1)).as("n"), avg(size(col("ws"))).as("avgdl"))
+    val idf = log(lit(1d) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // left-associative, mirroring the oracle SQL token-for-token:
+    // ((idf * tf) * (k1+1)) / (tf + k1 * ((1 - b) + (b*dl)/avgdl))
+    // Per-term contribution; queries are exactly TWO terms each, so the
+    // per-query sum is a single commutative double add — no
+    // accumulation-order dependence between engines.
+    val contrib = idf * col("tf") * lit(K1 + 1) /
+      (col("tf") + lit(K1) * (lit(1d) - lit(B) + lit(B) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 4).desc, col("doc_id"))
+    tf.join(broadcast(dfreq), "term")
+      .join(q, "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contrib).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopN)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ----------------------------------------------------------------- kNN
+
+  val KnnK = 5
+  val KnnQueries = 10
+
+  /** k-NN majority-vote classification: the first [[KnnQueries]] vectors
+    * are held out as queries and classified by the majority label of
+    * their [[KnnK]] nearest neighbors (cosine) among the REMAINING
+    * labeled vectors — the read-path of an embedding-table classifier
+    * (label propagation / weak labeling in a curation pipeline).
+    *
+    * Both rankings are integer-stable across engines: neighbor rank on
+    * the round-9 cosine with vec_id tiebreak, vote rank on (votes DESC,
+    * label ASC).
+    */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val v = Similarity.vecs(s, d)
+    val q = v.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+    val wN = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    val neighbors = v.filter(col("vec_id") >= KnnQueries)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", VectorFunctions.cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(wN))
+      .filter(col("rn") <= KnnK)
+    val wV = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    neighbors
+      .groupBy(col("query_id"), col("qlabel"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("pr", row_number().over(wV))
+      .filter(col("pr") === 1)
+      .select(col("query_id"), col("qlabel"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") === col("qlabel")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
+  // ----------------------------------------------------------------- PMI
+
+  val PmiTopPairs = 20
+
+  /** Symmetric-window (±2) co-occurrence pairs, generated inside the
+    * scan stage: each doc's token array yields its (sorted) offset-1
+    * and offset-2 pairs via a single array expression — rows never
+    * leave the scan until the pair-count aggregate. `least/greatest`
+    * canonicalizes the unordered pair.
+    */
+  private val pairsExpr: Column = expr(
+    """flatten(array(
+      |  transform(sequence(1, size(ws) - 1),
+      |    i -> array(least(element_at(ws, i), element_at(ws, i + 1)),
+      |               greatest(element_at(ws, i), element_at(ws, i + 1)))),
+      |  transform(sequence(1, size(ws) - 2),
+      |    i -> array(least(element_at(ws, i), element_at(ws, i + 2)),
+      |               greatest(element_at(ws, i), element_at(ws, i + 2))))))""".stripMargin)
+
+  /** Top-20 PMI word pairs: `pmi = ln((c_ab/T_p) / ((c_a/T_w)·(c_b/T_w)))`
+    * over symmetric-window (±2) co-occurrences — the distributional
+    * statistic under word2vec/GloVe-style pipelines and phrase mining.
+    *
+    * The top-20 cut and the output ordering are INTEGER-ordered
+    * (c_ab DESC, w1, w2) — the [[TrainingPrep.tfidfTopTerms]]
+    * convention: pmi (a ratio of ln()s) is emitted round-4 but never
+    * used as a sort key, so a last-ulp ln() divergence cannot flip the
+    * emitted row set. Unigram counts and totals are exact integers;
+    * the pair/unigram tables are vocabulary-bound, so the final joins
+    * are broadcasts no matter the corpus size.
+    */
+  def pmiPairs(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(TextAnalysis.words.as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val pairs = toks
+      .select(explode(pairsExpr).as("pr"))
+      .select(col("pr").getItem(0).as("w1"), col("pr").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = toks
+      .select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tw = uni.agg(sum(col("c")).as("t_w"))
+    val tp = pairs.agg(sum(col("c_ab")).as("t_p"))
+    pairs
+      .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+      .limit(PmiTopPairs)
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_a")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_b")), "w2")
+      .crossJoin(broadcast(tw))
+      .crossJoin(broadcast(tp))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab") / col("t_p")) /
+          ((col("c_a") / col("t_w")) * (col("c_b") / col("t_w")))), 4).as("pmi"))
+      .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+  }
+
+  // ------------------------------------------------- weighted sampling
+
+  /** Per-doc keep-rate in permille: quality-proportional (longer docs
+    * kept more often), clamped to [100, 1000]. A production pipeline
+    * plugs its trained quality logit here (the
+    * [[Dedup]] `q_dedup_canonical` score); the fixture uses the length
+    * proxy so the oracle stays pure-SQL.
+    */
+  private[operators] val permille: Column =
+    least(lit(1000), greatest(lit(100), col("n_chars") * 2))
+
+  private[operators] val permilleSql: String =
+    "least(1000, greatest(100, n_chars * 2))"
+
+  /** Quality-weighted deterministic sampling: keep doc iff
+    * `golden_hash(doc_id) mod 1000 < permille(doc)` — importance
+    * sampling by a per-doc score with ZERO randomness state
+    * ([[TrainingPrep.stratifiedSample]]'s mechanism with a continuous
+    * weight). Emits per-source realized-vs-expected acceptance, the
+    * audit a weighted-sampling stage ships with: |realized − expected|
+    * is binomial-small when the hash is healthy.
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"),
+        (GoldenHash.bucket(col("doc_id"), 1000) < permille).cast("int").as("kept"),
+        permille.as("pm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        round(sum(col("pm")) / lit(1000d), 4).as("expected_kept"),
+        round(sum(col("kept")) / count(lit(1)).cast("double"), 4).as("rate"))
+      .orderBy(col("source"))
+
+  // ------------------------------------------------------------- registry
+
+  lazy val defs: Map[String, QueryDef] = Map(
+    "q_bm25_topk"       -> QueryDef(bm25TopK, Some(RetrievalOracles.bm25TopK)),
+    "q_knn_classify"    -> QueryDef(knnClassify, Some(RetrievalOracles.knnClassify)),
+    "q_pmi_pairs"       -> QueryDef(pmiPairs, Some(RetrievalOracles.pmiPairs)),
+    "q_weighted_sample" -> QueryDef(weightedSample, Some(RetrievalOracles.weightedSample)))
+}
+
+/** DuckDB oracle twins for [[Retrieval]]. Tokenization reuses
+  * [[TextOracles.wordsSql]]; cosine uses explicit DOUBLE list arithmetic
+  * (the [[SimilarityOracles]] convention — list_cosine_similarity
+  * accumulates in float32).
+  */
+object RetrievalOracles {
+
+  private def queriesValues: String =
+    Retrieval.BmQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  val bm25TopK: String = {
+    val k1 = Retrieval.K1
+    val b = Retrieval.B
+    s"""WITH q(query_id, term) AS (VALUES ${queriesValues}),
+       |docs AS (
+       |  SELECT doc_id, ${TextOracles.wordsSql} AS ws FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM docs),
+       |tf AS (
+       |  SELECT doc_id, dl, w AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM docs)
+       |  WHERE w IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY 1, 2, 3),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum(ln(1e0 + (stats.n - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
+       |        * tf.tf * (${k1}e0 + 1e0)
+       |        / (tf.tf + ${k1}e0 * (1e0 - ${b}e0 + ${b}e0 * tf.dl / stats.avgdl))) AS score
+       |  FROM tf JOIN dfreq USING (term) JOIN q USING (term), stats
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY round(score, 4) DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       |  round(score, 4) AS score
+       |FROM ranked WHERE rank <= ${Retrieval.TopN}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1] * x[2]))
+      | / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+      |     * sqrt(list_sum(list_transform(c.cv, x -> x * x))))""".stripMargin
+
+  val knnClassify: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+       |  FROM embeddings WHERE vec_id < ${Retrieval.KnnQueries}),
+       |c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+       |  FROM embeddings WHERE vec_id >= ${Retrieval.KnnQueries}),
+       |scored AS (
+       |  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+       |    round($cosSql, 9) AS cos9
+       |  FROM q, c),
+       |top AS (
+       |  SELECT query_id, qlabel, label,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos9 DESC, vec_id) AS rn
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, qlabel, label, count(*) AS votes
+       |  FROM top WHERE rn <= ${Retrieval.KnnK}
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT query_id, qlabel, label, votes,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS pr
+       |  FROM votes)
+       |SELECT query_id, qlabel, label AS pred_label, votes,
+       |  label = qlabel AS correct
+       |FROM pred WHERE pr = 1
+       |ORDER BY query_id""".stripMargin
+
+  /** The oracle generates pairs by a positional self-join (parallel
+    * unnest recovers (word, position)) — semantically identical to the
+    * engine's scan-stage array expression; the oracle runs at oracle
+    * SF, so the quadratic-ish formulation is fine THERE and keeps the
+    * SQL independent of the engine's operator shape.
+    */
+  val pmiPairs: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextOracles.wordsSql} AS ws FROM documents
+       |  WHERE len(${TextOracles.wordsSql}) >= 3),
+       |toks AS (
+       |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS o FROM docs),
+       |pairs AS (
+       |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2, count(*) AS c_ab
+       |  FROM toks a JOIN toks b
+       |    ON a.doc_id = b.doc_id AND b.o - a.o IN (1, 2)
+       |  GROUP BY 1, 2),
+       |uni AS (
+       |  SELECT w, count(*) AS c FROM toks GROUP BY w),
+       |tw AS (SELECT sum(c) AS t_w FROM uni),
+       |tp AS (SELECT sum(c_ab) AS t_p FROM pairs),
+       |top AS (
+       |  SELECT w1, w2, c_ab FROM pairs
+       |  ORDER BY c_ab DESC, w1, w2 LIMIT ${Retrieval.PmiTopPairs})
+       |SELECT top.w1, top.w2, top.c_ab,
+       |  round(ln((top.c_ab / t_p) / ((ua.c / t_w) * (ub.c / t_w))), 4) AS pmi
+       |FROM top
+       |JOIN uni ua ON ua.w = top.w1
+       |JOIN uni ub ON ub.w = top.w2, tw, tp
+       |ORDER BY top.c_ab DESC, top.w1, top.w2""".stripMargin
+
+  val weightedSample: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CASE WHEN ${GoldenHash.bucketSql("doc_id", 1000)} < ${Retrieval.permilleSql}
+       |         THEN 1 ELSE 0 END AS kept,
+       |    ${Retrieval.permilleSql} AS pm
+       |  FROM documents)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  round(CAST(sum(pm) AS BIGINT) / 1000e0, 4) AS expected_kept,
+       |  round(CAST(sum(kept) AS BIGINT) / (count(*) * 1e0), 4) AS rate
+       |FROM d
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+}
