@@ -170,6 +170,21 @@ object Retrieval {
       |    i -> array(least(element_at(ws, i), element_at(ws, i + 2)),
       |               greatest(element_at(ws, i), element_at(ws, i + 2))))))""".stripMargin)
 
+  /** [[pairsExpr]] plus each token as a `(w, NULL)` marker row — ONE
+    * explode feeds both the pair counts (w2 non-null) and the unigram
+    * counts (w2 null), so the corpus pays a single
+    * scan+tokenize+shuffle for both statistics.
+    */
+  private val pairsAndUnigramsExpr: Column = expr(
+    """flatten(array(
+      |  transform(sequence(1, size(ws) - 1),
+      |    i -> array(least(element_at(ws, i), element_at(ws, i + 1)),
+      |               greatest(element_at(ws, i), element_at(ws, i + 1)))),
+      |  transform(sequence(1, size(ws) - 2),
+      |    i -> array(least(element_at(ws, i), element_at(ws, i + 2)),
+      |               greatest(element_at(ws, i), element_at(ws, i + 2)))),
+      |  transform(ws, w -> array(w, CAST(NULL AS STRING)))))""".stripMargin)
+
   /** Top-20 PMI word pairs: `pmi = ln((c_ab/T_p) / ((c_a/T_w)·(c_b/T_w)))`
     * over symmetric-window (±2) co-occurrences — the distributional
     * statistic under word2vec/GloVe-style pipelines and phrase mining.
@@ -181,19 +196,39 @@ object Retrieval {
     * emitted row set. Unigram counts and totals are exact integers;
     * the pair/unigram tables are vocabulary-bound, so the final joins
     * are broadcasts no matter the corpus size.
+    *
+    * Plan shape: the corpus pays exactly ONE scan + tokenize + spread
+    * + explode + aggregate — pairs and unigrams ride the SAME explode
+    * ([[pairsAndUnigramsExpr]]'s null-marker trick) and split from the
+    * vocabulary-bound count table afterwards, whose exchange Spark
+    * reuses across the four consumers. The round-robin spread before
+    * the explode exists because pair-array construction is the
+    * per-row-heavy stage: without it the work runs at the input-split
+    * width (ONE core on the single-file fixture — the r8 shingle-stage
+    * lesson; 3.3× measured at the sf1 rehearsal), and at real scale it
+    * balances doc-length skew. Round-robin is safe here because every
+    * consumer is a partition-order-agnostic aggregate.
     */
   def pmiPairs(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val counted = Tables.documents(s, d)
       .select(TextAnalysis.words.as("ws"))
       .filter(size(col("ws")) >= 3)
-    val pairs = toks
-      .select(explode(pairsExpr).as("pr"))
+      .repartition(width)
+      .select(explode(pairsAndUnigramsExpr).as("pr"))
       .select(col("pr").getItem(0).as("w1"), col("pr").getItem(1).as("w2"))
       .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c_ab"))
-    val uni = toks
-      .select(explode(col("ws")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      // materialize the vocabulary-bound count table ONCE (the
+      // tfidfTopTermsCached pattern): the pair/unigram/total consumers
+      // differ only by a null-filter that Catalyst pushes BELOW the
+      // aggregate, which defeats exchange reuse and would re-run the
+      // corpus explode per consumer
+      .localCheckpoint(true)
+    val pairs = counted.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("cnt").as("c_ab"))
+    val uni = counted.filter(col("w2").isNull)
+      .select(col("w1").as("w"), col("cnt").as("c"))
     val tw = uni.agg(sum(col("c")).as("t_w"))
     val tp = pairs.agg(sum(col("c_ab")).as("t_p"))
     pairs
