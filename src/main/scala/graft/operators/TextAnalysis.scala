@@ -244,6 +244,59 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix: [[langId]]'s predictions crossed
+    * with the corpus's true label — (true, predicted, count, share of
+    * the true-lang row). The audit every classifier-gated pipeline
+    * ships beside the gate itself: recall per language is the diagonal
+    * share, and an off-diagonal swell says the marker heuristic is
+    * misrouting a language's documents. One scan (the langId
+    * projection), one lang-pair aggregate, and a broadcast join to the
+    * per-language totals — the matrix is |langs|² rows no matter the
+    * corpus size.
+    */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val pred = langId(s, d).select(col("lang"), col("predicted_lang"))
+    val totals = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    pred.groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "lang")
+      .select(col("lang"), col("predicted_lang"), col("n"),
+        round(col("n") / col("n_lang").cast("double"), 4).as("share"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  /** Per-source 3-gram diversity: the distinct/total type-token ratio
+    * — the corpus-level repetitiveness audit (the per-document
+    * twin is [[repetitionFilter]]'s distinct_ratio; self-BLEU-style
+    * generation audits reduce to the same statistic). Trigrams are
+    * built inside the scan stage by an array expression (one explode,
+    * no positional self-join), spread round-robin first because gram
+    * construction is per-row-heavy (the r8 single-split lesson).
+    * Exact countDistinct here is the oracle-checkable audit form; at
+    * 100 TB the same query swaps in approx_count_distinct (the
+    * [[graft.operators.ScaleOps]] `q_approx_distinct` pattern) when
+    * ±2% suffices.
+    */
+  def ngramDiversity(s: SparkSession, d: String): DataFrame = {
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val gramsExpr = expr(
+      """transform(sequence(1, size(ws) - 2),
+        |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+        |                 element_at(ws, i + 2)))""".stripMargin)
+    Tables.documents(s, d)
+      .select(col("source"), words.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .repartition(width)
+      .select(col("source"), explode(gramsExpr).as("g"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct_grams"),
+        round(countDistinct(col("g")) / count(lit(1)).cast("double"), 4)
+          .as("gram_diversity"))
+      .orderBy(col("source"))
+  }
+
   /** Positional rolling fingerprint: sum_i ascii(text[i]) * ((i mod 31)+1)
     * — a deterministic, locality-sensitive-ish document fingerprint
     * computed entirely inside codegen (sequence/transform/aggregate
@@ -520,6 +573,8 @@ object TextAnalysis {
     "q_text_quality" -> QueryDef(textQuality, Some(TextOracles.textQuality)),
     "q_model_quality" -> QueryDef(modelQuality, Some(TextOracles.modelQuality)),
     "q_lang_id"      -> QueryDef(langId, Some(TextOracles.langId)),
+    "q_lang_confusion" -> QueryDef(langConfusion, Some(TextOracles.langConfusion)),
+    "q_ngram_diversity" -> QueryDef(ngramDiversity, Some(TextOracles.ngramDiversity)),
     "q_doc_fingerprint" -> QueryDef(docFingerprint, Some(TextOracles.docFingerprint)))
 }
 
@@ -756,6 +811,59 @@ object TextOracles {
        |       ELSE 'unknown' END AS predicted_lang
        |FROM scores
        |ORDER BY doc_id""".stripMargin
+
+  /** [[TextAnalysis.langConfusion]]: the [[langId]] scores CTE reused,
+    * then the (true, predicted) matrix with per-true-lang shares.
+    */
+  val langConfusion: String =
+    s"""WITH scores AS (
+       |  SELECT doc_id, lang,
+       |    ${occSql(" the ")} + ${occSql(" and ")} + ${occSql(" a ")} AS score_en,
+       |    ${occSql(" el ")} + ${occSql(" la ")} + ${occSql(" y ")} AS score_es,
+       |    ${occSql(" der ")} + ${occSql(" und ")} + ${occSql(" die ")} AS score_de,
+       |    ${occSql(" le ")} + ${occSql(" et ")} + ${occSql(" la ")} AS score_fr
+       |  FROM documents),
+       |pred AS (
+       |  SELECT lang,
+       |    CASE WHEN score_en >= score_es AND score_en >= score_de
+       |              AND score_en >= score_fr AND score_en > 0 THEN 'en'
+       |         WHEN score_es >= score_de AND score_es >= score_fr
+       |              AND score_es > 0 THEN 'es'
+       |         WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+       |         WHEN score_fr > 0 THEN 'fr'
+       |         ELSE 'unknown' END AS predicted_lang
+       |  FROM scores),
+       |tot AS (SELECT lang, count(*) AS n_lang FROM pred GROUP BY lang)
+       |SELECT p.lang, p.predicted_lang, count(*) AS n,
+       |  round(count(*) / (min(t.n_lang) * 1e0), 4) AS share
+       |FROM pred p JOIN tot t USING (lang)
+       |GROUP BY p.lang, p.predicted_lang
+       |ORDER BY p.lang, p.predicted_lang""".stripMargin
+
+  /** [[TextAnalysis.ngramDiversity]]: trigrams via a positional
+    * self-join over parallel unnests (oracle-SF formulation; the engine
+    * builds them scan-stage).
+    */
+  val ngramDiversity: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, $wordsSql AS ws FROM documents
+       |  WHERE len($wordsSql) >= 3),
+       |toks AS (
+       |  SELECT doc_id, source, unnest(ws) AS w,
+       |    generate_subscripts(ws, 1) AS o
+       |  FROM docs),
+       |grams AS (
+       |  SELECT a.source, a.w || ' ' || b.w || ' ' || c.w AS g
+       |  FROM toks a
+       |  JOIN toks b ON a.doc_id = b.doc_id AND b.o = a.o + 1
+       |  JOIN toks c ON a.doc_id = c.doc_id AND c.o = a.o + 2)
+       |SELECT source,
+       |  count(*) AS n_grams,
+       |  count(DISTINCT g) AS n_distinct_grams,
+       |  round(count(DISTINCT g) / (count(*) * 1e0), 4) AS gram_diversity
+       |FROM grams
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 
   val docFingerprint: String =
     """WITH pos AS (

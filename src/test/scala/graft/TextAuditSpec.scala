@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Ground-truth tests for the corpus-audit operators (lang confusion
+  * matrix, n-gram diversity) — recomputed with plain Scala collections,
+  * independent of both the DataFrame plan and the DuckDB oracle.
+  */
+class TextAuditSpec extends SparkSpec {
+
+  test("langConfusion is the exact contingency table of langId's output") {
+    val pred = TextAnalysis.langId(spark, sf)
+      .select(col("lang"), col("predicted_lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val totals = pred.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = pred.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((l, p), n) => (l, p, n, n.toDouble / totals(l)) }
+      .sortBy(t => (t._1, t._2))
+    val got = TextAnalysis.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gl, gp, gn, gs), (el, ep, en, es)) =>
+      assert((gl, gp, gn) == (el, ep, en))
+      assert(math.abs(gs - es) < 1e-3)
+    }
+    // the matrix accounts for every document exactly once
+    assert(got.map(_._3).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("ngramDiversity matches plain-Scala trigram type-token ratios") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+      .filter(_._2.length >= 3)
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val grams = ds.flatMap { case (_, ws) =>
+        (0 until ws.length - 2).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+      }
+      (src, grams.length.toLong, grams.distinct.length.toLong)
+    }
+    val got = TextAnalysis.ngramDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gs, gn, gd, gr), (es, en, ed)) =>
+      assert((gs, gn, gd) == (es, en, ed))
+      assert(math.abs(gr - ed.toDouble / en) < 1e-3)
+    }
+  }
+}
