@@ -75,6 +75,33 @@ object Retrieval {
     * pruned scan — stateless-vs-cached tradeoff as in
     * [[TrainingPrep.tfidfTopTerms]]'s scaladoc.
     */
+  /** The ONE BM25 scoring tail, shared by the from-scratch and indexed
+    * forms (the `q_embedding_ivfpq` shared-builder stance — the two
+    * paths cannot drift). Input must carry (query_id, doc_id, tf, dl,
+    * df, n, avgdl).
+    *
+    * Arithmetic is left-associative, mirroring the oracle SQL
+    * token-for-token: ((idf·tf)·(k1+1)) / (tf + k1·((1−b)+(b·dl)/avgdl)).
+    * Queries are exactly TWO terms each, so the per-query sum is a
+    * single commutative double add — no accumulation-order dependence
+    * between engines.
+    */
+  private def bm25ScoreRank(joined: DataFrame): DataFrame = {
+    val idf = log(lit(1d) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * col("tf") * lit(K1 + 1) /
+      (col("tf") + lit(K1) * (lit(1d) - lit(B) + lit(B) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 4).desc, col("doc_id"))
+    joined
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contrib).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopN)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val terms = BmQueries.map(_._2).distinct
@@ -90,26 +117,76 @@ object Retrieval {
     // corpus stats: exact-integer sum/count, so avgdl is the same double
     // in both engines
     val stats = docs.agg(count(lit(1)).as("n"), avg(size(col("ws"))).as("avgdl"))
-    val idf = log(lit(1d) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    // left-associative, mirroring the oracle SQL token-for-token:
-    // ((idf * tf) * (k1+1)) / (tf + k1 * ((1 - b) + (b*dl)/avgdl))
-    // Per-term contribution; queries are exactly TWO terms each, so the
-    // per-query sum is a single commutative double add — no
-    // accumulation-order dependence between engines.
-    val contrib = idf * col("tf") * lit(K1 + 1) /
-      (col("tf") + lit(K1) * (lit(1d) - lit(B) + lit(B) * col("dl") / col("avgdl")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("score"), 4).desc, col("doc_id"))
-    tf.join(broadcast(dfreq), "term")
-      .join(q, "term")
-      .crossJoin(broadcast(stats))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(contrib).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopN)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("doc_id"), round(col("score"), 4).as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    bm25ScoreRank(
+      tf.join(broadcast(dfreq), "term")
+        .join(q, "term")
+        .crossJoin(broadcast(stats)))
+  }
+
+  // -------------------------------------------------- BM25 over an index
+
+  /** Pinned inverted-index artifacts: the postings list (term → (doc,
+    * tf, dl) — document length denormalized beside the posting, the
+    * impact-style layout that saves the probe a norms join) and the
+    * doc-length table (the norms store; also the source of N/avgdl).
+    * At 100 TB the postings table is BUCKETED BY term, so a probe's
+    * term-set join is partition pruning, and doclens is metadata the
+    * index build keeps beside it.
+    */
+  val Bm25PostingsPath: String = graft.Artifacts.path("bm25_postings")
+  val Bm25DoclensPath: String = graft.Artifacts.path("bm25_doclens")
+
+  private final case class Bm25Index(
+      postings: DataFrame, termStats: DataFrame, stats: DataFrame)
+
+  private val bm25Cache = new graft.SessionCache[String, Bm25Index]()
+
+  /** Build (once per session × sfDir) the full-vocabulary inverted
+    * index: ONE corpus scan → postings + the vocab-bound df sidecar +
+    * the 1-row corpus stats — the build-once/probe-many shape of
+    * [[Similarity]]'s IVF index, applied to lexical retrieval.
+    */
+  private def bm25Index(s: SparkSession, d: String): Bm25Index =
+    bm25Cache.getOrBuild(s, d) {
+      import org.apache.spark.storage.StorageLevel
+      val docs = Tables.documents(s, d).select(col("doc_id"), TextAnalysis.words.as("ws"))
+      val postings = docs
+        .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val doclens = docs.select(col("doc_id"), size(col("ws")).as("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      postings.count(); doclens.count() // build pays the scan, probes don't
+      val termStats = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val stats = doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      termStats.count(); stats.count()
+      graft.Artifacts.writeOnce(s, d, "bm25_index") {
+        postings.write.mode("overwrite").parquet(Bm25PostingsPath)
+        doclens.write.mode("overwrite").parquet(Bm25DoclensPath)
+      }
+      Bm25Index(postings, termStats, stats)
+    }
+
+  /** BM25 probe over the prebuilt [[bm25Index]]: identical output to
+    * [[bm25TopK]] (RetrievalSpec asserts row-for-row equality), but the
+    * probe touches ONLY the query terms' postings — no corpus scan, no
+    * tokenize; the per-query cost is the posting-list length, which is
+    * how retrieval runs when the corpus outgrows scanning. The oracle
+    * re-derives df and N/avgdl from the PINNED postings/doclens tables
+    * rather than trusting the engine's sidecars, so a build bug in
+    * either sidecar breaks the compare.
+    */
+  def bm25Indexed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = bm25Index(s, d)
+    val q = broadcast(BmQueries.toDF("query_id", "term"))
+    bm25ScoreRank(
+      idx.postings.join(q, "term")
+        .join(broadcast(idx.termStats), "term")
+        .crossJoin(broadcast(idx.stats)))
   }
 
   // ----------------------------------------------------------------- kNN
@@ -282,6 +359,7 @@ object Retrieval {
 
   lazy val defs: Map[String, QueryDef] = Map(
     "q_bm25_topk"       -> QueryDef(bm25TopK, Some(RetrievalOracles.bm25TopK)),
+    "q_bm25_indexed"    -> QueryDef(bm25Indexed, Some(RetrievalOracles.bm25Indexed)),
     "q_knn_classify"    -> QueryDef(knnClassify, Some(RetrievalOracles.knnClassify)),
     "q_pmi_pairs"       -> QueryDef(pmiPairs, Some(RetrievalOracles.pmiPairs)),
     "q_weighted_sample" -> QueryDef(weightedSample, Some(RetrievalOracles.weightedSample)))
@@ -297,22 +375,15 @@ object RetrievalOracles {
   private def queriesValues: String =
     Retrieval.BmQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
-  val bm25TopK: String = {
+  /** The ONE BM25 scoring tail (the Spark twin is
+    * [[Retrieval.bm25ScoreRank]]); both oracle variants append it after
+    * their own `q` / `tf` / `dfreq` / `stats` CTEs, so the flat and
+    * indexed oracles cannot drift.
+    */
+  private val bm25TailSql: String = {
     val k1 = Retrieval.K1
     val b = Retrieval.B
-    s"""WITH q(query_id, term) AS (VALUES ${queriesValues}),
-       |docs AS (
-       |  SELECT doc_id, ${TextOracles.wordsSql} AS ws FROM documents),
-       |stats AS (
-       |  SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM docs),
-       |tf AS (
-       |  SELECT doc_id, dl, w AS term, count(*) AS tf
-       |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM docs)
-       |  WHERE w IN (SELECT DISTINCT term FROM q)
-       |  GROUP BY 1, 2, 3),
-       |dfreq AS (
-       |  SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |scored AS (
+    s"""scored AS (
        |  SELECT q.query_id, tf.doc_id,
        |    sum(ln(1e0 + (stats.n - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
        |        * tf.tf * (${k1}e0 + 1e0)
@@ -329,6 +400,42 @@ object RetrievalOracles {
        |FROM ranked WHERE rank <= ${Retrieval.TopN}
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  val bm25TopK: String =
+    s"""WITH q(query_id, term) AS (VALUES ${queriesValues}),
+       |docs AS (
+       |  SELECT doc_id, ${TextOracles.wordsSql} AS ws FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM docs),
+       |tf AS (
+       |  SELECT doc_id, dl, w AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM docs)
+       |  WHERE w IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY 1, 2, 3),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |$bm25TailSql""".stripMargin
+
+  /** Replays the probe over the PINNED index: df and N/avgdl are
+    * re-derived from the pinned postings/doclens parquet (not the
+    * engine's in-memory sidecars), so a sidecar-build bug breaks the
+    * compare even though the probe itself reads only query-term rows.
+    */
+  val bm25Indexed: String =
+    s"""WITH q(query_id, term) AS (VALUES ${queriesValues}),
+       |p AS (
+       |  SELECT term, doc_id, dl, tf
+       |  FROM read_parquet('${Retrieval.Bm25PostingsPath}/*.parquet')),
+       |dls AS (
+       |  SELECT doc_id, dl FROM read_parquet('${Retrieval.Bm25DoclensPath}/*.parquet')),
+       |stats AS (
+       |  SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM p GROUP BY term),
+       |tf AS (
+       |  SELECT doc_id, dl, term, tf FROM p
+       |  WHERE term IN (SELECT DISTINCT term FROM q)),
+       |$bm25TailSql""".stripMargin
 
   private val cosSql =
     """list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1] * x[2]))

@@ -51,6 +51,18 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25Indexed reproduces the from-scratch ranking row-for-row") {
+    val flat = Retrieval.bm25TopK(spark, sf).collect().map(_.toSeq)
+    val indexed = Retrieval.bm25Indexed(spark, sf).collect().map(_.toSeq)
+    assert(indexed.toSeq == flat.toSeq)
+    // and the probe is served from the cached index (InMemoryTableScan),
+    // not a fresh corpus tokenize — the cached relation's plan STRING
+    // still prints its build lineage, so assert on the scan node type
+    val plan = Retrieval.bm25Indexed(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"indexed probe did not read the cached postings:\n$plan")
+  }
+
   test("knnClassify matches a plain-Scala k-NN vote") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
