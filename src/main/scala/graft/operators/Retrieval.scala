@@ -204,17 +204,12 @@ object Retrieval {
     * the round-9 cosine with vec_id tiebreak, vote rank on (votes DESC,
     * label ASC).
     */
-  def knnClassify(s: SparkSession, d: String): DataFrame = {
-    val v = Similarity.vecs(s, d)
-    val q = v.filter(col("vec_id") < KnnQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
-    val wN = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
-    val neighbors = v.filter(col("vec_id") >= KnnQueries)
-      .crossJoin(broadcast(q))
-      .withColumn("cos", VectorFunctions.cosine(col("qv"), col("v")))
-      .withColumn("rn", row_number().over(wN))
-      .filter(col("rn") <= KnnK)
+  /** The ONE majority-vote tail shared by the exact and IVF-probed
+    * classifiers: input is the top-[[KnnK]] neighbor rows (query_id,
+    * qlabel, label); rank on (votes DESC, label ASC) is integer-stable
+    * across engines.
+    */
+  private def knnVote(neighbors: DataFrame): DataFrame = {
     val wV = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("label").asc)
     neighbors
@@ -226,6 +221,58 @@ object Retrieval {
         col("label").as("pred_label"), col("votes"),
         (col("label") === col("qlabel")).as("correct"))
       .orderBy(col("query_id"))
+  }
+
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val v = Similarity.vecs(s, d)
+    val q = v.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+    val wN = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    knnVote(
+      v.filter(col("vec_id") >= KnnQueries)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", VectorFunctions.cosine(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(wN))
+        .filter(col("rn") <= KnnK))
+  }
+
+  /** The IVF-probed form of [[knnClassify]] — the classification
+    * read-path when the labeled corpus outgrows a scan: rank the
+    * prebuilt index's cells by query-centroid cosine, restrict the
+    * neighbor search to the nprobe nearest cells' inverted lists, then
+    * vote as before (shared [[knnVote]] tail). Per-query cost is
+    * ~nprobe/k of the corpus instead of all of it. Labels are joined
+    * AFTER the top-k cut (a |queries|·k row broadcast against the label
+    * store — in production the label rides inside the inverted list).
+    * Approximate by construction: RetrievalSpec bounds its agreement
+    * with the exact classifier; the oracle replays the ENTIRE probe
+    * from the pinned index (the [[SimilarityOracles.ivfTopK]] stance).
+    */
+  def knnClassifyIvf(s: SparkSession, d: String, k: Int = 8, nprobe: Int = 3): DataFrame = {
+    val idx = Similarity.ivfIndex(s, d, k)
+    if (k == 8) Similarity.pinIvfIndex(s, d, idx)
+    val cdf = s.createDataFrame(idx.centroids).toDF("cell", "centroid")
+    val v = Similarity.vecs(s, d)
+    val q = v.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cdist", VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("cdist"), 9).desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qlabel"), col("cell"))
+    val wN = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    val topk = idx.assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") >= KnnQueries)
+      .withColumn("cos", VectorFunctions.cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(wN))
+      .filter(col("rn") <= KnnK)
+      .select(col("query_id"), col("qlabel"), col("vec_id"))
+    knnVote(
+      v.select(col("vec_id"), col("label")).join(broadcast(topk), "vec_id"))
   }
 
   // ----------------------------------------------------------------- PMI
@@ -361,6 +408,8 @@ object Retrieval {
     "q_bm25_topk"       -> QueryDef(bm25TopK, Some(RetrievalOracles.bm25TopK)),
     "q_bm25_indexed"    -> QueryDef(bm25Indexed, Some(RetrievalOracles.bm25Indexed)),
     "q_knn_classify"    -> QueryDef(knnClassify, Some(RetrievalOracles.knnClassify)),
+    "q_knn_classify_ivf" -> QueryDef((s, d) => knnClassifyIvf(s, d),
+      Some(RetrievalOracles.knnClassifyIvf)),
     "q_pmi_pairs"       -> QueryDef(pmiPairs, Some(RetrievalOracles.pmiPairs)),
     "q_weighted_sample" -> QueryDef(weightedSample, Some(RetrievalOracles.weightedSample)))
 }
@@ -442,6 +491,24 @@ object RetrievalOracles {
       | / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
       |     * sqrt(list_sum(list_transform(c.cv, x -> x * x))))""".stripMargin
 
+  /** The ONE majority-vote SQL tail (the Spark twin is
+    * [[Retrieval.knnVote]]); both classifier oracles append it after a
+    * `top` CTE carrying (query_id, qlabel, label, rn).
+    */
+  private val knnVoteTailSql: String =
+    s"""votes AS (
+       |  SELECT query_id, qlabel, label, count(*) AS votes
+       |  FROM top WHERE rn <= ${Retrieval.KnnK}
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT query_id, qlabel, label, votes,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS pr
+       |  FROM votes)
+       |SELECT query_id, qlabel, label AS pred_label, votes,
+       |  label = qlabel AS correct
+       |FROM pred WHERE pr = 1
+       |ORDER BY query_id""".stripMargin
+
   val knnClassify: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
@@ -457,18 +524,49 @@ object RetrievalOracles {
        |  SELECT query_id, qlabel, label,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos9 DESC, vec_id) AS rn
        |  FROM scored),
-       |votes AS (
-       |  SELECT query_id, qlabel, label, count(*) AS votes
-       |  FROM top WHERE rn <= ${Retrieval.KnnK}
-       |  GROUP BY 1, 2, 3),
-       |pred AS (
-       |  SELECT query_id, qlabel, label, votes,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS pr
-       |  FROM votes)
-       |SELECT query_id, qlabel, label AS pred_label, votes,
-       |  label = qlabel AS correct
-       |FROM pred WHERE pr = 1
-       |ORDER BY query_id""".stripMargin
+       |$knnVoteTailSql""".stripMargin
+
+  /** Replays the ENTIRE IVF-probed classification from the pinned index
+    * (assignments + centroid sidecar): nprobe cell ranking, the
+    * cell-restricted candidate join, the exact top-k, the vote — only
+    * the KMeans fit is pinned as data (the [[SimilarityOracles.ivfTopK]]
+    * stance).
+    */
+  val knnClassifyIvf: String = {
+    val qcCos =
+      """list_sum(list_transform(list_zip(q.qv, cn.centroid), x -> x[1] * x[2]))
+        | / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(cn.centroid, x -> x * x))))""".stripMargin
+    s"""WITH assign AS (
+       |  SELECT vec_id, cell FROM read_parquet('${Similarity.IvfAssignPath}/*.parquet')),
+       |cent AS (
+       |  SELECT cell, centroid FROM read_parquet('${Similarity.IvfCentroidsPath}/*.parquet')),
+       |q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+       |  FROM embeddings WHERE vec_id < ${Retrieval.KnnQueries}),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, cn.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(($qcCos), 9) DESC, cn.cell) AS crank
+       |    FROM q CROSS JOIN cent cn)
+       |  WHERE crank <= 3),
+       |c AS (
+       |  SELECT p.query_id, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS cv, e.label
+       |  FROM probes p
+       |  JOIN assign s ON p.cell = s.cell
+       |  JOIN embeddings e ON s.vec_id = e.vec_id
+       |  WHERE s.vec_id >= ${Retrieval.KnnQueries}),
+       |scored AS (
+       |  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+       |    round($cosSql, 9) AS cos9
+       |  FROM q JOIN c ON q.query_id = c.query_id),
+       |top AS (
+       |  SELECT query_id, qlabel, label,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos9 DESC, vec_id) AS rn
+       |  FROM scored),
+       |$knnVoteTailSql""".stripMargin
+  }
 
   /** The oracle generates pairs by a positional self-join (parallel
     * unnest recovers (word, position)) — semantically identical to the

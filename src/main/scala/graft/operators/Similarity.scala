@@ -204,12 +204,12 @@ object Similarity {
     * DataFrame cached per (session, sfDir, k), materialized at build
     * time so probe queries never pay the fit.
     */
-  private final case class IvfIndex(
+  private[operators] final case class IvfIndex(
       centroids: Seq[(Int, Array[Double])], assigned: DataFrame)
 
   private val ivfCache = new graft.SessionCache[(String, Int), IvfIndex]()
 
-  private def ivfIndex(s: SparkSession, d: String, k: Int): IvfIndex =
+  private[operators] def ivfIndex(s: SparkSession, d: String, k: Int): IvfIndex =
     ivfCache.getOrBuild(s, (d, k)) {
       import org.apache.spark.ml.functions.array_to_vector
       import org.apache.spark.ml.clustering.KMeans
@@ -247,7 +247,7 @@ object Similarity {
     * [[prototypePrune]]), so whichever runs first in a session pays the
     * one write job and the rest reuse it ([[graft.Artifacts.writeOnce]]).
     */
-  private def pinIvfIndex(s: SparkSession, d: String, idx: IvfIndex): Unit =
+  private[operators] def pinIvfIndex(s: SparkSession, d: String, idx: IvfIndex): Unit =
     graft.Artifacts.writeOnce(s, d, "ivf_index") {
       idx.assigned.select(col("vec_id"), col("cell"))
         .write.mode("overwrite").parquet(IvfAssignPath)

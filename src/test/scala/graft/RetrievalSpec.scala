@@ -88,6 +88,19 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("knnClassifyIvf agrees with the exact classifier on most queries") {
+    val exact = Retrieval.knnClassify(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val ivf = Retrieval.knnClassifyIvf(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(ivf.keySet == exact.keySet, "IVF probe lost or invented queries")
+    val agree = exact.count { case (q, p) => ivf(q) == p }
+    // directional recall bar (the IVF-PQ convention): the nprobe=3/k=8
+    // probe sees ~3/8 of the corpus, so some vote flips are expected,
+    // but most predictions must survive the cell restriction
+    assert(agree >= 6, s"only $agree/10 IVF predictions match exact kNN")
+  }
+
   test("pmiPairs matches plain-Scala windowed co-occurrence counts") {
     val corpus = docs.map(_._2).filter(_.length >= 3)
     val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
