@@ -182,11 +182,31 @@ object Retrieval {
   def bm25Indexed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = bm25Index(s, d)
-    val q = broadcast(BmQueries.toDF("query_id", "term"))
+    bm25ProbeBatch(BmQueries.toDF("query_id", "term"),
+      idx.postings, idx.termStats, idx.stats)
+  }
+
+  /** One probe of a (query_id, term) batch against prebuilt index
+    * frames — the unit both [[bm25Indexed]] and the streaming twin
+    * ([[graft.streaming.StreamPipelines.streamingBm25Probe]]) run, so
+    * the serving path cannot drift from the batch path. The query
+    * batch broadcasts; cost ∝ the batch's posting lists.
+    */
+  private[graft] def bm25ProbeBatch(
+      queries: DataFrame, postings: DataFrame,
+      termStats: DataFrame, stats: DataFrame): DataFrame =
     bm25ScoreRank(
-      idx.postings.join(q, "term")
-        .join(broadcast(idx.termStats), "term")
-        .crossJoin(broadcast(idx.stats)))
+      postings.join(broadcast(queries), "term")
+        .join(broadcast(termStats), "term")
+        .crossJoin(broadcast(stats)))
+
+  /** The built index's frames (postings, termStats, stats) — for
+    * wiring the streaming probe and its spec.
+    */
+  private[graft] def bm25IndexFrames(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val idx = bm25Index(s, d)
+    (idx.postings, idx.termStats, idx.stats)
   }
 
   // ----------------------------------------------------------------- kNN

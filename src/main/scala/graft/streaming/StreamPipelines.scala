@@ -517,6 +517,34 @@ object StreamPipelines {
       }
       .start()
 
+  /** Streaming twin of [[graft.operators.Retrieval.bm25Indexed]] — the
+    * retrieval SERVING path: a stream of (query_id, term) rows is
+    * probed per micro-batch against the STATIC prebuilt inverted index
+    * (postings/termStats/stats are plan constants; streaming state is
+    * EMPTY). Each batch's queries receive exactly the batch probe's
+    * top-k (shared [[graft.operators.Retrieval.bm25ProbeBatch]] unit,
+    * so the paths cannot drift — StreamingSpec pins batch-boundary
+    * invariance). Per-batch cost ∝ the batch's posting lists; nothing
+    * scales with stream length.
+    */
+  def streamingBm25Probe(
+      queries: DataFrame,
+      postings: DataFrame,
+      termStats: DataFrame,
+      stats: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.Retrieval.bm25ProbeBatch(
+          batch, postings, termStats, stats), id)
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.ScaleOps.ngramDecontaminate]]
     * — benchmark decontamination AT INGEST TIME, before a contaminated
     * document ever reaches the at-rest corpus. Each micro-batch of

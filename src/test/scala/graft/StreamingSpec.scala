@@ -281,6 +281,32 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${sunk.size} verdicts != batch ${expected.size}")
   }
 
+  test("streaming BM25 probe is batch-boundary-invariant against the batch path") {
+    import graft.operators.Retrieval
+    val (postings, termStats, stats) = Retrieval.bm25IndexFrames(spark, sf)
+    val expected = Retrieval.bm25Indexed(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val mem = MemoryStream[(Int, String)](spark)
+    val sunk = scala.collection.mutable.Set.empty[(Int, Int, Long, Double)]
+    val cp = java.nio.file.Files.createTempDirectory("graft-bm25-cp").toString
+    val q = StreamPipelines.streamingBm25Probe(
+      mem.toDF().toDF("query_id", "term"), postings, termStats, stats,
+      (df, _) => sunk.synchronized {
+        sunk ++= df.as[(Int, Int, Long, Double)].collect()
+      }, cp)
+    // split the query set mid-stream: per-query scoring is stateless
+    // against the static index, so the union must equal the batch run
+    val (b1, b2) = Retrieval.BmQueries.partition(_._1 < 2)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.toSet == expected,
+      s"streamed ${sunk.size} result rows != batch ${expected.size}")
+  }
+
   test("ingest with dedupe window drops replayed duplicate request_ids") {
     val mem = MemoryStream[String](spark)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
