@@ -28,6 +28,7 @@ object SparkEntry {
     operators.AnnMaintain.defs,
     operators.ScaleOps.defs,
     operators.Retrieval.defs,
+    operators.CorpusAudit.defs,
     operators.Graph.defs,
     sources.CatalogTables.defs,
     sources.FileFormats.defs)

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusAudit
+
+/** Plain-Scala ground truth for the corpus-management operators
+  * (mixture planning, vocabulary overlap, snapshot diff).
+  */
+class CorpusAuditSpec extends SparkSpec {
+
+  private def docs: Seq[(Long, String, String)] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def nTok(text: String): Long =
+    text.count(_ == ' ') + 1 // len - len(minus spaces) + 1 = spaces + 1
+
+  test("temperatureMix matches a plain-Scala alpha-sampling plan") {
+    val perSource = docs.groupBy(_._2).view
+      .mapValues(ds => (ds.size.toLong, ds.map(t => nTok(t._3)).sum)).toMap
+    val tTok = perSource.values.map(_._2).sum
+    val qs = perSource.view.mapValues { case (_, nt) =>
+      math.round(math.pow(nt.toDouble / tTok, CorpusAudit.MixAlpha) * CorpusAudit.MixQ)
+    }.toMap
+    val qSum = qs.values.sum
+    val expected = perSource.toSeq.sortBy(_._1).map { case (src, (nd, nt)) =>
+      val w = qs(src).toDouble / qSum
+      val target = (w * (tTok / 2d)).toLong
+      (src, nd, nt, nt.toDouble / tTok, w, target, w * (tTok / 2d) / nt)
+    }
+    val got = CorpusAudit.temperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gs, gn, gt, gp, gw, gtg, ge), (es, en, et, ep, ew, etg, ee)) =>
+      assert((gs, gn, gt, gtg) == (es, en, et, etg))
+      assert(math.abs(gp - ep) < 1e-5 && math.abs(gw - ew) < 1e-5 && math.abs(ge - ee) < 1e-3)
+    }
+    // the plan upsamples the tail: no source's weight is under its raw share^1
+    val flat = got.map(r => (r._1, r._4, r._5))
+    val (smallest, largest) = (flat.minBy(_._2), flat.maxBy(_._2))
+    assert(smallest._3 >= smallest._2, "alpha<1 must upsample the smallest source")
+    assert(largest._3 <= largest._2, "alpha<1 must downsample the largest source")
+  }
+
+  test("sourceOverlap matches plain-Scala vocabulary Jaccard") {
+    val vocab = docs.groupBy(_._2).view
+      .mapValues(_.flatMap(_._3.split(" ").filter(_.nonEmpty)).toSet).toMap
+    val sources = vocab.keys.toSeq.sorted
+    val expected = for {
+      a <- sources; b <- sources if a < b
+      inter = (vocab(a) intersect vocab(b)).size.toLong
+    } yield (a, b, vocab(a).size.toLong, vocab(b).size.toLong, inter)
+    val got = CorpusAudit.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.length == expected.length)
+    got.zip(expected.sortBy(t => (t._1, t._2))).foreach {
+      case ((ga, gb, gva, gvb, gi, gj), (ea, eb, eva, evb, ei)) =>
+        assert((ga, gb, gva, gvb, gi) == (ea, eb, eva, evb, ei))
+        assert(math.abs(gj - ei.toDouble / (eva + evb - ei)) < 1e-3)
+    }
+  }
+
+  test("snapshotDiff classifies every doc exactly once with all four statuses live") {
+    def decile(id: Long): Long = (id * GoldenHash.Gamma) % 1000 / 100
+    val expected = docs.flatMap { case (id, src, _) =>
+      val inA = decile(id) != 9
+      val inB = decile(id) != 0
+      val status =
+        if (!inA && inB) Some("added")
+        else if (inA && !inB) Some("removed")
+        else if (inA && inB && decile(id) == 5) Some("modified")
+        else if (inA && inB) Some("unchanged")
+        else None
+      status.map(st => (src, st))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((src, st), n) => (src, st, n) }
+      .sortBy(t => (t._1, t._2))
+    val got = CorpusAudit.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // non-degenerate: all four statuses appear (the bucket(id,10) form
+    // collapsed to one status per source — the GoldenHash mod-trap)
+    assert(got.map(_._2).distinct.sorted ==
+      Seq("added", "modified", "removed", "unchanged"))
+  }
+}
