@@ -282,19 +282,26 @@ object BpeTrain {
     * and amortized via the cached merges, so per-batch cost is the word
     * explode + one vocab join.
     */
-  private[operators] def bpeTokensOf(
-      s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+  /** The per-DISTINCT-word token table under the frozen learned merges
+    * — (word, n_tok, wchars), vocab-bound; every BPE accounting query
+    * joins the corpus to this one table.
+    */
+  private[operators] def wordTokenCounts(s: SparkSession, d: String): DataFrame = {
     val ms = learnMerges(s, d)
-    val tokenized = ms.foldLeft(vocab(s, d)) { (df, mg) =>
+    ms.foldLeft(vocab(s, d)) { (df, mg) =>
       df.withColumn("seq",
         replace(col("seq"), lit(s" ${mg.lft} ${mg.rgt} "), lit(s" ${mg.lft}${mg.rgt} ")))
     }
       .select(col("word"), size(split(trim(col("seq")), " ")).as("n_tok"),
         length(col("word")).as("wchars"))
+  }
+
+  private[operators] def bpeTokensOf(
+      s: SparkSession, d: String, docs: DataFrame): DataFrame = {
     val docWords = docs
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-    docWords.join(tokenized, Seq("word"))
+    docWords.join(wordTokenCounts(s, d), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tok")).as("n_bpe_tokens"),
@@ -302,10 +309,35 @@ object BpeTrain {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility by language: BPE tokens per word and letter
+    * chars per BPE token for each `lang` slice — THE tokenizer-quality
+    * audit a multilingual pipeline runs after training a tokenizer (a
+    * language whose fertility is far above the corpus mean is
+    * under-served by the learned merges and will train slower per
+    * byte). Same scale shape as [[bpeApply]]: the merge application is
+    * amortized over the DISTINCT-word table, the corpus pays one
+    * explode + a broadcast join to it.
+    */
+  def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    val docWords = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    docWords.join(wordTokenCounts(s, d), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_tokens"),
+        sum(col("wchars")).as("n_letter_chars"),
+        round(sum(col("n_tok")) / count(lit(1)).cast("double"), 4).as("fertility"),
+        round(sum(col("wchars")) / sum(col("n_tok")).cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   lazy val defs: Map[String, QueryDef] = Map(
     "q_bpe_train" -> QueryDef(bpeTrain, Some(BpeOracles.bpeTrain)),
     "q_bpe_train_deep" -> QueryDef(bpeTrainDeep, Some(BpeOracles.bpeTrainDeep)),
-    "q_bpe_apply" -> QueryDef(bpeApply, Some(BpeOracles.bpeApply)))
+    "q_bpe_apply" -> QueryDef(bpeApply, Some(BpeOracles.bpeApply)),
+    "q_bpe_fertility" -> QueryDef(bpeFertility, Some(BpeOracles.bpeFertility)))
 }
 
 /** DuckDB oracle: full independent replay of the BPE induction. The
@@ -369,7 +401,14 @@ object BpeOracles {
     * recursive state CTE to the FINAL round, per-word token counts,
     * then the corpus join and per-doc rollup.
     */
-  val bpeApply: String =
+  /** The shared replay prefix for every merge-APPLICATION oracle: the
+    * pinned merges drive the per-word state recursion to the `final`
+    * word-token table, and `docwords` re-derives the corpus word
+    * stream (with lang) — [[bpeApply]] and [[bpeFertility]] append
+    * different rollup tails to the SAME prefix, so the two accountings
+    * cannot drift.
+    */
+  private val applyCtes: String =
     s"""WITH RECURSIVE m AS (
        |  SELECT merge_round, lft, rgt
        |  FROM read_parquet('${BpeTrain.MergesPath}/*.parquet')),
@@ -392,8 +431,11 @@ object BpeOracles {
        |  FROM states
        |  WHERE r = (SELECT max(merge_round) FROM m)),
        |docwords AS (
-       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |  FROM documents)
+       |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents)""".stripMargin
+
+  val bpeApply: String =
+    s"""$applyCtes
        |SELECT d.doc_id,
        |  CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(f.n_tok) AS BIGINT) AS n_bpe_tokens,
@@ -401,4 +443,17 @@ object BpeOracles {
        |FROM docwords d JOIN final f USING (word)
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  val bpeFertility: String =
+    s"""$applyCtes
+       |SELECT d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(f.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(f.wchars) AS BIGINT) AS n_letter_chars,
+       |  round(CAST(sum(f.n_tok) AS BIGINT) / (count(*) * 1e0), 4) AS fertility,
+       |  round(CAST(sum(f.wchars) AS BIGINT) / (CAST(sum(f.n_tok) AS BIGINT) * 1e0), 4)
+       |    AS chars_per_token
+       |FROM docwords d JOIN final f USING (word)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
 }

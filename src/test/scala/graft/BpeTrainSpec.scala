@@ -140,4 +140,23 @@ class BpeTrainSpec extends SparkSpec {
       .as[(Int, String, String, String, Long)].collect().toSeq
     assert(m1 == m2)
   }
+
+  test("bpeFertility is the per-lang rollup of bpeApply's per-doc accounting") {
+    val perDoc = BpeTrain.bpeApply(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("w"), sum(col("n_bpe_tokens")).as("t"),
+        sum(col("n_letter_chars")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val got = BpeTrain.bpeFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == perDoc.toSeq)
+    got.foreach { case (_, w, t, c, fert, cpt) =>
+      assert(t >= w, "BPE can never emit fewer tokens than words")
+      assert(math.abs(fert - t.toDouble / w) < 1e-3)
+      assert(math.abs(cpt - c.toDouble / t) < 1e-3)
+    }
+  }
 }
