@@ -199,6 +199,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Calibration curve for the trained quality gate: docs bucketed into
+    * logit deciles (the [[lmQuality]] broadcast-cutpoint pattern, not a
+    * global ntile), each decile reporting its share of the independent
+    * `lang='en'` label the gate distills — the reliability diagram a
+    * production classifier ships with (a monotone en_rate over deciles
+    * is the evidence the score ORDERING carries signal; QuerySurfaceSpec
+    * pins the top-vs-bottom separation).
+    *
+    * Engine stability: bucketing runs on the ROUND-6 emitted logit, and
+    * the per-decile mean logit is computed by integer quantization
+    * (`sum(round(ql·1e6))/n`) — a raw avg() of doubles accumulates in
+    * engine-dependent order (the hourlyTraffic integer-sum convention).
+    */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    val scored = modelQuality(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("quality_logit").as("ql"), (col("lang") === "en").as("is_en"))
+    val cutCols = (1 to 9).map(k =>
+      round(expr(s"percentile(ql, 0.$k)"), 6).as(s"c$k"))
+    val cuts = scored.agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).map(k =>
+      when(col("ql") > col(s"c$k"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile", decile.cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(round(col("ql") * lit(1e6)).cast("long")) / (count(lit(1)) * lit(1e6)), 4)
+          .as("avg_logit"),
+        sum(col("is_en").cast("long")).as("n_en"),
+        round(sum(col("is_en").cast("long")) / count(lit(1)).cast("double"), 4)
+          .as("en_rate"))
+      .orderBy(col("decile"))
+  }
+
   /** BPE-ish subword token counting: alpha runs, digit runs, and single
     * non-alphanumeric marks — the regex shape byte-pair tokenizers
     * reduce to before merges. Pattern restricted to the dialect-safe
@@ -572,6 +607,7 @@ object TextAnalysis {
     "q_bpe_token_count" -> QueryDef(bpeTokenCount, Some(TextOracles.bpeTokenCount)),
     "q_text_quality" -> QueryDef(textQuality, Some(TextOracles.textQuality)),
     "q_model_quality" -> QueryDef(modelQuality, Some(TextOracles.modelQuality)),
+    "q_quality_calibration" -> QueryDef(qualityCalibration, Some(TextOracles.qualityCalibration)),
     "q_lang_id"      -> QueryDef(langId, Some(TextOracles.langId)),
     "q_lang_confusion" -> QueryDef(langConfusion, Some(TextOracles.langConfusion)),
     "q_ngram_diversity" -> QueryDef(ngramDiversity, Some(TextOracles.ngramDiversity)),
@@ -769,7 +805,11 @@ object TextOracles {
     * the round-6 logit as the reported value (no sigmoid — libm exp()
     * ulp drift, see the builder), sign of the linear term for keep.
     */
-  val modelQuality: String =
+  /** The pinned-weights linear-scoring prefix (w/feat/scored CTEs) —
+    * shared by [[modelQuality]] and [[qualityCalibration]] so the two
+    * replays of the gate cannot drift.
+    */
+  private val qualityScoredCtes: String =
     s"""WITH w AS (
        |  SELECT list(w ORDER BY idx) AS ws
        |  FROM read_parquet('${TextAnalysis.QualityWeightsPath}/*.parquet')),
@@ -786,12 +826,45 @@ object TextOracles {
        |  SELECT f.*,
        |    ws[1] + f.n_words * ws[2] + f.avg_token_len * ws[3]
        |          + f.stopword_ratio * ws[4] + f.distinct_ratio * ws[5] AS lin
-       |  FROM feat f CROSS JOIN w)
+       |  FROM feat f CROSS JOIN w)""".stripMargin
+
+  val modelQuality: String =
+    s"""$qualityScoredCtes
        |SELECT doc_id, n_words, avg_token_len, stopword_ratio, distinct_ratio,
        |  round(lin, 6) AS quality_logit,
        |  lin >= 0 AS keep
        |FROM scored
        |ORDER BY doc_id""".stripMargin
+
+  /** [[TextAnalysis.qualityCalibration]]: the same scored prefix, then
+    * round-6 logits joined to the label, `quantile_cont` cutpoints
+    * (the (n−1)·p interpolation Spark's percentile shares), and the
+    * integer-quantized per-decile rollup.
+    */
+  val qualityCalibration: String = {
+    val cuts = (1 to 9)
+      .map(k => s"round(quantile_cont(ql, 0.$k), 6) AS c$k").mkString(", ")
+    val bucket = (1 to 9)
+      .map(k => s"(CASE WHEN ql > c$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$qualityScoredCtes,
+       |lab AS (
+       |  SELECT round(s.lin, 6) AS ql, d.lang = 'en' AS is_en
+       |  FROM scored s JOIN documents d USING (doc_id)),
+       |cuts AS (SELECT $cuts FROM lab),
+       |bucketed AS (
+       |  SELECT ql, is_en, CAST(1 + $bucket AS INT) AS decile
+       |  FROM lab, cuts)
+       |SELECT decile,
+       |  count(*) AS n_docs,
+       |  round(CAST(sum(CAST(round(ql * 1e6) AS BIGINT)) AS BIGINT)
+       |        / (count(*) * 1e6), 4) AS avg_logit,
+       |  CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  round(CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+       |        / (count(*) * 1e0), 4) AS en_rate
+       |FROM bucketed
+       |GROUP BY decile
+       |ORDER BY decile""".stripMargin
+  }
 
   val langId: String =
     s"""WITH scores AS (

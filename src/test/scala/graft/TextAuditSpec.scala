@@ -29,6 +29,23 @@ class TextAuditSpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("qualityCalibration: balanced deciles, monotone mean logit, exact label totals") {
+    val rows = TextAnalysis.qualityCalibration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1 to 10), s"missing deciles: ${rows.map(_._1).toSeq}")
+    // cutpoint bucketing balances within one tie-cluster of N/10
+    val n = rows.map(_._2).sum
+    rows.foreach { case (d, nd, _, _, _) =>
+      assert(math.abs(nd - n / 10.0) <= math.max(2, n / 20.0), s"decile $d unbalanced: $nd of $n")
+    }
+    // mean logit strictly increases by construction of the cutpoints
+    rows.map(_._3).toSeq.sliding(2).foreach { w => assert(w(0) < w(1)) }
+    // label mass is conserved against a direct count
+    val en = Tables.documents(spark, sf)
+      .filter(col("lang") === "en" && size(split(col("text"), " ")) >= 1).count()
+    assert(rows.map(_._4).sum == en)
+  }
+
   test("ngramDiversity matches plain-Scala trigram type-token ratios") {
     val rows = Tables.documents(spark, sf)
       .select(col("source"), col("text")).collect()
