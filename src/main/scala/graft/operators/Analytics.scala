@@ -432,6 +432,55 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Linear multi-touch attribution: every purchase's value is split
+    * across the user's clicks in the preceding 7 days — the
+    * marketing-attribution workload beside [[TrainingPrep.asOfJoin]]'s
+    * last-touch form. Money is carried as INTEGER CENTS with
+    * largest-remainder allocation (each click gets `cents div n`, the
+    * first `cents mod n` clicks in (ts, event_id) order get the extra
+    * cent) — allocation is exact (per-purchase shares always sum to
+    * the purchase) and bit-identical across engines, where dividing
+    * doubles would drift. Purchases with no window clicks roll up as
+    * unattributed.
+    *
+    * Scale shape: one per-user range join (shuffle on user_id, range as
+    * the join residual — the [[intervalJoin]] plan), two partitioned
+    * windows keyed by purchase, then the per-user rollup.
+    */
+  def linearAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val touched = purchases.join(clicks, Seq("user_id"))
+      .where(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val wP = Window.partitionBy(col("p_id"))
+    val wR = Window.partitionBy(col("p_id")).orderBy(col("c_ts"), col("c_id"))
+    val shares = touched
+      .withColumn("n", count(lit(1)).over(wP))
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("share",
+        expr("cents DIV n") + when(col("rn") <= expr("cents % n"), 1L).otherwise(0L))
+    val attributed = shares.groupBy(col("user_id"))
+      .agg(countDistinct(col("p_id")).as("n_attributed"),
+        countDistinct(col("c_id")).as("n_touches"),
+        sum(col("share")).as("attributed_cents"))
+    val perUser = purchases.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("total_cents"))
+    perUser.join(attributed, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_purchases"),
+        coalesce(col("n_attributed"), lit(0L)).as("n_attributed"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        col("total_cents"),
+        coalesce(col("attributed_cents"), lit(0L)).as("attributed_cents"),
+        (col("total_cents") - coalesce(col("attributed_cents"), lit(0L)))
+          .as("unattributed_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** ROLLUP aggregation (absent from the reference, SURVEY.md §2.5
     * "no grouping sets"): traffic by (event_type, day) with subtotal and
     * grand-total rows. NULL ordering pinned explicitly — Spark defaults
@@ -862,6 +911,7 @@ object Analytics {
     "q_sql_dashboard"    -> QueryDef(sqlInterface, Some(SqlDashboardText)),
     "q_latency_percentiles" -> QueryDef(latencyPercentiles, Some(OracleSql.latencyPercentiles)),
     "q_interval_join"    -> QueryDef(intervalJoin, Some(OracleSql.intervalJoin)),
+    "q_attribution"      -> QueryDef(linearAttribution, Some(OracleSql.linearAttribution)),
     "q_rollup_traffic"   -> QueryDef(rollupTraffic, Some(OracleSql.rollupTraffic)),
     "q_cube_traffic"     -> QueryDef(cubeTraffic, Some(OracleSql.cubeTraffic)),
     "q_pivot_daily"      -> QueryDef(pivotDaily, Some(OracleSql.pivotDaily)),

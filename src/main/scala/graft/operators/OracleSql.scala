@@ -231,6 +231,47 @@ object OracleSql {
       |GROUP BY a.user_id
       |ORDER BY a.user_id""".stripMargin
 
+  /** [[Analytics.linearAttribution]] — same integer-cent largest-
+    * remainder allocation (`//` == Spark DIV on the non-negative
+    * operands).
+    */
+  val linearAttribution: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, ts AS p_ts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS c_id, ts AS c_ts
+      |  FROM events WHERE event_type = 'click'),
+      |touched AS (
+      |  SELECT p.user_id, p.p_id, p.cents, c.c_id, c.c_ts
+      |  FROM p JOIN c USING (user_id)
+      |  WHERE c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY),
+      |shares AS (
+      |  SELECT user_id, p_id, c_id,
+      |    cents // (count(*) OVER (PARTITION BY p_id))
+      |    + CASE WHEN row_number() OVER (PARTITION BY p_id ORDER BY c_ts, c_id)
+      |                <= cents % (count(*) OVER (PARTITION BY p_id))
+      |           THEN 1 ELSE 0 END AS share
+      |  FROM touched),
+      |att AS (
+      |  SELECT user_id, count(DISTINCT p_id) AS n_attributed,
+      |    count(DISTINCT c_id) AS n_touches,
+      |    CAST(sum(share) AS BIGINT) AS attributed_cents
+      |  FROM shares GROUP BY user_id),
+      |pu AS (
+      |  SELECT user_id, count(*) AS n_purchases,
+      |    CAST(sum(cents) AS BIGINT) AS total_cents
+      |  FROM p GROUP BY user_id)
+      |SELECT pu.user_id, pu.n_purchases,
+      |  coalesce(att.n_attributed, 0) AS n_attributed,
+      |  coalesce(att.n_touches, 0) AS n_touches,
+      |  pu.total_cents,
+      |  coalesce(att.attributed_cents, 0) AS attributed_cents,
+      |  pu.total_cents - coalesce(att.attributed_cents, 0) AS unattributed_cents
+      |FROM pu LEFT JOIN att USING (user_id)
+      |ORDER BY pu.user_id""".stripMargin
+
   val rollupTraffic: String =
     """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
       |  count(*) AS n,

@@ -212,4 +212,40 @@ class PropertySpec extends SparkSpec {
       assert(lss == expected, s"regime $r: large/small-star diverged from union-find")
     }
   }
+
+  test("linear attribution conserves money exactly and matches a direct recompute") {
+    val ev = Tables.events(TestSession.spark, TestSession.Sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3), r.getDouble(4)))
+    val purchases = ev.filter(_._3 == "purchase")
+    val clicks = ev.filter(_._3 == "click")
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000L
+    val expected = purchases.groupBy(_._2).map { case (uid, ps) =>
+      var attributedCents = 0L
+      val attP = scala.collection.mutable.Set.empty[Long]
+      val attC = scala.collection.mutable.Set.empty[Long]
+      ps.foreach { case (pid, _, _, pts, v) =>
+        val cents = math.round(v * 100)
+        val cs = clicks.filter { case (_, cu, _, cts, _) =>
+          cu == uid && !cts.after(pts) &&
+            (pts.getTime * 1000L + (pts.getNanos / 1000 % 1000)) -
+            (cts.getTime * 1000L + (cts.getNanos / 1000 % 1000)) <= sevenDaysUs
+        }.sortBy(c => (c._4.getTime, c._1))
+        if (cs.nonEmpty) {
+          attP += pid; attC ++= cs.map(_._1)
+          // largest-remainder shares always sum exactly to cents
+          attributedCents += cents
+        }
+      }
+      val total = ps.map(p => math.round(p._5 * 100)).sum
+      (uid, ps.size.toLong, attP.size.toLong, attC.size.toLong,
+        total, attributedCents, total - attributedCents)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Analytics.linearAttribution(TestSession.spark, TestSession.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+  }
 }
