@@ -352,6 +352,40 @@ object TextAnalysis {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Per-document character Shannon entropy — the gibberish/encoding
+    * signal beside the token-level gates (natural language sits in a
+    * narrow entropy band; base64 blobs and key-mash sit above it,
+    * single-char floods below). Computed entirely inside the scan
+    * stage: one HOF fold over the doc's DISTINCT characters, each
+    * char's count by length-difference (the [[textQuality]] string
+    * algebra) — no explode, no shuffle, per-row cost
+    * O(distinct_chars · len).
+    *
+    * Engine stability: each char's `p·ln(p)` term is quantized to an
+    * INTEGER (round ·1e9) inside the fold, so the sum is order-free —
+    * a double accumulator would differ between Spark's first-appearance
+    * fold order and DuckDB's unordered aggregate (the temperatureMix
+    * quantize-before-sum convention).
+    */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val acc = expr(
+      """aggregate(
+        |  array_distinct(transform(sequence(1, length(text)), i -> substring(text, i, 1))),
+        |  CAST(0 AS BIGINT),
+        |  (acc, c) -> acc + CAST(round(
+        |    ((length(text) - length(replace(text, c, ''))) / CAST(length(text) AS DOUBLE))
+        |    * ln((length(text) - length(replace(text, c, ''))) / CAST(length(text) AS DOUBLE))
+        |    * 1e9) AS BIGINT))""".stripMargin)
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        length(col("text")).as("len"),
+        size(expr("array_distinct(transform(sequence(1, length(text)), i -> substring(text, i, 1)))"))
+          .as("n_distinct_chars"),
+        round(-(acc / lit(1e9)), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Repetition-based quality gate — the Gopher/C4-family signal the
     * other [[textQuality]] heuristics don't cover: templated or
     * looping generations show up as a dominant repeated word bigram
@@ -615,6 +649,7 @@ object TextAnalysis {
     "q_quality_calibration" -> QueryDef(qualityCalibration, Some(TextOracles.qualityCalibration)),
     "q_lang_id"      -> QueryDef(langId, Some(TextOracles.langId)),
     "q_lang_confusion" -> QueryDef(langConfusion, Some(TextOracles.langConfusion)),
+    "q_char_entropy" -> QueryDef(charEntropy, Some(TextOracles.charEntropy)),
     "q_ngram_diversity" -> QueryDef(ngramDiversity, Some(TextOracles.ngramDiversity)),
     "q_doc_fingerprint" -> QueryDef(docFingerprint, Some(TextOracles.docFingerprint)))
 }
@@ -942,6 +977,30 @@ object TextOracles {
        |FROM grams
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  /** [[TextAnalysis.charEntropy]]: per-char counts via unnest (the
+    * oracle-SF formulation of the engine's scan-stage fold), the SAME
+    * integer-quantized `round(p·ln(p)·1e9)` terms, order-free BIGINT
+    * sum.
+    */
+  val charEntropy: String =
+    """WITH pos AS (
+      |  SELECT doc_id, length(text) AS len, text,
+      |    unnest(generate_series(1, length(text))) AS i
+      |  FROM documents WHERE length(text) >= 1),
+      |cnts AS (
+      |  SELECT doc_id, len, substr(text, CAST(i AS INT), 1) AS c, count(*) AS cnt
+      |  FROM pos GROUP BY 1, 2, 3),
+      |terms AS (
+      |  SELECT doc_id, len,
+      |    CAST(round(cnt / (len * 1e0) * ln(cnt / (len * 1e0)) * 1e9) AS BIGINT) AS t
+      |  FROM cnts)
+      |SELECT doc_id, CAST(min(len) AS INT) AS len,
+      |  CAST(count(*) AS INT) AS n_distinct_chars,
+      |  round(-(CAST(sum(t) AS BIGINT) / 1e9), 4) AS entropy
+      |FROM terms
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   val docFingerprint: String =
     """WITH pos AS (

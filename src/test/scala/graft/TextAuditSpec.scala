@@ -29,6 +29,31 @@ class TextAuditSpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("charEntropy matches a plain-Scala quantized-entropy recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.nonEmpty)
+    val expected = docs.map { case (id, text) =>
+      val len = text.length
+      val counts = text.groupBy(identity).view.mapValues(_.length).toMap
+      val acc = counts.values.map { cnt =>
+        val p = cnt.toDouble / len
+        BigDecimal(p * math.log(p) * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (id, len, counts.size,
+        BigDecimal(-(acc / 1e9)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = TextAnalysis.charEntropy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == expected.toSeq)
+    // sanity band: fixture text is lowercase words + spaces (~27 symbols),
+    // so entropy sits between a degenerate and a uniform-27 distribution
+    got.foreach { case (id, _, k, e) =>
+      assert(e > 0 && e <= math.log(k.toDouble) + 1e-9, s"doc $id entropy $e outside (0, ln($k)]")
+    }
+  }
+
   test("qualityCalibration: balanced deciles, monotone mean logit, exact label totals") {
     val rows = TextAnalysis.qualityCalibration(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
