@@ -849,11 +849,15 @@ object TextOracles {
     * shared by [[modelQuality]] and [[qualityCalibration]] so the two
     * replays of the gate cannot drift.
     */
-  private val qualityScoredCtes: String =
-    s"""WITH w AS (
+  /** qual-prefixed CTE names so composed pipelines
+    * ([[TrainingOracles]]) can embed this fragment beside their own
+    * CTEs (the lmScoredCtes convention). NO leading WITH.
+    */
+  private[operators] val qualityScoredCtes: String =
+    s"""qw AS (
        |  SELECT list(w ORDER BY idx) AS ws
        |  FROM read_parquet('${TextAnalysis.QualityWeightsPath}/*.parquet')),
-       |feat AS (
+       |qfeat AS (
        |  SELECT doc_id,
        |    CAST(len($wordsSql) AS INT) AS n_words,
        |    round(CAST(length(text) - ($nTokensSql - 1) AS DOUBLE) / $nTokensSql, 4) AS avg_token_len,
@@ -862,18 +866,18 @@ object TextOracles {
        |    round(CAST(len(list_distinct($wordsSql)) AS DOUBLE) / len($wordsSql), 4) AS distinct_ratio
        |  FROM documents
        |  WHERE len($wordsSql) >= 1),
-       |scored AS (
+       |qscored AS (
        |  SELECT f.*,
        |    ws[1] + f.n_words * ws[2] + f.avg_token_len * ws[3]
        |          + f.stopword_ratio * ws[4] + f.distinct_ratio * ws[5] AS lin
-       |  FROM feat f CROSS JOIN w)""".stripMargin
+       |  FROM qfeat f CROSS JOIN qw)""".stripMargin
 
   val modelQuality: String =
-    s"""$qualityScoredCtes
+    s"""WITH $qualityScoredCtes
        |SELECT doc_id, n_words, avg_token_len, stopword_ratio, distinct_ratio,
        |  round(lin, 6) AS quality_logit,
        |  lin >= 0 AS keep
-       |FROM scored
+       |FROM qscored
        |ORDER BY doc_id""".stripMargin
 
   /** [[TextAnalysis.qualityCalibration]]: the same scored prefix, then
@@ -886,10 +890,10 @@ object TextOracles {
       .map(k => s"round(quantile_cont(ql, 0.$k), 6) AS c$k").mkString(", ")
     val bucket = (1 to 9)
       .map(k => s"(CASE WHEN ql > c$k THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""$qualityScoredCtes,
+    s"""WITH $qualityScoredCtes,
        |lab AS (
        |  SELECT round(s.lin, 6) AS ql, d.lang = 'en' AS is_en
-       |  FROM scored s JOIN documents d USING (doc_id)),
+       |  FROM qscored s JOIN documents d USING (doc_id)),
        |cuts AS (SELECT $cuts FROM lab),
        |bucketed AS (
        |  SELECT ql, is_en, CAST(1 + $bucket AS INT) AS decile

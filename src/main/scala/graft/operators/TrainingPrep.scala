@@ -423,7 +423,10 @@ object TrainingPrep {
     * end to end. Only this deepest composition is benched
     * (prep/prep2/prep3 stay verified, headline=false).
     */
-  def corpusPrep4(s: SparkSession, d: String): DataFrame = {
+  /** The two r8 gate sets shared by [[corpusPrep4]] and
+    * [[corpusPrep5]].
+    */
+  private def prep4Drops(s: SparkSession, d: String): Seq[DataFrame] = {
     val docs = Tables.documents(s, d)
     val lmLow = TextAnalysis.lmQuality(s, d)
       .filter(col("low_quality")).select(col("doc_id"))
@@ -433,7 +436,32 @@ object TrainingPrep {
         length(col("text")).cast("bigint").as("len_chars")), Seq("doc_id"))
       .filter(col("dup_chars") * 2 > col("len_chars"))
       .select(col("doc_id"))
-    corpusPrepChain(s, d, Seq(lmLow, spanHeavy))
+    Seq(lmLow, spanHeavy)
+  }
+
+  def corpusPrep4(s: SparkSession, d: String): DataFrame =
+    corpusPrepChain(s, d, prep4Drops(s, d))
+
+  /** The ELEVEN-stage composition: [[corpusPrep4]]'s chain plus the two
+    * round-12 gates — the trained-classifier calibration cut (drop the
+    * bottom logit decile, [[TextAnalysis.qualityCalibration]]'s decile-1
+    * membership: ql ≤ c1) and quality-weighted deterministic
+    * subsampling ([[graft.operators.Retrieval.weightedSample]]'s
+    * keep-rule complement as a drop set). Same single-declarative-plan
+    * stance: both new gates are doc-id drop sets folded into the shared
+    * [[corpusPrepChain]], costing one broadcast-cutpoint aggregate and
+    * one scan-local hash filter on top of v4.
+    */
+  def corpusPrep5(s: SparkSession, d: String): DataFrame = {
+    val scoredQ = TextAnalysis.modelQuality(s, d)
+      .select(col("doc_id"), col("quality_logit").as("ql"))
+    val c1 = scoredQ.agg(round(expr("percentile(ql, 0.1)"), 6).as("c1"))
+    val calLow = scoredQ.crossJoin(broadcast(c1))
+      .filter(col("ql") <= col("c1")).select(col("doc_id"))
+    val sampleDrop = Tables.documents(s, d)
+      .filter(!(graft.GoldenHash.bucket(col("doc_id"), 1000) < Retrieval.permille))
+      .select(col("doc_id"))
+    corpusPrepChain(s, d, prep4Drops(s, d) ++ Seq(calLow, sampleDrop))
   }
 
   /** The shared stage chain behind [[corpusPrep3]] (extraDrops = Nil)
@@ -663,7 +691,13 @@ object TrainingPrep {
     "q_token_chunks"      -> QueryDef(tokenChunks, Some(TrainingOracles.tokenChunks)),
     "q_corpus_prep2"      -> QueryDef(corpusPrep2, Some(TrainingOracles.corpusPrep2),
       headline = false),
-    "q_corpus_prep4"      -> QueryDef(corpusPrep4, Some(TrainingOracles.corpusPrep4)),
+    // prep4 stays oracle-verified but hands its bench slot to prep5,
+    // which strictly contains it (the q_dedup_canonical
+    // verified-not-benched convention: every constituent stage holds
+    // its own bench slot already)
+    "q_corpus_prep4"      -> QueryDef(corpusPrep4, Some(TrainingOracles.corpusPrep4),
+      headline = false),
+    "q_corpus_prep5"      -> QueryDef(corpusPrep5, Some(TrainingOracles.corpusPrep5)),
     "q_corpus_prep_delta" -> QueryDef(corpusPrepDelta, Some(TrainingOracles.corpusPrepDelta)),
     "q_token_shards"      -> QueryDef(tokenShards, Some(TrainingOracles.tokenShards)),
     "q_corpus_prep3"      -> QueryDef(corpusPrep3, Some(TrainingOracles.corpusPrep3),
@@ -881,11 +915,41 @@ object TrainingOracles {
     * predicate added here, so stage WIRING stays the only new thing
     * this oracle asserts.
     */
-  val corpusPrep4: String = {
+  val corpusPrep4: String = corpusPrepComposed("", Nil)
+
+  /** [[TrainingPrep.corpusPrep5]]: the same builder with the two
+    * round-12 gate fragments — the pinned-weights scoring prefix
+    * ([[TextOracles.qualityScoredCtes]], embedded verbatim) cut at its
+    * own bottom decile, and the weighted-sample keep-rule complement.
+    */
+  val corpusPrep5: String = corpusPrepComposed(
+    s"""${TextOracles.qualityScoredCtes},
+      |callab AS (
+      |  SELECT doc_id, round(lin, 6) AS ql FROM qscored),
+      |calcuts AS (
+      |  SELECT round(quantile_cont(ql, 0.1), 6) AS c1 FROM callab),
+      |callow AS (
+      |  SELECT doc_id FROM callab, calcuts WHERE ql <= c1),
+      |sampdrop AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE NOT (${graft.GoldenHash.bucketSql("doc_id", 1000)}
+      |             < ${graft.operators.Retrieval.permilleSql})),""".stripMargin,
+    Seq("callow", "sampdrop"))
+
+  /** Shared replay builder for the composed corpus-prep oracles:
+    * [[corpusPrep4]] passes no extras; [[corpusPrep5]] adds two gate
+    * CTE fragments and their drop names — stage WIRING stays the only
+    * thing each composed oracle asserts beyond its verified
+    * constituents.
+    */
+  private def corpusPrepComposed(extraCtes: String, extraDrops: Seq[String]): String = {
     val wpc = TrainingPrep.WordsPerChunk; val pw = TrainingPrep.PackWords
     val bn = ScaleOps.BoilerN
+    val extraNotIn = extraDrops
+      .map(n => s"\n      |    AND c.doc_id NOT IN (SELECT doc_id FROM $n)").mkString
     s"""WITH ${TextOracles.lmScoredCtes},
       |${DedupOracles.spanCtes},
+      |$extraCtes
       |lmcuts AS (
       |  SELECT round(quantile_cont(avg_ll, 0.1), 4) AS c1 FROM lmscored),
       |lmlow AS (
@@ -947,7 +1011,7 @@ object TrainingOracles {
       |  JOIN repkeep USING (doc_id)
       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM boildrop)
       |    AND c.doc_id NOT IN (SELECT doc_id FROM lmlow)
-      |    AND c.doc_id NOT IN (SELECT doc_id FROM spanheavy)),
+      |    AND c.doc_id NOT IN (SELECT doc_id FROM spanheavy)$extraNotIn),
       |dedupkeep AS (
       |  SELECT doc_id FROM (
       |    SELECT d.doc_id,

@@ -283,4 +283,33 @@ class TrainingPrepSpec extends SparkSpec {
     }
     assert(withAtRestMate.nonEmpty, "no rejected doc shows an at-rest cluster mate")
   }
+
+  test("corpusPrep5 is exactly corpusPrep4 minus the calibration and sampling gates") {
+    val v4Docs = TrainingPrep.corpusPrep4(spark, sf)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    val v5Docs = TrainingPrep.corpusPrep5(spark, sf)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(v5Docs.subsetOf(v4Docs), "v5 admitted a doc v4 dropped")
+    // recompute the two extra gates directly
+    val scored = graft.operators.TextAnalysis.modelQuality(spark, sf)
+      .select(col("doc_id"), col("quality_logit")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val c1 = {
+      val sorted = scored.map(_._2).sorted
+      val pos = (sorted.length - 1) * 0.1
+      val (lo, hi) = (sorted(pos.toInt), sorted(math.ceil(pos).toInt))
+      BigDecimal(lo + (hi - lo) * (pos - pos.toInt))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val calLow = scored.filter(_._2 <= c1).map(_._1).toSet
+    val sampleKept = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (id, nc) =>
+        (id * GoldenHash.Gamma) % 1000 < math.min(1000L, math.max(100L, nc * 2))
+      }.map(_._1).toSet
+    val expected = v4Docs.filterNot(calLow).filter(sampleKept)
+    assert(v5Docs == expected,
+      s"v5 docs differ from v4 minus gates: extra=${(v5Docs -- expected).take(3)} missing=${(expected -- v5Docs).take(3)}")
+  }
 }
