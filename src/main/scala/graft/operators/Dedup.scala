@@ -736,6 +736,22 @@ object Dedup {
     * verified-not-benched (both constituents hold bench slots —
     * the corpusPrep-prefix precedent).
     */
+  /** Near-dup cluster-size histogram: how many clusters of each size
+    * the minhash pass found and how many docs they hold — the corpus-
+    * health rollup a dedup run reports (a fat tail of large clusters
+    * means template spam; all-singletons means the thresholds are
+    * over-tight). Pure rollup over [[minhashDedup]]'s labels — two
+    * vocabulary-bound aggregates past the shared dedup plan.
+    */
+  def dedupClusterStats(s: SparkSession, d: String): DataFrame =
+    minhashDedup(s, d)
+      .groupBy(col("kept_doc_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   def dedupCanonical(s: SparkSession, d: String): DataFrame = {
     val clusters = minhashDedup(s, d)
       .select(col("doc_id"), col("kept_doc_id").as("cluster_id"))
@@ -754,6 +770,8 @@ object Dedup {
 
   lazy val defs: Map[String, QueryDef] = Map(
     "q_dedup_canonical" -> QueryDef(dedupCanonical, Some(DedupOracles.dedupCanonical), headline = false),
+    "q_dedup_cluster_stats" -> QueryDef(dedupClusterStats,
+      Some(DedupOracles.dedupClusterStats), headline = false),
     "q_dedup_exact"     -> QueryDef(dedupExact, Some(DedupOracles.dedupExact)),
     "q_exact_distinct"  -> QueryDef(exactDistinct, Some(DedupOracles.exactDistinct)),
     "q_approx_distinct" -> QueryDef(approxDistinct, None),
@@ -955,6 +973,20 @@ object DedupOracles {
        |  CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates
        |FROM labels l LEFT JOIN ncand n USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** [[Dedup.dedupClusterStats]]: the minhash closure oracle as a
+    * derived table, then the identical two-level size rollup.
+    */
+  lazy val dedupClusterStats: String =
+    s"""WITH base AS (
+       |  SELECT kept_doc_id FROM ($minhashDedup) t),
+       |clusters AS (
+       |  SELECT kept_doc_id, count(*) AS cluster_size FROM base GROUP BY 1)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM clusters
+       |GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
 
   /** [[Dedup.dedupCanonical]] composed from the two constituent
     * oracles as derived tables (cluster labels from the recursive-CTE
