@@ -29,6 +29,7 @@ object SparkEntry {
     operators.ScaleOps.defs,
     operators.Retrieval.defs,
     operators.CorpusAudit.defs,
+    operators.Skew.defs,
     operators.Graph.defs,
     sources.CatalogTables.defs,
     sources.FileFormats.defs)

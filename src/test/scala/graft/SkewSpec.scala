@@ -26,4 +26,24 @@ class SkewSpec extends SparkSpec {
       .select(countDistinct(col("__salt"))).as[Long].collect().head
     assert(spread == 8)
   }
+
+  test("saltedTypeRollup equals the unsalted join and carries the salt in the plan") {
+    val salted = Skew.saltedTypeRollup(spark, sf)
+    val plain = {
+      val dim = Skew.TypeWeights.toDF("event_type", "weight")
+      Tables.events(spark, sf)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+        .join(dim, "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents") * col("weight")).as("weighted_cents"),
+          round(sum(col("cents") * col("weight")) / (count(lit(1)) * lit(100d)), 4)
+            .as("avg_weighted_value"))
+        .orderBy(col("event_type"))
+    }
+    assert(salted.collect().map(_.toSeq).toSeq == plain.collect().map(_.toSeq).toSeq)
+    // the mitigation is real: the physical join key includes the salt
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt vanished from the physical plan:\n$plan")
+  }
 }
