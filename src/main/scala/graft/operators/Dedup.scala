@@ -88,6 +88,57 @@ object Dedup {
         (abs(col("ae") - col("n_events")) <= col("n_events") * 0.1)
           .as("events_within_10pct"))
 
+  /** Sketch MERGE across partitions — the way a 100 TB deployment
+    * actually counts distincts: per-DAY DataSketches HLL sketches built
+    * where the data lives, unioned at query time into the weekly
+    * estimate (`hll_sketch_agg` → `hll_union_agg` →
+    * `hll_sketch_estimate`). The at-rest form is a tiny sketch column
+    * per (type, day) partition; re-aggregating a month, a quarter, or
+    * ad-hoc slices never rescans rows. Rows-only by the sketch
+    * contract ([[approxDistinct]]'s stance); [[hllMergeCheck]] is the
+    * oracle-checked error-contract companion.
+    */
+  def hllMerge(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_weekly_users"))
+      .orderBy(col("event_type"))
+
+  /** Invariant companion of [[hllMerge]] (the [[approxDistinctCheck]]
+    * technique): one pass computes the MERGED estimate, the DIRECT
+    * single-sketch estimate, and the exact distinct count per type;
+    * emits the exact counts plus booleans pinning (a) both estimates
+    * within 10% of exact and (b) merge-vs-direct agreement within 2% —
+    * the mergeability contract itself (measured: identical at low
+    * cardinality where HLL runs sparse-exact, 0.2% apart at the sf1
+    * rehearsal's 15k users). DataSketches HLL is deterministic, so the
+    * booleans are stable and the DuckDB oracle pins them TRUE beside
+    * its own exact counts.
+    */
+  def hllMergeCheck(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val merged = ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("dd"),
+        countDistinct(col("user_id")).as("exact_users"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("m") - col("exact_users")) <= col("exact_users") * 0.1)
+          .as("merged_within_10pct"),
+        (abs(col("dd") - col("exact_users")) <= col("exact_users") * 0.1)
+          .as("direct_within_10pct"),
+        (abs(col("m") - col("dd")) <= col("exact_users") * 0.02)
+          .as("merge_agrees_direct_2pct"))
+      .orderBy(col("event_type"))
+  }
+
   // --- MinHash + LSH banded dedup -------------------------------------
   //
   // The fixture corpus (and any real crawl) contains GIANT near-dup
@@ -775,6 +826,8 @@ object Dedup {
     "q_dedup_exact"     -> QueryDef(dedupExact, Some(DedupOracles.dedupExact)),
     "q_exact_distinct"  -> QueryDef(exactDistinct, Some(DedupOracles.exactDistinct)),
     "q_approx_distinct" -> QueryDef(approxDistinct, None),
+    "q_hll_merge" -> QueryDef(hllMerge, None),
+    "q_hll_merge_check" -> QueryDef(hllMergeCheck, Some(DedupOracles.hllMergeCheck)),
     "q_approx_distinct_check" -> QueryDef(approxDistinctCheck,
       Some(DedupOracles.approxDistinctCheck), headline = false),
     "q_minhash_dedup"   -> QueryDef(minhashDedup, Some(DedupOracles.minhashDedup)),
@@ -865,6 +918,19 @@ object DedupOracles {
       |  TRUE AS users_within_10pct,
       |  TRUE AS events_within_10pct
       |FROM events""".stripMargin
+
+  /** [[Dedup.hllMergeCheck]]: exact per-type distincts plus the pinned
+    * error/mergeability contract booleans.
+    */
+  val hllMergeCheck: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS merged_within_10pct,
+      |  TRUE AS direct_within_10pct,
+      |  TRUE AS merge_agrees_direct_2pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** Replays [[Dedup.simhashDedup]] downstream of the signature: reads
     * the materialized signature artifact, re-derives the 4×16-bit

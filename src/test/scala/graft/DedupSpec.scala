@@ -454,4 +454,21 @@ class DedupSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("hll merge path: weekly union of daily sketches honors the error contract") {
+    val check = Dedup.hllMergeCheck(spark, sf).collect()
+    assert(check.nonEmpty)
+    check.foreach { r =>
+      assert(r.getBoolean(2), s"merged estimate outside 10% for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"direct estimate outside 10% for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"merge disagrees with direct sketch for ${r.getString(0)}")
+    }
+    // the rows-only sketch query agrees with the contract query's exact counts
+    val est = Dedup.hllMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = check.map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, ex) =>
+      assert(math.abs(est(t) - ex) <= ex * 0.1, s"$t: est ${est(t)} vs exact $ex")
+    }
+  }
 }
