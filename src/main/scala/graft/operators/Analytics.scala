@@ -449,7 +449,13 @@ object Analytics {
     */
   def linearAttribution(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val purchases = ev.filter(col("event_type") === "purchase")
+    // value >= 0 ENFORCED, not assumed (ADVICE r12): the allocation
+    // algebra needs non-negative cents — Spark DIV truncates toward
+    // zero while DuckDB // floors, so a refund row (negative value)
+    // would silently diverge between the engines. Refunds are excluded
+    // from attribution in both dialects; a deployment that wants them
+    // attributes absolute values with a sign column.
+    val purchases = ev.filter(col("event_type") === "purchase" && col("value") >= 0)
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"),
         round(col("value") * 100).cast("long").as("cents"))
     val clicks = ev.filter(col("event_type") === "click")

@@ -63,13 +63,15 @@ object BpeTrain {
     */
   val DistributedRoundsMax = 16
 
-  /** Fail-loud bound on the driver-side vocab collect: distinct
-    * lowercase words, each a short string + freq. 10M rows ≈ a few
-    * hundred MB driver-side — the scale real web corpora produce after
-    * lowercasing ([a-z]+ tokens only). A corpus past the cap should
-    * min-frequency-prune its vocab first (standard BPE practice —
-    * hapax words cannot win an argmax round against any repeated pair
-    * unless the alphabet is near-exhausted) rather than raise it.
+  /** Bound on the driver-side vocab collect: distinct lowercase words,
+    * each a short string + freq. 10M rows ≈ a few hundred MB
+    * driver-side — the scale real web corpora produce after lowercasing
+    * ([a-z]+ tokens only). A corpus past the cap is MIN-FREQUENCY-
+    * PRUNED automatically with a loud log of the dropped mass
+    * ([[collectVocabCapped]] — standard BPE practice: hapax words
+    * cannot win an argmax round against any repeated pair unless the
+    * alphabet is near-exhausted, so the learned merges on the
+    * surviving vocab are unchanged).
     */
   val DriverVocabCap: Int = 10000000
 
@@ -146,14 +148,59 @@ object BpeTrain {
     * per-round cost ∝ affected words, not vocab, which is what makes
     * a 30k-round production vocabulary tractable.
     */
-  private def learnDriverSide(s: SparkSession, d: String, rounds: Int): Seq[Merge] = {
-    val collected = vocab(s, d).select(col("seq"), col("freq"))
-      .limit(DriverVocabCap + 1).collect()
-    require(collected.length <= DriverVocabCap,
-      s"BPE driver-side vocab exceeds $DriverVocabCap distinct words — " +
-        "min-frequency-prune the vocab first (see DriverVocabCap scaladoc)")
-    val seqs = collected.map(_.getString(0))
-    val freqs = collected.map(_.getLong(1))
+  private def learnDriverSide(s: SparkSession, d: String, rounds: Int): Seq[Merge] =
+    induceMerges(collectVocabCapped(vocab(s, d), DriverVocabCap), rounds)
+
+  /** Collect a (seq, freq) vocab frame under a driver-size cap. Fits →
+    * plain collect. Over the cap → the MIN-FREQUENCY PRUNE the
+    * [[DriverVocabCap]] scaladoc names (standard BPE practice): keep
+    * every word at or above the smallest frequency threshold whose
+    * cumulative word count fits the cap — band-at-a-time in descending
+    * frequency, so the rule is deterministic (a tie band is kept or
+    * dropped whole, never split by partition order) — and loud-log the
+    * dropped word count and occurrence mass. Hapax-tail words cannot
+    * win an argmax round against any repeated pair unless the alphabet
+    * is near-exhausted, so pruning the tail leaves the learned merges
+    * on the surviving vocab unchanged (BpeTrainSpec pins this). The
+    * frequency histogram collected to choose the threshold is
+    * distinct-FREQUENCY-bound (≪ vocab), never vocab-bound.
+    */
+  private[graft] def collectVocabCapped(v: DataFrame,
+      cap: Int): Array[(String, Long)] = {
+    val vf = v.select(col("seq"), col("freq"))
+    val head = vf.limit(cap + 1).collect()
+    if (head.length <= cap) head.map(r => (r.getString(0), r.getLong(1)))
+    else {
+      val hist = vf.groupBy(col("freq")).agg(count(lit(1)).as("n"))
+        .orderBy(col("freq").desc)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var kept = 0L; var thr = Long.MaxValue; var i = 0
+      while (i < hist.length && kept + hist(i)._2 <= cap) {
+        kept += hist(i)._2; thr = hist(i)._1; i += 1
+      }
+      require(kept > 0,
+        s"BPE vocab cap $cap cannot fit even the top frequency band " +
+          s"(${hist.headOption.fold(0L)(_._2)} words at the max frequency)")
+      val droppedWords = hist.drop(i).map(_._2).sum
+      val droppedMass = hist.drop(i).map { case (f, n) => f * n }.sum
+      val totalMass = hist.map { case (f, n) => f * n }.sum
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BPE driver-side vocab (${kept + droppedWords} distinct words) exceeds " +
+          s"cap $cap: min-frequency prune at freq >= $thr keeps $kept words, " +
+          s"drops $droppedWords words carrying $droppedMass of $totalMass occurrences")
+      vf.filter(col("freq") >= thr)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    }
+  }
+
+  /** The incremental driver-side induction core over a collected
+    * (seq, freq) vocab — word order in the array is irrelevant (counts
+    * are multiset sums; the argmax orders on (cnt DESC, pair ASC)).
+    */
+  private[graft] def induceMerges(collected: Array[(String, Long)],
+      rounds: Int): Seq[Merge] = {
+    val seqs = collected.map(_._1)
+    val freqs = collected.map(_._2)
 
     def pairsOf(seq: String): Array[String] = {
       val syms = seq.trim.split(" ")
@@ -225,12 +272,23 @@ object BpeTrain {
     * ran as [[Rounds]] distributed aggregations.
     */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
-    val out = mergesDf(s, learnMerges(s, d))
-    graft.Artifacts.writeOnce(s, d, "bpe_merges") {
-      out.coalesce(1).write.mode("overwrite").parquet(MergesPath)
-    }
-    out
+    ensureMergesPinned(s, d)
+    mergesDf(s, learnMerges(s, d))
   }
+
+  /** Pin the learned-merge artifact without requiring `q_bpe_train` to
+    * have run first: consumers whose ORACLE replays the merge recursion
+    * ([[TrainingPrep.corpusPrepDelta]], [[bpeApply]]'s accounting twins)
+    * call this so the pin holds under any query execution order — the
+    * same guarantee-the-pin stance as [[Dedup.ensureMinhashPinned]].
+    * Cheap on repeat: the merges come from the session cache and
+    * [[graft.Artifacts.writeOnce]] skips the I/O.
+    */
+  private[operators] def ensureMergesPinned(s: SparkSession, d: String): Unit =
+    graft.Artifacts.writeOnce(s, d, "bpe_merges") {
+      mergesDf(s, learnMerges(s, d))
+        .coalesce(1).write.mode("overwrite").parquet(MergesPath)
+    }
 
   /** [[bpeTrain]] at [[DeepRounds]] — past [[DistributedRoundsMax]],
     * so the induction runs DRIVER-SIDE over the collected frequency

@@ -507,15 +507,20 @@ object Graph {
           round(col("q") / lit(PrScale.toDouble), 6).as("score"))
         .localCheckpoint(true) // the one build job; round caches fill inside it
       frames.foreach(_.unpersist(false))
-      graft.Artifacts.writeOnce(s, d, "pagerank_traj") {
-        out.select(col("iter"), col("node"), col("q"))
-          .write.mode("overwrite").parquet(PrTrajPath)
-      }
       out
     }
 
-  def pageRank(s: SparkSession, d: String): DataFrame =
-    pageRankTraj(s, d).orderBy(col("iter"), col("node"))
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val traj = pageRankTraj(s, d)
+    // pin OUTSIDE the cache build (ADVICE r12): a session-cache hit
+    // after Artifacts.cleanAll must still re-pin, or the oracle replays
+    // a missing/other-SF trajectory
+    graft.Artifacts.writeOnce(s, d, "pagerank_traj") {
+      traj.select(col("iter"), col("node"), col("q"))
+        .write.mode("overwrite").parquet(PrTrajPath)
+    }
+    traj.orderBy(col("iter"), col("node"))
+  }
 
   val defs: Map[String, QueryDef] = Map(
     "q_doc_components" -> QueryDef(docComponents, Some(GraphOracles.docComponents)),

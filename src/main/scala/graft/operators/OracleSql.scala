@@ -233,13 +233,15 @@ object OracleSql {
 
   /** [[Analytics.linearAttribution]] — same integer-cent largest-
     * remainder allocation (`//` == Spark DIV on the non-negative
-    * operands).
+    * operands; non-negativity is ENFORCED by the `value >= 0` filter
+    * both dialects apply — refunds would make floor vs truncation
+    * diverge).
     */
   val linearAttribution: String =
     """WITH p AS (
       |  SELECT user_id, event_id AS p_id, ts AS p_ts,
       |    CAST(round(value * 100) AS BIGINT) AS cents
-      |  FROM events WHERE event_type = 'purchase'),
+      |  FROM events WHERE event_type = 'purchase' AND value >= 0),
       |c AS (
       |  SELECT user_id, event_id AS c_id, ts AS c_ts
       |  FROM events WHERE event_type = 'click'),

@@ -137,7 +137,8 @@ object Retrieval {
   val Bm25DoclensPath: String = graft.Artifacts.path("bm25_doclens")
 
   private final case class Bm25Index(
-      postings: DataFrame, termStats: DataFrame, stats: DataFrame)
+      postings: DataFrame, doclens: DataFrame, termStats: DataFrame,
+      stats: DataFrame)
 
   private val bm25Cache = new graft.SessionCache[String, Bm25Index]()
 
@@ -146,8 +147,8 @@ object Retrieval {
     * the 1-row corpus stats — the build-once/probe-many shape of
     * [[Similarity]]'s IVF index, applied to lexical retrieval.
     */
-  private def bm25Index(s: SparkSession, d: String): Bm25Index =
-    bm25Cache.getOrBuild(s, d) {
+  private def bm25Index(s: SparkSession, d: String): Bm25Index = {
+    val idx = bm25Cache.getOrBuild(s, d) {
       import org.apache.spark.storage.StorageLevel
       val docs = Tables.documents(s, d).select(col("doc_id"), TextAnalysis.words.as("ws"))
       val postings = docs
@@ -163,12 +164,17 @@ object Retrieval {
       val stats = doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       termStats.count(); stats.count()
-      graft.Artifacts.writeOnce(s, d, "bm25_index") {
-        postings.write.mode("overwrite").parquet(Bm25PostingsPath)
-        doclens.write.mode("overwrite").parquet(Bm25DoclensPath)
-      }
-      Bm25Index(postings, termStats, stats)
+      Bm25Index(postings, doclens, termStats, stats)
     }
+    // pin OUTSIDE the cache build (ADVICE r12): a session-cache hit
+    // after Artifacts.cleanAll must still re-pin, or the oracle reads a
+    // missing/other-SF artifact — the Similarity.pinIvfIndex convention
+    graft.Artifacts.writeOnce(s, d, "bm25_index") {
+      idx.postings.write.mode("overwrite").parquet(Bm25PostingsPath)
+      idx.doclens.write.mode("overwrite").parquet(Bm25DoclensPath)
+    }
+    idx
+  }
 
   /** BM25 probe over the prebuilt [[bm25Index]]: identical output to
     * [[bm25TopK]] (RetrievalSpec asserts row-for-row equality), but the
@@ -300,23 +306,12 @@ object Retrieval {
   val PmiTopPairs = 20
 
   /** Symmetric-window (±2) co-occurrence pairs, generated inside the
-    * scan stage: each doc's token array yields its (sorted) offset-1
-    * and offset-2 pairs via a single array expression — rows never
-    * leave the scan until the pair-count aggregate. `least/greatest`
-    * canonicalizes the unordered pair.
-    */
-  private val pairsExpr: Column = expr(
-    """flatten(array(
-      |  transform(sequence(1, size(ws) - 1),
-      |    i -> array(least(element_at(ws, i), element_at(ws, i + 1)),
-      |               greatest(element_at(ws, i), element_at(ws, i + 1)))),
-      |  transform(sequence(1, size(ws) - 2),
-      |    i -> array(least(element_at(ws, i), element_at(ws, i + 2)),
-      |               greatest(element_at(ws, i), element_at(ws, i + 2))))))""".stripMargin)
-
-  /** [[pairsExpr]] plus each token as a `(w, NULL)` marker row — ONE
-    * explode feeds both the pair counts (w2 non-null) and the unigram
-    * counts (w2 null), so the corpus pays a single
+    * scan stage, plus each token as a `(w, NULL)` marker row: each
+    * doc's token array yields its (sorted, `least/greatest`-
+    * canonicalized) offset-1 and offset-2 pairs via a single array
+    * expression — rows never leave the scan until the aggregate — and
+    * ONE explode feeds both the pair counts (w2 non-null) and the
+    * unigram counts (w2 null), so the corpus pays a single
     * scan+tokenize+shuffle for both statistics.
     */
   private val pairsAndUnigramsExpr: Column = expr(

@@ -902,7 +902,14 @@ object Similarity {
   lazy val defs: Map[String, QueryDef] = Map(
     "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK)),
     "q_hard_negatives"    -> QueryDef(hardNegatives, Some(SimilarityOracles.hardNegatives)),
-    "q_embedding_neardup" -> QueryDef(nearDupPairs, Some(SimilarityOracles.nearDupPairs)),
+    // verified-not-benched (the corpusPrep-prefix convention, VERDICT
+    // r12 item 2): the exact all-pairs baseline is quadratic BY
+    // DEFINITION — it exists so the oracle and the LSH/SemDeDup recall
+    // specs have exact truth to check against, and it burned ~15% of
+    // the sf1 rehearsal wall as a headline entry. The scale-path
+    // sibling q_embedding_lsh keeps its bench slot.
+    "q_embedding_neardup" -> QueryDef(nearDupPairs, Some(SimilarityOracles.nearDupPairs),
+      headline = false),
     "q_embedding_lsh"     -> QueryDef(lshNearDup, Some(SimilarityOracles.lshNearDup)),
     "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), Some(SimilarityOracles.ivfTopK)),
     "q_embedding_centroids" -> QueryDef(embeddingCentroids, Some(SimilarityOracles.embeddingCentroids)),

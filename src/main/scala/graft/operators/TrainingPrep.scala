@@ -572,9 +572,11 @@ object TrainingPrep {
     *
     *   1. stateless quality gate ([[TextAnalysis.textQualityOf]] on the
     *      batch alone — no corpus scan);
-    *   2. exact-duplicate drop vs at-rest (anti join on text; at fleet
-    *      scale the at-rest side is an md5-bucketed index — same plan,
-    *      hashed key);
+    *   2. exact-duplicate drop vs the at-rest DIGEST sidecar
+    *      ([[Dedup.incrementalExactClean]]: batch sha2-256 digests
+    *      anti-joined against the bucketed `deltadx_digests` table —
+    *      the index side never reshuffles and the at-rest TEXT column
+    *      never crosses the wire; probe cost ∝ batch);
     *   3. near-duplicate admission via the BUCKETED at-rest minhash
     *      index ([[Dedup.writeDedupIndex]] built once per corpus
     *      version, [[Dedup.incrementalNearDups]] probe ∝ batch — the
@@ -591,26 +593,37 @@ object TrainingPrep {
     * artifact, benchmark gram probe, and the merge-steered
     * tokenization recursion from the pinned merges.
     */
+  /** Pinned copy of the `deltadx_digests` sidecar (one 64-char sha2-256
+    * hex digest per distinct at-rest text) — the oracle replays the
+    * exact-dup stage by anti-joining `sha256(text)` against these bytes,
+    * round-tripping the engine-written artifact the same way the minhash
+    * oracle replays the pinned band keys.
+    */
+  val DeltaDigestPath: String = graft.Artifacts.path("delta_digests")
+
   def corpusPrepDelta(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val isDelta = graft.GoldenHash.bucket(col("doc_id"), 20) === 7
     val delta = docs.filter(isDelta)
     val atRest = docs.filter(!isDelta)
 
-    // at-rest artifacts: bucketed dedup index (probe side) + the pinned
-    // (bands, grams) parquet the ORACLE replays banding from — both
-    // once per (session, corpus version)
+    // at-rest artifacts: bucketed dedup index (probe side), the pinned
+    // (bands, grams) parquet the ORACLE replays banding from, and the
+    // pinned digest sidecar the oracle replays the exact stage from —
+    // all once per (session, corpus version)
     graft.Artifacts.writeOnce(s, d, "delta_dedup_index") {
       Dedup.writeDedupIndex(atRest, "deltadx")
+      s.table("deltadx_digests")
+        .write.mode("overwrite").parquet(DeltaDigestPath)
     }
     Dedup.ensureMinhashPinned(s, d)
+    BpeTrain.ensureMergesPinned(s, d)
 
     val qualityOk = delta.join(
       TextAnalysis.textQualityOf(delta)
         .filter(col("quality") === "ok").select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val exactClean = qualityOk
-      .join(atRest.select(col("text")), Seq("text"), "left_anti")
+    val exactClean = Dedup.incrementalExactClean(s, qualityOk, "deltadx")
     val nearClean = exactClean.join(
       Dedup.incrementalNearDups(s, exactClean, "deltadx").select(col("doc_id")),
       Seq("doc_id"), "left_anti")
@@ -1224,10 +1237,12 @@ object TrainingOracles {
   }
 
   /** [[TrainingPrep.corpusPrepDelta]] replayed end-to-end: quality
-    * thresholds on the delta split, the exact-text anti join, minhash
-    * banding + gram-Jaccard verification from the pinned index
-    * artifact, the benchmark 5-gram probe, and the merge-steered BPE
-    * tokenization recursion from the pinned merges.
+    * thresholds on the delta split, the exact-dup stage re-hashed with
+    * DuckDB's own sha256 against the PINNED digest sidecar (a
+    * round-trip of the engine-written artifact), minhash banding +
+    * gram-Jaccard verification from the pinned index artifact, the
+    * benchmark 5-gram probe, and the merge-steered BPE tokenization
+    * recursion from the pinned merges.
     */
   val corpusPrepDelta: String = {
     val nt = TextOracles.nTokensSql
@@ -1252,9 +1267,13 @@ object TrainingOracles {
        |      round(CAST(length(text) - ($nt - 1) AS DOUBLE) / $nt, 4) AS avg_token_len
        |    FROM delta)
        |  WHERE n_tokens >= 10 AND avg_token_len >= 2 AND avg_token_len <= 12),
+       |dig AS (
+       |  SELECT digest
+       |  FROM read_parquet('${TrainingPrep.DeltaDigestPath}/*.parquet')),
        |e2 AS (
        |  SELECT q.* FROM q
-       |  WHERE NOT EXISTS (SELECT 1 FROM atrest a WHERE a.text = q.text)),
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM dig WHERE dig.digest = sha256(q.text))),
        |banded AS (
        |  SELECT doc_id, i AS band, bands[i + 1] AS key
        |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i)),

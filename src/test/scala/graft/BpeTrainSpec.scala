@@ -125,6 +125,35 @@ class BpeTrainSpec extends SparkSpec {
     assert(ex.nonEmpty && ex.size < 50, s"expected early exhaustion, got ${ex.size}")
   }
 
+  test("over-cap vocab min-frequency-prunes; merges match learning on the surviving vocab") {
+    // (seq, freq) frame in vocab()'s shape: 4 repeated words + a
+    // 30-word hapax tail pushes past a cap of 10
+    def seqOf(w: String) = " " + w.map(c => s"$c ").mkString
+    val main = Seq("banana" -> 9L, "bandana" -> 7L, "cabana" -> 6L, "anab" -> 4L)
+    val tail = (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"z$a$b")
+      .take(30).map(_ -> 1L)
+    val v = (main ++ tail).map { case (w, f) => (seqOf(w), f) }.toDF("seq", "freq")
+
+    // under the cap: plain collect, nothing dropped
+    assert(BpeTrain.collectVocabCapped(v, 100).length == 34)
+
+    // over the cap: the freq-1 band cannot fit (4 + 30 > 10), so the
+    // threshold lands at freq >= 4 and the tie band drops WHOLE —
+    // exactly the 4 repeated words survive
+    val pruned = BpeTrain.collectVocabCapped(v, 10)
+    assert(pruned.map(_._1).toSet == main.map(m => seqOf(m._1)).toSet,
+      pruned.map(_._1).mkString(","))
+
+    // the convention's contract: learning after the prune == learning
+    // on the surviving vocab directly (no cap involved)
+    val direct = BpeTrain.collectVocabCapped(
+      main.map { case (w, f) => (seqOf(w), f) }.toDF("seq", "freq"), 100)
+    assert(BpeTrain.induceMerges(pruned, 8) == BpeTrain.induceMerges(direct, 8))
+
+    // a cap that cannot fit even the top band fails loud
+    intercept[IllegalArgumentException] { BpeTrain.collectVocabCapped(v, 0) }
+  }
+
   test("fixture corpus learns the full round budget deterministically") {
     val m1 = BpeTrain.bpeTrain(spark, sf)
       .as[(Int, String, String, String, Long)].collect().toSeq

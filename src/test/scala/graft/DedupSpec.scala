@@ -218,6 +218,39 @@ class DedupSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("Bucketed")).mkString("\n"))
   }
 
+  test("incremental exact-dup probe scans only the bucketed digest sidecar, never at-rest text") {
+    val d = TestSession.Sf
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.writeDedupIndex(existing, "exdx")
+    val cleaned = Dedup.incrementalExactClean(spark, batch, "exdx")
+
+    // semantics: exact text copies rejected, fresh texts admitted
+    val existingTexts = existing.select("text").as[String].collect().toSet
+    val got = cleaned.select("text").as[String].collect()
+    assert(got.forall(t => !existingTexts(t)), "admitted an exact dup")
+    val expected = batch.select("text").as[String].collect()
+      .count(t => !existingTexts(t))
+    assert(got.length == expected, s"${got.length} admitted, expected $expected")
+
+    // plan, at the 100 TB shape (auto-broadcast off — at spec scale the
+    // sidecar broadcasts, which also never ships text; at corpus scale
+    // it cannot broadcast and must hit the bucketed path): the index
+    // side scans the bucketed digest sidecar with NO exchange above it,
+    // reading ONLY the 64-char digest column — the at-rest TEXT column
+    // never enters the probe plan (VERDICT r12 finding 1)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Dedup.incrementalExactClean(spark, batch, "exdx")
+      val plan = probe.queryExecution.executedPlan.toString
+      val idxScan = plan.linesIterator.filter(_.contains("exdx_digests")).mkString("\n")
+      assert(idxScan.contains("Bucketed: true"), idxScan)
+      assert(idxScan.contains("ReadSchema: struct<digest:string>"), idxScan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("minhash canonical ids match exact connected components (precision exact, recall bounded)") {
     // Ground truth: exact connected components over UNBLOCKED all-pairs
     // char-3 Jaccard >= 0.5 edges (the ngramJaccard oracle blocks on
