@@ -9,11 +9,13 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.mediaPipeline(spark, sf).collect()
     assert(out.map(_.getAs[String]("kind")).toSeq == Seq("audio", "image", "video"))
     assert(out.map(_.getAs[Long]("n_items")).sum == 300)
-    // every image row decoded through the REAL codec, non-images none
+    // every image AND audio row decoded through its REAL codec
+    // (ImageIO / AudioSystem); video has no JDK codec — none decode
     val byKind = out.map(r => r.getAs[String]("kind") ->
       (r.getAs[Long]("n_items"), r.getAs[Long]("n_real_decoded"))).toMap
     assert(byKind("image")._1 == byKind("image")._2, s"stub fallback hit for images: $byKind")
-    assert(byKind("audio")._2 == 0 && byKind("video")._2 == 0)
+    assert(byKind("audio")._1 == byKind("audio")._2, s"stub fallback hit for audio: $byKind")
+    assert(byKind("video")._2 == 0)
   }
 
   test("ImageIO decodes a real PNG's true width/height and pixel histogram") {
@@ -30,6 +32,38 @@ class MultimodalSpec extends SparkSpec {
       assert(f.feature.forall(_ >= 0f))
       assert(math.abs(f.feature.sum - 1.0f) < 1e-3, s"histogram sum ${f.feature.sum}")
     }
+  }
+
+  test("AudioSystem decodes a real WAV's true sample rate, duration and amplitude histogram") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val audios = Multimodal.extractFeatures(media).collect().filter(_.kind == "audio")
+    assert(audios.nonEmpty)
+    // metadata carries the generator's TRUE duration (n_samples/8 ms);
+    // the decoded frame-count duration must agree exactly
+    val meta = media.collect().map(m => m.media_id -> m.duration_ms).toMap
+    audios.foreach { f =>
+      assert(f.decoded_real, s"audio ${f.media_id} fell back to the stub codec")
+      assert(f.decoded_width == 8000, s"sample rate ${f.decoded_width}")
+      assert(f.decoded_height == 1, s"channels ${f.decoded_height}")
+      assert(f.decoded_duration_ms == meta(f.media_id),
+        s"decoded duration ${f.decoded_duration_ms} != true ${meta(f.media_id)}")
+      // amplitude histogram: non-negative bins summing to 1 over real samples
+      assert(f.feature.forall(_ >= 0f))
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3, s"histogram sum ${f.feature.sum}")
+    }
+    // the seeded waveform spans the amplitude range — a decode that
+    // misparsed sample bytes (endianness, offset) would pile into few bins
+    assert(audios.head.feature.count(_ > 0f) >= 6, audios.head.feature.mkString(","))
+  }
+
+  test("undecodable audio bytes fall back to the stub codec, loudly flagged") {
+    import spark.implicits._
+    val garbage = Seq(
+      graft.operators.MediaRecord(0L, "audio", "synthetic://audio/bad",
+        Array.tabulate[Byte](32)(_.toByte), 0, 0, 0L)).toDS()
+    val f = Multimodal.extractFeatures(garbage).collect().head
+    assert(!f.decoded_real)
+    assert(f.decoded_duration_ms == 0L)
   }
 
   test("undecodable image bytes fall back to the stub codec, loudly flagged") {
