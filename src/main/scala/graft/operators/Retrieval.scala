@@ -147,25 +147,32 @@ object Retrieval {
     * the 1-row corpus stats — the build-once/probe-many shape of
     * [[Similarity]]'s IVF index, applied to lexical retrieval.
     */
+  /** Build an inverted index over any (doc_id, text) frame — the
+    * table-agnostic core shared by the full-corpus index, the at-rest
+    * base of the append story, and the delta batch (whose build cost is
+    * therefore ∝ batch by construction: same code, smaller frame).
+    */
+  private def bm25IndexOf(docsIn: DataFrame): Bm25Index = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = docsIn.select(col("doc_id"), TextAnalysis.words.as("ws"))
+    val postings = docs
+      .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val doclens = docs.select(col("doc_id"), size(col("ws")).as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    postings.count(); doclens.count() // build pays the scan, probes don't
+    val termStats = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    termStats.count(); stats.count()
+    Bm25Index(postings, doclens, termStats, stats)
+  }
+
   private def bm25Index(s: SparkSession, d: String): Bm25Index = {
-    val idx = bm25Cache.getOrBuild(s, d) {
-      import org.apache.spark.storage.StorageLevel
-      val docs = Tables.documents(s, d).select(col("doc_id"), TextAnalysis.words.as("ws"))
-      val postings = docs
-        .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val doclens = docs.select(col("doc_id"), size(col("ws")).as("dl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      postings.count(); doclens.count() // build pays the scan, probes don't
-      val termStats = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val stats = doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      termStats.count(); stats.count()
-      Bm25Index(postings, doclens, termStats, stats)
-    }
+    val idx = bm25Cache.getOrBuild(s, d)(bm25IndexOf(Tables.documents(s, d)))
     // pin OUTSIDE the cache build (ADVICE r12): a session-cache hit
     // after Artifacts.cleanAll must still re-pin, or the oracle reads a
     // missing/other-SF artifact — the Similarity.pinIvfIndex convention
@@ -213,6 +220,84 @@ object Retrieval {
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val idx = bm25Index(s, d)
     (idx.postings, idx.termStats, idx.stats)
+  }
+
+  // ------------------------------------------- BM25 incremental append
+
+  /** Pinned artifacts for the APPEND story (VERDICT r12 item 5): the
+    * base postings/doclens built on the at-rest split only, and the
+    * delta postings/doclens rows the append emits for the ingest
+    * batch. The oracle replays the probe-after-append from these four
+    * tables, re-deriving df and N/avgdl from the base ∪ delta UNION —
+    * so a bug in the engine's counter addition breaks the compare.
+    */
+  val Bm25BasePostingsPath: String = graft.Artifacts.path("bm25_base_postings")
+  val Bm25BaseDoclensPath: String = graft.Artifacts.path("bm25_base_doclens")
+  val Bm25DeltaPostingsPath: String = graft.Artifacts.path("bm25_delta_postings")
+  val Bm25DeltaDoclensPath: String = graft.Artifacts.path("bm25_delta_doclens")
+
+  /** The ingest-batch split for the append story — the same
+    * [[graft.GoldenHash]] 5% delta convention as
+    * [[TrainingPrep.corpusPrepDelta]] and the ANN append.
+    */
+  private def isBmDelta: Column = GoldenHash.bucket(col("doc_id"), 20) === 7
+
+  private val bm25BaseCache = new graft.SessionCache[String, Bm25Index]()
+  private val bm25DeltaCache = new graft.SessionCache[String, Bm25Index]()
+
+  /** Incremental postings maintenance — the [[AnnMaintain]]
+    * frozen-sidecar stance applied to lexical retrieval: the at-rest
+    * base index is built once per corpus version and FROZEN; admitting
+    * an ingest batch costs one batch-bound tokenize (new postings +
+    * doclen rows) plus counter addition for the global statistics —
+    * df(t) = df_base(t) + df_delta(t) via a vocab-bound full-outer
+    * merge, N and Σdl as two-long counter sums (avgdl re-derived from
+    * the summed longs, NOT from n·avgdl products, so the double math is
+    * bit-identical to an avg over the unioned doclens). Nothing
+    * corpus-scale recomputes: at 100 TB the delta postings append to
+    * the term-bucketed postings table and the base side never
+    * reshuffles — the digest-sidecar admission stance, applied to the
+    * index itself.
+    */
+  private[graft] def bm25AppendedFrames(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = bm25BaseCache.getOrBuild(s, d)(
+      bm25IndexOf(Tables.documents(s, d).filter(!isBmDelta)))
+    val delta = bm25DeltaCache.getOrBuild(s, d)(
+      bm25IndexOf(Tables.documents(s, d).filter(isBmDelta)))
+    graft.Artifacts.writeOnce(s, d, "bm25_append") {
+      base.postings.write.mode("overwrite").parquet(Bm25BasePostingsPath)
+      base.doclens.write.mode("overwrite").parquet(Bm25BaseDoclensPath)
+      delta.postings.write.mode("overwrite").parquet(Bm25DeltaPostingsPath)
+      delta.doclens.write.mode("overwrite").parquet(Bm25DeltaDoclensPath)
+    }
+    val postings = base.postings.unionByName(delta.postings)
+    val termStats = base.termStats.select(col("term"), col("df").as("df_b"))
+      .join(delta.termStats.select(col("term"), col("df").as("df_d")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"))
+    def counters(dl: DataFrame, suffix: String) =
+      dl.agg(count(lit(1)).as(s"n_$suffix"),
+        coalesce(sum(col("dl")), lit(0L)).as(s"sdl_$suffix"))
+    val stats = counters(base.doclens, "b").crossJoin(counters(delta.doclens, "d"))
+      .select((col("n_b") + col("n_d")).as("n"),
+        ((col("sdl_b") + col("sdl_d")).cast("double") /
+          (col("n_b") + col("n_d"))).as("avgdl"))
+    (postings, termStats, stats)
+  }
+
+  /** Probe-after-append: the benchmark query batch against base ∪
+    * delta with counter-refreshed statistics. Because the fixture's
+    * base + delta splits partition the corpus, the output must equal
+    * [[bm25Indexed]] row for row (RetrievalSpec pins that append
+    * invariance); the oracle independently replays the probe from the
+    * four pinned tables.
+    */
+  def bm25AppendProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (postings, termStats, stats) = bm25AppendedFrames(s, d)
+    bm25ProbeBatch(BmQueries.toDF("query_id", "term"), postings, termStats, stats)
   }
 
   // ----------------------------------------------------------------- kNN
@@ -422,6 +507,7 @@ object Retrieval {
   lazy val defs: Map[String, QueryDef] = Map(
     "q_bm25_topk"       -> QueryDef(bm25TopK, Some(RetrievalOracles.bm25TopK)),
     "q_bm25_indexed"    -> QueryDef(bm25Indexed, Some(RetrievalOracles.bm25Indexed)),
+    "q_bm25_append"     -> QueryDef(bm25AppendProbe, Some(RetrievalOracles.bm25Appended)),
     "q_knn_classify"    -> QueryDef(knnClassify, Some(RetrievalOracles.knnClassify)),
     "q_knn_classify_ivf" -> QueryDef((s, d) => knnClassifyIvf(s, d),
       Some(RetrievalOracles.knnClassifyIvf)),
@@ -492,6 +578,32 @@ object RetrievalOracles {
        |  FROM read_parquet('${Retrieval.Bm25PostingsPath}/*.parquet')),
        |dls AS (
        |  SELECT doc_id, dl FROM read_parquet('${Retrieval.Bm25DoclensPath}/*.parquet')),
+       |stats AS (
+       |  SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM p GROUP BY term),
+       |tf AS (
+       |  SELECT doc_id, dl, term, tf FROM p
+       |  WHERE term IN (SELECT DISTINCT term FROM q)),
+       |$bm25TailSql""".stripMargin
+
+  /** Replays [[Retrieval.bm25AppendProbe]] over the four PINNED tables:
+    * base ∪ delta postings/doclens unioned, df and N/avgdl re-derived
+    * from the union (NOT from the engine's merged counters — a counter-
+    * addition bug in the append path breaks this compare).
+    */
+  val bm25Appended: String =
+    s"""WITH q(query_id, term) AS (VALUES ${queriesValues}),
+       |p AS (
+       |  SELECT term, doc_id, dl, tf
+       |  FROM read_parquet('${Retrieval.Bm25BasePostingsPath}/*.parquet')
+       |  UNION ALL
+       |  SELECT term, doc_id, dl, tf
+       |  FROM read_parquet('${Retrieval.Bm25DeltaPostingsPath}/*.parquet')),
+       |dls AS (
+       |  SELECT doc_id, dl FROM read_parquet('${Retrieval.Bm25BaseDoclensPath}/*.parquet')
+       |  UNION ALL
+       |  SELECT doc_id, dl FROM read_parquet('${Retrieval.Bm25DeltaDoclensPath}/*.parquet')),
        |stats AS (
        |  SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
        |dfreq AS (

@@ -835,6 +835,26 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Auto-selecting semantic decontamination — the plan choice the
+    * OPERATOR owns instead of its callers (the [[Graph]] CC
+    * auto-select precedent, VERDICT r12 item 6): a limit-bounded count
+    * of the benchmark split picks the exact broadcast gate when it
+    * fits the [[SemDecontamMaxBenchRows]] driver-collect cap, and the
+    * IVF-prefiltered escalation past it. The probe count scans at most
+    * cap+1 rows of the benchmark SPLIT (never the corpus) — at 100 TB
+    * that is one partition-local limit. Both underlying variants stay
+    * independently oracle-checked; the spec pins the escalation
+    * trigger on both sides of the cap.
+    */
+  def semanticDecontaminateAuto(
+      s: SparkSession, d: String,
+      maxBenchRows: Int = SemDecontamMaxBenchRows): DataFrame = {
+    val isTestVec = graft.GoldenHash.bucket(col("vec_id"), 10) === 0
+    val benchRows = vecs(s, d).filter(isTestVec).limit(maxBenchRows + 1).count()
+    if (benchRows <= maxBenchRows) semanticDecontaminate(s, d, maxBenchRows)
+    else semanticDecontaminateIvf(s, d)
+  }
+
   /** The IVF-prefiltered escalation of [[semanticDecontaminate]] — the
     * plan for a benchmark side too large for the driver-collect cap.
     * NEITHER split is collected: both ride the shared [[ivfIndex]]

@@ -602,25 +602,44 @@ object TrainingPrep {
   val DeltaDigestPath: String = graft.Artifacts.path("delta_digests")
 
   def corpusPrepDelta(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    ensureDeltaArtifacts(s, d)
     val isDelta = graft.GoldenHash.bucket(col("doc_id"), 20) === 7
-    val delta = docs.filter(isDelta)
-    val atRest = docs.filter(!isDelta)
+    deltaAdmissionChain(s, d, Tables.documents(s, d).filter(isDelta))
+  }
 
-    // at-rest artifacts: bucketed dedup index (probe side), the pinned
-    // (bands, grams) parquet the ORACLE replays banding from, and the
-    // pinned digest sidecar the oracle replays the exact stage from —
-    // all once per (session, corpus version)
+  /** Build/pin the frozen at-rest artifacts the admission gates probe:
+    * the bucketed dedup index (bands/grams/digests), the pinned
+    * (bands, grams) parquet the ORACLE replays banding from, the pinned
+    * digest sidecar the oracle replays the exact stage from, and the
+    * pinned BPE merges — all once per (session, corpus version). The
+    * streaming twin calls this once at wiring time, NEVER per batch.
+    */
+  private[graft] def ensureDeltaArtifacts(s: SparkSession, d: String): Unit = {
+    val isDelta = graft.GoldenHash.bucket(col("doc_id"), 20) === 7
     graft.Artifacts.writeOnce(s, d, "delta_dedup_index") {
-      Dedup.writeDedupIndex(atRest, "deltadx")
+      Dedup.writeDedupIndex(Tables.documents(s, d).filter(!isDelta), "deltadx")
       s.table("deltadx_digests")
         .write.mode("overwrite").parquet(DeltaDigestPath)
     }
     Dedup.ensureMinhashPinned(s, d)
     BpeTrain.ensureMergesPinned(s, d)
+  }
 
-    val qualityOk = delta.join(
-      TextAnalysis.textQualityOf(delta)
+  /** The admission gate chain for ONE ingest batch (doc_id, text, lang)
+    * against the frozen at-rest artifacts — ONE shared body for the
+    * batch query ([[corpusPrepDelta]]) and the streaming twin
+    * ([[graft.streaming.StreamPipelines.streamingCorpusAdmission]]), the
+    * [[corpusPrepChain]] stance: the served path cannot drift from the
+    * oracle-verified one. Every gate is per-document against frozen
+    * state (quality thresholds are stateless; exact/near-dup probe the
+    * bucketed index; the benchmark gram set is fixed; BPE merges are
+    * frozen), so verdicts are independent of how ingest is batched —
+    * StreamingSpec pins that batch-boundary invariance adversarially.
+    */
+  private[graft] def deltaAdmissionChain(
+      s: SparkSession, d: String, batch: DataFrame): DataFrame = {
+    val qualityOk = batch.join(
+      TextAnalysis.textQualityOf(batch)
         .filter(col("quality") === "ok").select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val exactClean = Dedup.incrementalExactClean(s, qualityOk, "deltadx")
@@ -628,7 +647,7 @@ object TrainingPrep {
       Dedup.incrementalNearDups(s, exactClean, "deltadx").select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     val benchGrams = ScaleOps.wordGramsOf(
-      docs.filter(graft.GoldenHash.isTestDoc(col("doc_id"))))
+      Tables.documents(s, d).filter(graft.GoldenHash.isTestDoc(col("doc_id"))))
       .select(col("g")).distinct()
     val admitted = nearClean.join(
       ScaleOps.wordGramsOf(nearClean).join(broadcast(benchGrams), Seq("g"))

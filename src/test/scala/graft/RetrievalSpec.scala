@@ -63,6 +63,26 @@ class RetrievalSpec extends SparkSpec {
       s"indexed probe did not read the cached postings:\n$plan")
   }
 
+  test("bm25 append: counter-refreshed base+delta probe equals the full index") {
+    // the fixture's base and delta splits partition the corpus, so the
+    // probe-after-append must reproduce the full-index ranking exactly
+    // — df/N/avgdl counter addition cannot drift from a from-scratch
+    // build without breaking this
+    val appended = Retrieval.bm25AppendProbe(spark, sf).collect().map(_.toSeq)
+    val indexed = Retrieval.bm25Indexed(spark, sf).collect().map(_.toSeq)
+    assert(appended.toSeq == indexed.toSeq)
+    // the merged df sidecar equals df re-derived from the unioned
+    // postings, term for term (the oracle's independent derivation)
+    val (postings, termStats, stats) = Retrieval.bm25AppendedFrames(spark, sf)
+    val fromUnion = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = termStats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == fromUnion)
+    // refreshed N equals the corpus document count
+    val n = stats.collect().head.getLong(0)
+    assert(n == Tables.documents(spark, sf).count())
+  }
+
   test("knnClassify matches a plain-Scala k-NN vote") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))

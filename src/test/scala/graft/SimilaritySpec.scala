@@ -68,6 +68,24 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("IVF-prefiltered"), e.getMessage)
   }
 
+  test("auto-select decontamination: exact under the cap, IVF escalation past it") {
+    // fixture benchmark split fits the default cap → the auto entry IS
+    // the exact broadcast gate, row for row
+    val exact = Similarity.semanticDecontaminate(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val auto = Similarity.semanticDecontaminateAuto(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(auto == exact)
+    // a cap below the split size trips the escalation: the auto entry
+    // becomes the IVF-prefiltered plan (and never throws the exact
+    // gate's collect-cap error)
+    val ivf = Similarity.semanticDecontaminateIvf(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val escalated = Similarity.semanticDecontaminateAuto(spark, sf, maxBenchRows = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(escalated == ivf)
+  }
+
   test("IVF-prefiltered decontamination: exact precision, bounded recall vs the exact gate") {
     VectorFunctions.register(spark)
     val v = Tables.embeddings(spark, sf)

@@ -307,6 +307,70 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${sunk.size} result rows != batch ${expected.size}")
   }
 
+  test("streaming BM25 probe serves the APPENDED index, batch-boundary-invariant") {
+    import graft.operators.Retrieval
+    // the serving twin of the incremental-postings story: queries stream
+    // against base ∪ delta with counter-refreshed stats — the same
+    // frames the batch probe-after-append consumes
+    val (postings, termStats, stats) = Retrieval.bm25AppendedFrames(spark, sf)
+    val expected = Retrieval.bm25AppendProbe(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val mem = MemoryStream[(Int, String)](spark)
+    val sunk = scala.collection.mutable.Set.empty[(Int, Int, Long, Double)]
+    val cp = java.nio.file.Files.createTempDirectory("graft-bm25a-cp").toString
+    val q = StreamPipelines.streamingBm25Probe(
+      mem.toDF().toDF("query_id", "term"), postings, termStats, stats,
+      (df, _) => sunk.synchronized {
+        sunk ++= df.as[(Int, Int, Long, Double)].collect()
+      }, cp)
+    val (b1, b2) = Retrieval.BmQueries.partition(_._1 < 2)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.toSet == expected,
+      s"streamed ${sunk.size} result rows != batch ${expected.size}")
+  }
+
+  test("streaming corpus admission is batch-boundary-invariant against corpusPrepDelta") {
+    import graft.operators.TrainingPrep
+    // batch truth first (also builds + pins the frozen at-rest indexes)
+    val expected = TrainingPrep.corpusPrepDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val deltaRows = Tables.documents(spark, sf)
+      .filter(GoldenHash.bucket(col("doc_id"), 20) === 7)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    assert(deltaRows.nonEmpty)
+
+    // adversarial split: delta ids are ≡ 7 (mod 20), so split on the
+    // QUOTIENT's parity (the GoldenHash small-modulus trap) — adjacent
+    // ids land in different micro-batches, cutting any near-dup cluster
+    // structure across the batch boundary
+    val (b1, b2) = deltaRows.partition(r => (r._1 / 20) % 2 == 0)
+    assert(b1.nonEmpty && b2.nonEmpty, s"degenerate split ${b1.length}/${b2.length}")
+
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val sunk = scala.collection.mutable.Set.empty[(Long, String, Long, Long, Long)]
+    val cp = java.nio.file.Files.createTempDirectory("graft-admit-cp").toString
+    val q = StreamPipelines.streamingCorpusAdmission(
+      mem.toDF().toDF("doc_id", "text", "lang"), sf,
+      (df, _) => sunk.synchronized {
+        sunk ++= df.as[(Long, String, Long, Long, Long)].collect()
+      }, cp)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.toSet == expected,
+      s"streamed ${sunk.size} admissions != batch ${expected.size}: " +
+        s"missing=${(expected -- sunk).take(3)} extra=${(sunk.toSet -- expected).take(3)}")
+  }
+
   test("ingest with dedupe window drops replayed duplicate request_ids") {
     val mem = MemoryStream[String](spark)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
