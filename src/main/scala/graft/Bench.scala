@@ -108,6 +108,17 @@ object Bench {
         spark.conf.get("spark.sql.shuffle.partitions"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // ≤3800 lines (~0.95 MB) per MemoryStream chunk: each chunk
+      // becomes one micro-batch whose rows ride the LocalTableScan task
+      // closure (a driver-local source has no executor-side source
+      // API), and the former 5000-line chunks were the r12 bench tail's
+      // "task of very large size (1264 KiB)" warnings (VERDICT r12 item
+      // 3 — bench-harness injection, not an engine plan; a production
+      // Kafka/file source streams bytes through the source interface).
+      // Throughput records before r13 measured 10×5000-line batches;
+      // from r13 the 50k-row run is 14×3800 — slightly more per-batch
+      // overhead in the denominator.
+      val MaxChunkLines = 3800
       def wireLine(i: Int): String = {
         val min = (i / 60) % 60; val sec = i % 60
         f"""{"time_iso8601": "2025-07-25T10:$min%02d:$sec%02d+00:00", "remote_addr": "10.0.${i % 256}%d.${(i / 256) % 256}%d", "request": "GET /api/users/${i % 500}%d HTTP/1.1", "request_uri": "/api/users/${i % 500}%d", "status": "${if (i % 17 == 0) 500 else 200}%d", "request_time": "0.${i % 1000}%03d", "http_user_agent": "bench/1"}"""
@@ -119,7 +130,7 @@ object Bench {
         val q = graft.streaming.StreamPipelines.ingest(
           mem.toDF(), (df: org.apache.spark.sql.DataFrame, _: Long) => { df.count(); () }, cp)
         val t0 = System.nanoTime()
-        (0 until n).map(wireLine).grouped(math.max(1, n / 10))
+        (0 until n).map(wireLine).grouped(math.max(1, math.min(n / 10, MaxChunkLines)))
           .foreach(chunk => mem.addData(chunk))
         q.processAllAvailable()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -143,7 +154,7 @@ object Bench {
           parsed, hist, (df: org.apache.spark.sql.DataFrame, _: Long) => { df.count(); () },
           cp, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
         val t0 = System.nanoTime()
-        (0 until n).map(wireLine).grouped(math.max(1, n / 10))
+        (0 until n).map(wireLine).grouped(math.max(1, math.min(n / 10, MaxChunkLines)))
           .foreach(chunk => mem.addData(chunk))
         q.processAllAvailable()
         val secs = (System.nanoTime() - t0) / 1e9
