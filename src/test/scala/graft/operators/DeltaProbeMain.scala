@@ -46,9 +46,13 @@ object DeltaProbeMain {
       Seq("doc_id"), "left_semi")
     time("quality") { println("  qualityOk=" + qualityOk.count()) }
 
-    val exactClean = qualityOk
+    val exactClean = Dedup.incrementalExactClean(spark, qualityOk, "deltadx")
+    time("exact(digest-probe)") { println("  exactClean=" + exactClean.count()) }
+    // the pre-r13 raw-text anti-join (reshuffles the at-rest TEXT column
+    // per batch — VERDICT r12 finding 1), timed as the A/B record
+    val exactOld = qualityOk
       .join(atRest.select(col("text")), Seq("text"), "left_anti")
-    time("exact") { println("  exactClean=" + exactClean.count()) }
+    time("exact(text-antijoin,old)") { println("  exactClean=" + exactOld.count()) }
 
     val rejected = time("nearDupProbe") {
       val r = Dedup.incrementalNearDups(spark, exactClean, "deltadx")
