@@ -195,7 +195,7 @@ object Dedup {
     * relative to the map it parallelizes.
     */
   private[operators] val MinhashH = 32
-  private[operators] val MinhashBands = 16
+  private[graft] val MinhashBands = 16
 
   /** The fixture-table index is cached per (session, sfDir) — a dedup
     * index, like the IVF index and the PCA fit, is built once per corpus
@@ -778,6 +778,29 @@ object Dedup {
       .agg(min(col("idx_doc")).as("dup_of"),
         round(max(col("jaccard")), 4).as("max_jaccard"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The caller's follow-up write after admission: append the admitted
+    * batch's OWN index rows — fused band keys, gram sets, and text
+    * digests — to the bucketed at-rest index, so the NEXT batch probes
+    * against a corpus that includes this one. Cost ∝ batch (the batch
+    * re-derives its signatures and appends into the existing hash
+    * buckets; the at-rest rows are untouched — [[graft.storage.LogStore
+    * .appendBucketed]]). Appending the batch's distinct digests may
+    * duplicate a digest row only if the caller appends docs the exact
+    * gate rejected; anti-join semantics are unaffected by duplicates
+    * either way. DedupSpec pins the replay property: after the append,
+    * re-probing the same batch rejects every document.
+    */
+  def appendDedupIndex(docs: DataFrame, prefix: String, buckets: Int = 8): Unit = {
+    val index = minhashIndexOf(docs)
+    graft.storage.LogStore.appendBucketed(
+      fusedBandKeys(index), s"${prefix}_bands", "bkey", buckets)
+    graft.storage.LogStore.appendBucketed(
+      index.select(col("doc_id"), col("grams")), s"${prefix}_grams", "doc_id", buckets)
+    graft.storage.LogStore.appendBucketed(
+      docs.select(sha2(col("text"), 256).as("digest")).distinct(),
+      s"${prefix}_digests", "digest", buckets)
   }
 
   /** Exact-duplicate admission against a [[writeDedupIndex]] digest

@@ -110,18 +110,16 @@ object Multimodal {
     final case class AudioInfo(sampleRate: Int, channels: Int,
         durationMs: Long, feature: Array[Float])
 
-    def decode(bytes: Array[Byte], dim: Int = 8): Option[AudioInfo] =
+    /** Decode to (source format, source frame count, signed-16-LE PCM
+      * bytes) — the shared read under [[decode]] and [[aHash]].
+      */
+    private def readPcm(
+        bytes: Array[Byte]): Option[(AudioFormat, Long, Array[Byte])] =
       try {
         val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
           val frames = in.getFrameLength
-          // floor, not round: whole elapsed milliseconds (matches the
-          // integer n_samples*1000/rate convention upstream metadata uses)
-          val durMs =
-            if (fmt.getFrameRate > 0 && frames >= 0)
-              math.floor(frames * 1000.0 / fmt.getFrameRate).toLong
-            else 0L
           // uniform sample parsing: convert whatever PCM/μ-law/A-law
           // encoding arrived to signed 16-bit little-endian
           val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
@@ -132,19 +130,60 @@ object Multimodal {
           val buf = new Array[Byte](4096)
           var r = pcm.read(buf)
           while (r > 0) { bos.write(buf, 0, r); r = pcm.read(buf) }
-          val data = bos.toByteArray
-          val hist = new Array[Float](dim)
-          var i = 0
-          var n = 0
-          while (i + 1 < data.length) {
-            val sample = (data(i) & 0xff) | (data(i + 1).toInt << 8)
-            hist((sample + 32768) * dim / 65536) += 1f
-            n += 1; i += 2
-          }
-          if (n > 0) { var k = 0; while (k < dim) { hist(k) /= n; k += 1 } }
-          Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels, durMs, hist))
+          Some((fmt, frames, bos.toByteArray))
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    def decode(bytes: Array[Byte], dim: Int = 8): Option[AudioInfo] =
+      readPcm(bytes).map { case (fmt, frames, data) =>
+        // floor, not round: whole elapsed milliseconds (matches the
+        // integer n_samples*1000/rate convention upstream metadata uses)
+        val durMs =
+          if (fmt.getFrameRate > 0 && frames >= 0)
+            math.floor(frames * 1000.0 / fmt.getFrameRate).toLong
+          else 0L
+        val hist = new Array[Float](dim)
+        var i = 0
+        var n = 0
+        while (i + 1 < data.length) {
+          val sample = (data(i) & 0xff) | (data(i + 1).toInt << 8)
+          hist((sample + 32768) * dim / 65536) += 1f
+          n += 1; i += 2
+        }
+        if (n > 0) { var k = 0; while (k < dim) { hist(k) /= n; k += 1 } }
+        AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels, durMs, hist)
+      }
+
+    /** 64-bit energy fingerprint — [[Multimodal.aHash]]'s audio twin:
+      * the decoded sample sequence is cut into 64 equal time windows,
+      * bit k set iff window k's mean |amplitude| exceeds the track
+      * mean. Duration-invariant via the fixed window count; robust to
+      * small edits/re-encodes the way the image aHash is robust to a
+      * pixel nudge. None for undecodable payloads.
+      */
+    def aHash(bytes: Array[Byte]): Option[Long] =
+      readPcm(bytes).map { case (_, _, data) =>
+        val n = data.length / 2
+        if (n == 0) 0L
+        else {
+          val w = 64
+          val sums = new Array[Long](w)
+          val cnts = new Array[Long](w)
+          var i = 0
+          while (i < n) {
+            val sample = (data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)
+            val k = (i.toLong * w / n).toInt
+            sums(k) += math.abs(sample); cnts(k) += 1
+            i += 1
+          }
+          val means = Array.tabulate(w)(k =>
+            if (cnts(k) == 0) 0.0 else sums(k).toDouble / cnts(k))
+          val avg = means.sum / w
+          means.zipWithIndex.foldLeft(0L) { case (acc, (m, k)) =>
+            if (m > avg) acc | (1L << k) else acc
+          }
+        }
+      }
   }
 
   /** Deterministic fallback for payloads with no JDK codec (video) or
@@ -202,13 +241,16 @@ object Multimodal {
     * waveform (integer arithmetic — bit-identical across runs), encoded
     * with the JDK's WAVE writer. Returns (bytes, true duration ms).
     */
-  def wavBytes(i: Long): (Array[Byte], Long) = {
+  def wavBytes(i: Long, nudge: Int = 0): (Array[Byte], Long) = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val n = 400 + (i % 200).toInt
     val pcm = new Array[Byte](2 * n)
     var j = 0
     while (j < n) {
-      val s = ((i * 2654435761L + j.toLong * j * 7919L) % 60001L - 30000L).toShort
+      val s0 = ((i * 2654435761L + j.toLong * j * 7919L) % 60001L - 30000L).toInt
+      // `nudge` perturbs the FIRST sample only — the audio analogue of
+      // the one-bit pixel nudge in [[syntheticImagesWithDups]]
+      val s = (if (j == 0) math.max(-30000, math.min(30000, s0 + nudge)) else s0).toShort
       pcm(2 * j) = (s & 0xff).toByte
       pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
       j += 1
@@ -408,21 +450,14 @@ object Multimodal {
     */
   val ImagePhashPath: String = graft.Artifacts.path("image_phash")
 
-  def imageNearDup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // checkpoint the decode+hash pass: it is referenced by banding and
-    // both verification sides, and the ImageIO scan is the expensive
-    // stage — the minhashIndex pattern applied to pixels
-    val hashed = syntheticImagesWithDups(s, 120)
-      .mapPartitions { it =>
-        ImageIO.setUseCache(false)
-        it.flatMap(m => ImageIoCodec.decode(m.bytes).map(img => (m.media_id, aHash(img))))
-      }
-      .toDF("media_id", "phash")
-      .localCheckpoint(true)
-    graft.Artifacts.writeOnce(s, d, "image_phash") {
-      hashed.write.mode("overwrite").parquet(ImagePhashPath)
-    }
+  /** The ONE banded near-dup tail over any (media_id, phash) frame —
+    * shared by the image and audio queries, so the two modalities
+    * cannot drift: 4×16-bit in-place band masks, the
+    * [[Dedup.candidateEdges]] star+path construction (linear in
+    * items × bands, never a pair materialization), xor+bit_count
+    * hamming ≤ 3 verification.
+    */
+  private def phashNearDup(hashed: DataFrame): DataFrame = {
     val bands = 4
     val bk = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -449,9 +484,74 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // checkpoint the decode+hash pass: it is referenced by banding and
+    // both verification sides, and the ImageIO scan is the expensive
+    // stage — the minhashIndex pattern applied to pixels
+    val hashed = syntheticImagesWithDups(s, 120)
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap(m => ImageIoCodec.decode(m.bytes).map(img => (m.media_id, aHash(img))))
+      }
+      .toDF("media_id", "phash")
+      .localCheckpoint(true)
+    graft.Artifacts.writeOnce(s, d, "image_phash") {
+      hashed.write.mode("overwrite").parquet(ImagePhashPath)
+    }
+    phashNearDup(hashed)
+  }
+
+  /** Audio corpus with PLANTED near-duplicates: every WAV from
+    * [[wavBytes]], plus (for every third) a re-encode with one sample
+    * nudged — the re-mastered/lightly-edited duplicate class an audio
+    * dedup pass must catch. Copies take ids base+10000.
+    */
+  def syntheticAudioWithDups(spark: SparkSession, n: Long): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).flatMap { i =>
+      val (bytes, durMs) = wavBytes(i)
+      val base = MediaRecord(i, "audio", s"synthetic://audio/$i", bytes, 0, 0, durMs)
+      if (i % 3 == 0) {
+        val (nb, nd) = wavBytes(i, nudge = 64)
+        Seq(base, MediaRecord(i + 10000, "audio", s"synthetic://audio/$i/dup",
+          nb, 0, 0, nd))
+      } else Seq(base)
+    }
+  }
+
+  /** Artifact path shared by [[audioNearDup]] and its DuckDB oracle —
+    * the per-track energy fingerprints (the [[ImagePhashPath]] stance:
+    * the sample-level decode is engine-specific, so the hash is pinned
+    * as data and everything downstream replays in SQL).
+    */
+  val AudioPhashPath: String = graft.Artifacts.path("audio_phash")
+
+  /** Energy-fingerprint audio near-duplicate pairs — the AUDIO side of
+    * the media dedup family: real `javax.sound.sampled` decode →
+    * [[AudioCodec.aHash]] (one mapPartitions pass), then the identical
+    * banded tail as [[imageNearDup]] ([[phashNearDup]] — shared code,
+    * not a copy). Same 100 TB shape: the decode pass is the
+    * embarrassingly-parallel scan, the banding join the only (tiny,
+    * hash-keyed) shuffle.
+    */
+  def audioNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = syntheticAudioWithDups(s, 120)
+      .mapPartitions(it =>
+        it.flatMap(m => AudioCodec.aHash(m.bytes).map(h => (m.media_id, h))))
+      .toDF("media_id", "phash")
+      .localCheckpoint(true)
+    graft.Artifacts.writeOnce(s, d, "audio_phash") {
+      hashed.write.mode("overwrite").parquet(AudioPhashPath)
+    }
+    phashNearDup(hashed)
+  }
+
   lazy val defs: Map[String, graft.QueryDef] = Map(
     "q_media_pipeline" -> graft.QueryDef(mediaPipeline, Some(MultimodalOracles.mediaPipeline)),
-    "q_image_neardup"  -> graft.QueryDef(imageNearDup, Some(MultimodalOracles.imageNearDup)))
+    "q_image_neardup"  -> graft.QueryDef(imageNearDup, Some(MultimodalOracles.imageNearDup)),
+    "q_audio_neardup"  -> graft.QueryDef(audioNearDup, Some(MultimodalOracles.audioNearDup)))
 }
 
 /** DuckDB oracles for the [[Multimodal]] queries — everything downstream
@@ -493,12 +593,16 @@ object MultimodalOracles {
     * [[Dedup.candidateEdges]] construction, in SQL — and the
     * xor+bit_count hamming ≤ 3 verification.
     */
-  val imageNearDup: String = {
+  /** The ONE banded near-dup replay over a pinned (media_id, phash)
+    * artifact — the SQL twin of [[Multimodal.phashNearDup]], shared by
+    * the image and audio oracles exactly as the engine shares the tail.
+    */
+  private def phashNearDupSql(pinnedPath: String): String = {
     val masks = (0 until 4)
       .map(b => s"($b, CAST(${65535L << (16 * b)} AS BIGINT))").mkString(", ")
     s"""WITH sigs AS (
        |  SELECT media_id, phash
-       |  FROM read_parquet('${Multimodal.ImagePhashPath}/*.parquet')),
+       |  FROM read_parquet('$pinnedPath/*.parquet')),
        |banded AS (
        |  SELECT s.media_id, b.band, s.phash & b.mask AS key
        |  FROM sigs s, (VALUES $masks) AS b(band, mask)),
@@ -525,4 +629,12 @@ object MultimodalOracles {
        |WHERE bit_count(xor(sa.phash, sb.phash)) <= 3
        |ORDER BY media_a, media_b""".stripMargin
   }
+
+  val imageNearDup: String = phashNearDupSql(Multimodal.ImagePhashPath)
+
+  /** Replays [[Multimodal.audioNearDup]] downstream of the decode over
+    * the pinned energy fingerprints — same banding/star+path/hamming
+    * replay as the image oracle ([[phashNearDupSql]]).
+    */
+  val audioNearDup: String = phashNearDupSql(Multimodal.AudioPhashPath)
 }

@@ -178,6 +178,21 @@ object LogStore {
       .saveAsTable(table)
   }
 
+  /** Append to an existing [[writeBucketed]] table with the SAME bucket
+    * spec — Spark validates the spec against the catalog entry, and the
+    * appended files land in their hash buckets, so co-bucketed joins
+    * stay exchange-free across appends. This is the at-rest side of
+    * every incremental index in the engine: the index GROWS by batch-
+    * sized appends and is never rewritten.
+    */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Latest-wins upsert (MERGE-lite) into a [[writePartitioned]] store.
     *
     * Row identity is `(event_date, keyCol)` — in a date-partitioned

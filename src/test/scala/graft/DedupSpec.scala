@@ -251,6 +251,44 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("appendDedupIndex: a replayed batch is fully rejected and buckets survive the append") {
+    val d = TestSession.Sf
+    graft.functions.NgramJaccardFunctions.register(spark)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    Dedup.writeDedupIndex(existing, "apdx")
+    val bands0 = spark.table("apdx_bands").count()
+
+    // admit, then the follow-up write: append the batch's own rows
+    assert(Dedup.incrementalExactClean(spark, batch, "apdx").count() > 0)
+    Dedup.appendDedupIndex(batch, "apdx")
+
+    // replay: every batch doc now hits its own digest — zero admitted
+    assert(Dedup.incrementalExactClean(spark, batch, "apdx").count() == 0)
+    // the band table grew by exactly the batch's band rows
+    assert(spark.table("apdx_bands").count() ==
+      bands0 + batch.count() * Dedup.MinhashBands)
+    // the appended table still reads as BUCKETED — co-located probes
+    // stay exchange-free across appends
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.incrementalExactClean(spark, batch, "apdx")
+        .queryExecution.executedPlan.toString
+      assert(plan.linesIterator.filter(_.contains("apdx_digests"))
+        .mkString.contains("Bucketed: true"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    // a RE-INGESTED copy (new id, text already indexed via the append)
+    // is near-dup-flagged against the appended rows
+    val src = batch.orderBy("doc_id").limit(1)
+    val copy = src.select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val flagged = Dedup.incrementalNearDups(spark, copy, "apdx")
+      .collect().map(_.getLong(0)).toSet
+    val copyId = copy.select("doc_id").as[Long].head()
+    assert(flagged.contains(copyId), s"re-ingested copy $copyId not flagged")
+  }
+
   test("minhash canonical ids match exact connected components (precision exact, recall bounded)") {
     // Ground truth: exact connected components over UNBLOCKED all-pairs
     // char-3 Jaccard >= 0.5 edges (the ngramJaccard oracle blocks on

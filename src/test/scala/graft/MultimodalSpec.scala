@@ -123,4 +123,36 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("hamming") > 3).count()
     assert(bad == 0)
   }
+
+  test("energy-fingerprint near-dup catches every planted audio duplicate") {
+    import spark.implicits._
+    val pairs = Multimodal.audioNearDup(spark, sf)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    // every planted copy (id base+10000, one-sample nudge) must connect
+    // to its base through verified edges — same union-find standard as
+    // the image spec
+    val planted = (0L until 120L by 3).map(i => (i, i + 10000L)).toSet
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val missed = planted.filterNot { case (a, b) => find(a) == find(b) }
+    assert(missed.isEmpty, s"planted audio dups not caught: $missed")
+    val bad = Multimodal.audioNearDup(spark, sf)
+      .filter(col("hamming") > 3).count()
+    assert(bad == 0)
+    // the fingerprint really comes from decoded samples: distinct
+    // seeded tracks have distinct hashes (no degenerate all-equal hash
+    // making "near-dup" vacuous)
+    val hashed = Multimodal.syntheticAudioWithDups(spark, 120)
+      .mapPartitions(it => it.flatMap(m =>
+        graft.operators.Multimodal.AudioCodec.aHash(m.bytes).map(h => (m.media_id, h))))
+      .collect().toMap
+    assert(hashed.values.toSet.size > 30, s"degenerate hashes: ${hashed.values.toSet.size}")
+  }
 }
