@@ -1261,7 +1261,12 @@ object TrainingOracles {
     * round-trip of the engine-written artifact), minhash banding +
     * gram-Jaccard verification from the pinned index artifact, the
     * benchmark 5-gram probe, and the merge-steered BPE tokenization
-    * recursion from the pinned merges.
+    * recursion from the pinned merges. The band join pre-filters BOTH
+    * sides (bandedE2/bandedRest) before pairing — semantically the
+    * post-join doc filters it replaces, but it keeps the replay off the
+    * full banded×banded product, whose dup-heavy giant buckets spill
+    * DuckDB's temp store at the sf1 rehearsal (the same quadratic
+    * corner the engine's probe never enters).
     */
   val corpusPrepDelta: String = {
     val nt = TextOracles.nTokensSql
@@ -1296,13 +1301,17 @@ object TrainingOracles {
        |banded AS (
        |  SELECT doc_id, i AS band, bands[i + 1] AS key
        |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i)),
+       |bandedE2 AS (
+       |  SELECT bd.doc_id, bd.band, bd.key
+       |  FROM banded bd JOIN e2 USING (doc_id)),
+       |bandedRest AS (
+       |  SELECT bd.doc_id, bd.band, bd.key
+       |  FROM banded bd JOIN atrest ar ON bd.doc_id = ar.doc_id),
        |hits AS (
-       |  SELECT bd.doc_id, bd.band, bd.key, ba.doc_id AS idx_doc
-       |  FROM banded bd
-       |  JOIN banded ba USING (band, key)
-       |  JOIN e2 ON bd.doc_id = e2.doc_id
-       |  JOIN atrest ar ON ba.doc_id = ar.doc_id
-       |  WHERE bd.doc_id <> ba.doc_id),
+       |  SELECT p.doc_id, p.band, p.key, i.doc_id AS idx_doc
+       |  FROM bandedE2 p
+       |  JOIN bandedRest i USING (band, key)
+       |  WHERE p.doc_id <> i.doc_id),
        |cand AS (
        |  SELECT DISTINCT doc_id, idx_doc FROM (
        |    SELECT doc_id, min(idx_doc) AS idx_doc
