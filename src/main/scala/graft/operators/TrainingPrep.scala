@@ -637,14 +637,15 @@ object TrainingPrep {
     * StreamingSpec pins that batch-boundary invariance adversarially.
     */
   private[graft] def deltaAdmissionChain(
-      s: SparkSession, d: String, batch: DataFrame): DataFrame = {
+      s: SparkSession, d: String, batch: DataFrame,
+      prefix: String = "deltadx"): DataFrame = {
     val qualityOk = batch.join(
       TextAnalysis.textQualityOf(batch)
         .filter(col("quality") === "ok").select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val exactClean = Dedup.incrementalExactClean(s, qualityOk, "deltadx")
+    val exactClean = Dedup.incrementalExactClean(s, qualityOk, prefix)
     val nearClean = exactClean.join(
-      Dedup.incrementalNearDups(s, exactClean, "deltadx").select(col("doc_id")),
+      Dedup.incrementalNearDups(s, exactClean, prefix).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     val benchGrams = ScaleOps.wordGramsOf(
       Tables.documents(s, d).filter(graft.GoldenHash.isTestDoc(col("doc_id"))))
@@ -658,6 +659,50 @@ object TrainingPrep {
       .select(col("doc_id"), col("lang"), col("n_words"),
         col("n_bpe_tokens"), col("n_letter_chars"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Second-GENERATION incremental admission — the query that proves
+    * the admission LOOP, not just one probe: ingest batch A (the
+    * [[graft.GoldenHash]] 5% bucket 7) is admitted against the at-rest
+    * corpus (buckets ∉ {7, 11}), its admitted documents' own index
+    * rows are APPENDED into the bucketed index
+    * ([[Dedup.appendDedupIndex]] — the "caller's follow-up write"),
+    * and batch B (bucket 11, the NEXT ingest) is then admitted
+    * against at-rest ∪ admitted(A). A B-side copy of an A-admitted
+    * text is now an exact dup; a B-side near-copy of an A-admitted doc
+    * is now a near-dup — neither was before the append.
+    *
+    * Scale shape: generation 1 (index build + A's admission + the
+    * append) runs ONCE per corpus version ([[graft.Artifacts
+    * .writeOnce]]); the steady state is generation 2's probe, whose
+    * cost is ∝ batch B against the grown-but-never-rewritten index.
+    * The oracle replays BOTH generations end-to-end from the pinned
+    * minhash/merges artifacts and raw text only — it derives
+    * admitted(A) itself, rebuilds the generation-2 at-rest set
+    * independently, and re-runs every gate, so a bug in the APPEND
+    * CONTENT (wrong/missing/extra rows) makes engine and oracle
+    * diverge. TrainingPrepSpec separately pins append-then-probe ==
+    * rebuild-then-probe.
+    */
+  def corpusPrepDelta2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bucket = graft.GoldenHash.bucket(col("doc_id"), 20)
+    val batchA = docs.filter(bucket === 7)
+    val batchB = docs.filter(bucket === 11)
+    Dedup.ensureMinhashPinned(s, d)
+    BpeTrain.ensureMergesPinned(s, d)
+    graft.Artifacts.writeOnce(s, d, "delta2_index") {
+      Dedup.writeDedupIndex(docs.filter(bucket =!= 7 && bucket =!= 11), "delta2dx")
+      // admit A against the fresh index, then append the admitted docs'
+      // own rows; checkpoint first — the admitted set is DERIVED from
+      // probes of the very tables the append writes to
+      val admittedA = batchA.join(
+        deltaAdmissionChain(s, d, batchA, "delta2dx").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      Dedup.appendDedupIndex(admittedA, "delta2dx")
+    }
+    deltaAdmissionChain(s, d, batchB, "delta2dx")
   }
 
   /** Output shards for [[tokenShards]]. */
@@ -731,6 +776,7 @@ object TrainingPrep {
       headline = false),
     "q_corpus_prep5"      -> QueryDef(corpusPrep5, Some(TrainingOracles.corpusPrep5)),
     "q_corpus_prep_delta" -> QueryDef(corpusPrepDelta, Some(TrainingOracles.corpusPrepDelta)),
+    "q_corpus_prep_delta2" -> QueryDef(corpusPrepDelta2, Some(TrainingOracles.corpusPrepDelta2)),
     "q_token_shards"      -> QueryDef(tokenShards, Some(TrainingOracles.tokenShards)),
     "q_corpus_prep3"      -> QueryDef(corpusPrep3, Some(TrainingOracles.corpusPrep3),
       headline = false),
@@ -1268,88 +1314,103 @@ object TrainingOracles {
     * DuckDB's temp store at the sf1 rehearsal (the same quadratic
     * corner the engine's probe never enters).
     */
-  val corpusPrepDelta: String = {
-    val nt = TextOracles.nTokensSql
+  /** Shared CTE header for the delta-admission replays: pinned merges
+    * (`m`), the pinned per-doc band/gram index (`art`) and its banding
+    * (`banded`), the at-rest split, and the benchmark gram set
+    * (`bench`).
+    */
+  private def deltaSharedCtes: String = {
     val g5 = "array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' ')"
-    s"""WITH RECURSIVE
-       |m AS (
+    s"""m AS (
        |  SELECT merge_round, lft, rgt
        |  FROM read_parquet('${BpeTrain.MergesPath}/*.parquet')),
        |art AS (
        |  SELECT doc_id, bands, grams
        |  FROM read_parquet('${Dedup.MinhashIndexPath}/*.parquet')),
-       |delta AS (
-       |  SELECT doc_id, text, lang FROM documents
-       |  WHERE ${graft.GoldenHash.bucketSql("doc_id", 20)} = 7),
-       |atrest AS (
-       |  SELECT doc_id, text FROM documents
-       |  WHERE ${graft.GoldenHash.bucketSql("doc_id", 20)} <> 7),
-       |q AS (
-       |  SELECT doc_id, text, lang FROM (
-       |    SELECT doc_id, text, lang,
-       |      CAST($nt AS INT) AS n_tokens,
-       |      round(CAST(length(text) - ($nt - 1) AS DOUBLE) / $nt, 4) AS avg_token_len
-       |    FROM delta)
-       |  WHERE n_tokens >= 10 AND avg_token_len >= 2 AND avg_token_len <= 12),
-       |dig AS (
-       |  SELECT digest
-       |  FROM read_parquet('${TrainingPrep.DeltaDigestPath}/*.parquet')),
-       |e2 AS (
-       |  SELECT q.* FROM q
-       |  WHERE NOT EXISTS (
-       |    SELECT 1 FROM dig WHERE dig.digest = sha256(q.text))),
        |banded AS (
        |  SELECT doc_id, i AS band, bands[i + 1] AS key
        |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i)),
-       |bandedE2 AS (
-       |  SELECT bd.doc_id, bd.band, bd.key
-       |  FROM banded bd JOIN e2 USING (doc_id)),
-       |bandedRest AS (
-       |  SELECT bd.doc_id, bd.band, bd.key
-       |  FROM banded bd JOIN atrest ar ON bd.doc_id = ar.doc_id),
-       |hits AS (
-       |  SELECT p.doc_id, p.band, p.key, i.doc_id AS idx_doc
-       |  FROM bandedE2 p
-       |  JOIN bandedRest i USING (band, key)
-       |  WHERE p.doc_id <> i.doc_id),
-       |cand AS (
-       |  SELECT DISTINCT doc_id, idx_doc FROM (
-       |    SELECT doc_id, min(idx_doc) AS idx_doc
-       |    FROM hits
-       |    GROUP BY doc_id, band, key, idx_doc % ${Dedup.ProbeCandPerBucket})),
-       |rej AS (
-       |  SELECT DISTINCT c.doc_id
-       |  FROM cand c
-       |  JOIN art ga ON c.doc_id = ga.doc_id
-       |  JOIN art gb ON c.idx_doc = gb.doc_id
-       |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-       |        / (len(ga.grams) + len(gb.grams)
-       |           - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
-       |e3 AS (
-       |  SELECT * FROM e2
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
-       |ws3 AS (
-       |  SELECT doc_id, ${TextOracles.wordsSql} AS ws FROM e3),
-       |pos3 AS (
-       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
-       |  FROM ws3 WHERE len(ws) >= 5),
-       |grams3 AS (SELECT doc_id, $g5 AS g FROM pos3),
+       |atrest AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ${graft.GoldenHash.bucketSql("doc_id", 20)} <> 7),
        |wsb AS (
        |  SELECT doc_id, ${TextOracles.wordsSql} AS ws FROM documents
        |  WHERE ${graft.GoldenHash.isTestDocSql}),
        |posb AS (
        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
        |  FROM wsb WHERE len(ws) >= 5),
-       |bench AS (SELECT DISTINCT $g5 AS g FROM posb),
-       |contaminated AS (
-       |  SELECT DISTINCT g3.doc_id FROM grams3 g3 JOIN bench b ON g3.g = b.g),
-       |e4 AS (
-       |  SELECT * FROM e3
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-       |base AS (
+       |bench AS (SELECT DISTINCT $g5 AS g FROM posb)""".stripMargin
+  }
+
+  /** One admission generation's gate CTEs, all suffixed `_$tag`:
+    * quality thresholds over `batchFilter` → exact-dup drop
+    * (`exactClause`, evaluated over alias `q`) → banded near-dup probe
+    * against the `rest` CTE with PRE-FILTERED join sides (the
+    * quadratic-corner note on [[corpusPrepDelta]]) → benchmark 5-gram
+    * decontamination — producing `e4_$tag`, the generation's admitted
+    * documents.
+    */
+  private def admissionCtes(tag: String, batchFilter: String, rest: String,
+      exactClause: String): String = {
+    val nt = TextOracles.nTokensSql
+    val g5 = "array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' ')"
+    s"""q_$tag AS (
+       |  SELECT doc_id, text, lang FROM (
+       |    SELECT doc_id, text, lang,
+       |      CAST($nt AS INT) AS n_tokens,
+       |      round(CAST(length(text) - ($nt - 1) AS DOUBLE) / $nt, 4) AS avg_token_len
+       |    FROM documents WHERE $batchFilter)
+       |  WHERE n_tokens >= 10 AND avg_token_len >= 2 AND avg_token_len <= 12),
+       |e2_$tag AS (
+       |  SELECT q.* FROM q_$tag q WHERE $exactClause),
+       |bp_$tag AS (
+       |  SELECT bd.doc_id, bd.band, bd.key
+       |  FROM banded bd JOIN e2_$tag USING (doc_id)),
+       |br_$tag AS (
+       |  SELECT bd.doc_id, bd.band, bd.key
+       |  FROM banded bd JOIN $rest ar ON bd.doc_id = ar.doc_id),
+       |hits_$tag AS (
+       |  SELECT p.doc_id, p.band, p.key, i.doc_id AS idx_doc
+       |  FROM bp_$tag p
+       |  JOIN br_$tag i USING (band, key)
+       |  WHERE p.doc_id <> i.doc_id),
+       |cand_$tag AS (
+       |  SELECT DISTINCT doc_id, idx_doc FROM (
+       |    SELECT doc_id, min(idx_doc) AS idx_doc
+       |    FROM hits_$tag
+       |    GROUP BY doc_id, band, key, idx_doc % ${Dedup.ProbeCandPerBucket})),
+       |rej_$tag AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM cand_$tag c
+       |  JOIN art ga ON c.doc_id = ga.doc_id
+       |  JOIN art gb ON c.idx_doc = gb.doc_id
+       |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |        / (len(ga.grams) + len(gb.grams)
+       |           - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+       |e3_$tag AS (
+       |  SELECT * FROM e2_$tag
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM rej_$tag)),
+       |ws_$tag AS (
+       |  SELECT doc_id, ${TextOracles.wordsSql} AS ws FROM e3_$tag),
+       |pos_$tag AS (
+       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+       |  FROM ws_$tag WHERE len(ws) >= 5),
+       |g3_$tag AS (SELECT doc_id, $g5 AS g FROM pos_$tag),
+       |cont_$tag AS (
+       |  SELECT DISTINCT g3.doc_id FROM g3_$tag g3 JOIN bench b ON g3.g = b.g),
+       |e4_$tag AS (
+       |  SELECT * FROM e3_$tag
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cont_$tag))""".stripMargin
+  }
+
+  /** The merge-steered BPE accounting tail over the admitted CTE `adm`
+    * — the recursive re-tokenization both delta oracles end in.
+    */
+  private def bpeAccountingTail(adm: String): String =
+    s"""base AS (
        |  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
        |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |        FROM e4)),
+       |        FROM $adm)),
        |states AS (
        |  SELECT word, seq, 0 AS r FROM base
        |  UNION ALL
@@ -1366,7 +1427,7 @@ object TrainingOracles {
        |docwords AS (
        |  SELECT doc_id, lang,
        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |  FROM e4)
+       |  FROM $adm)
        |SELECT d.doc_id, d.lang,
        |  CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(f.n_tok) AS BIGINT) AS n_bpe_tokens,
@@ -1374,5 +1435,45 @@ object TrainingOracles {
        |FROM docwords d JOIN final f USING (word)
        |GROUP BY 1, 2
        |ORDER BY d.doc_id""".stripMargin
+
+  val corpusPrepDelta: String =
+    s"""WITH RECURSIVE
+       |$deltaSharedCtes,
+       |dig AS (
+       |  SELECT digest
+       |  FROM read_parquet('${TrainingPrep.DeltaDigestPath}/*.parquet')),
+       |${admissionCtes("d", s"${graft.GoldenHash.bucketSql("doc_id", 20)} = 7",
+          "atrest",
+          "NOT EXISTS (SELECT 1 FROM dig WHERE dig.digest = sha256(q.text))")},
+       |${bpeAccountingTail("e4_d")}""".stripMargin
+
+  /** [[TrainingPrep.corpusPrepDelta2]] replayed END-TO-END ACROSS BOTH
+    * GENERATIONS from raw text and the pinned merges/minhash artifacts
+    * alone: generation 1's full gate chain derives admitted(A)
+    * independently (exact stage as a raw-text anti join — no reliance
+    * on any engine-appended artifact), the generation-2 at-rest set is
+    * rebuilt as atrest ∪ e4_a, and generation 2's chain re-runs every
+    * gate against it. The engine, by contrast, probes the APPENDED
+    * bucketed index — so wrong, missing, or extra rows written by
+    * [[Dedup.appendDedupIndex]] make the two sides diverge.
+    */
+  val corpusPrepDelta2: String = {
+    val bucket = graft.GoldenHash.bucketSql("doc_id", 20)
+    s"""WITH RECURSIVE
+       |$deltaSharedCtes,
+       |rest0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE $bucket NOT IN (7, 11)),
+       |${admissionCtes("a", s"$bucket = 7",
+          "rest0",
+          "NOT EXISTS (SELECT 1 FROM rest0 a2 WHERE a2.text = q.text)")},
+       |rest2 AS (
+       |  SELECT doc_id, text FROM rest0
+       |  UNION ALL
+       |  SELECT doc_id, text FROM e4_a),
+       |${admissionCtes("b", s"$bucket = 11",
+          "rest2",
+          "NOT EXISTS (SELECT 1 FROM rest2 r2 WHERE r2.text = q.text)")},
+       |${bpeAccountingTail("e4_b")}""".stripMargin
   }
 }

@@ -248,6 +248,30 @@ class TrainingPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("corpusPrepDelta2: append-then-probe equals rebuild-then-probe") {
+    // the engine admits B against the INCREMENTALLY APPENDED index;
+    // truth is a from-scratch index over at-rest ∪ admitted(A) — the
+    // two must agree exactly, or appendDedupIndex wrote wrong rows
+    val out2 = TrainingPrep.corpusPrepDelta2(spark, sf).collect().map(_.toSeq).toSeq
+    val docs = Tables.documents(spark, sf)
+    val bucket = GoldenHash.bucket(col("doc_id"), 20)
+    val atRest = docs.filter(bucket =!= 7 && bucket =!= 11)
+    graft.operators.Dedup.writeDedupIndex(atRest, "d2chk")
+    val admittedA = docs.filter(bucket === 7).join(
+      TrainingPrep.deltaAdmissionChain(spark, sf, docs.filter(bucket === 7), "d2chk")
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    graft.operators.Dedup.writeDedupIndex(
+      atRest.select(col("doc_id"), col("text"))
+        .unionByName(admittedA.select(col("doc_id"), col("text"))), "d2chk2")
+    val expected = TrainingPrep.deltaAdmissionChain(
+        spark, sf, docs.filter(bucket === 11), "d2chk2")
+      .collect().map(_.toSeq).toSeq
+    assert(out2 == expected,
+      s"append-then-probe ${out2.size} rows != rebuild-then-probe ${expected.size}")
+    assert(out2.nonEmpty, "degenerate: generation 2 admitted nothing at spec SF")
+  }
+
   test("corpusPrepDelta admission agrees with its constituent gates") {
     val docs = Tables.documents(spark, sf)
     val isDelta = GoldenHash.bucket(col("doc_id"), 20) === 7
