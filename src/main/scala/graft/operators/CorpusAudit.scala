@@ -143,12 +143,104 @@ object CorpusAudit {
       .orderBy(col("source"), col("status"))
   }
 
+  // ----------------------------------------------------- DSIR selection
+
+  /** Hashed-feature dimensionality for the DSIR bag-of-bigrams model.
+    * Same engine-portable 31-poly hash as [[TextAnalysis.hashEmbed]]
+    * (the only string hash both Spark and DuckDB can evaluate
+    * identically); 256 buckets comfortably exceeds the fixture's
+    * distinct-bigram count scale while keeping the log-ratio sidecar a
+    * trivially broadcastable table at any corpus size.
+    */
+  val DsirDim = 256
+
+  /** Fixed-point scale for per-bucket log-likelihood ratios: each
+    * llr_b is quantized to round(llr · 1e6) BIGINT once, so the
+    * per-document score is an INTEGER sum — exact and order-free in
+    * both engines (the [[MixQ]] / PcaQ convention). ln() itself is
+    * evaluated once per bucket (≤ [[DsirDim]] evaluations total), not
+    * per document, which is also where the libm-identical assumption
+    * is cheapest to hold.
+    */
+  val DsirQ = 1000000L
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every candidate document by the
+    * log-likelihood ratio of a hashed bag-of-bigrams model fit on a
+    * TARGET split vs the RAW candidate pool, and keep the candidates
+    * that look most target-like. Target here is the corpus's `en`
+    * slice; candidates are every other document — the standard
+    * "match a crawl to a trusted domain" setup with the fixture's
+    * language label standing in for the domain. Selection keeps the
+    * top ~20%: candidates strictly above the 0.8 quantile of the
+    * integer score (equal-probability cut, ties at the cutpoint stay
+    * together — the [[ScaleOps.userDeciles]] stance, no global
+    * row_number anywhere).
+    *
+    * Scale shape: bigram derivation is scan-stage array algebra
+    * (`sequence` positions over the per-doc word array — no window, no
+    * shuffle, unlike the LM bigram path which needs cross-row order);
+    * the two distribution fits aggregate to ≤ [[DsirDim]] rows each;
+    * the log-ratio sidecar is broadcast; the per-doc score is one hash
+    * aggregate keyed by doc_id with map-side partials; the quantile
+    * cutpoint is one tiny aggregate over per-doc rows, broadcast back.
+    * Everything downstream of the first aggregate is corpus-size-free.
+    * Documents with fewer than two tokens carry no bigram evidence and
+    * are excluded (they would score an uninformative 0 in the paper's
+    * formulation too).
+    */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val words = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), words.as("w"))
+      .select(col("doc_id"), col("lang"), col("w"),
+        posexplode(col("w")).as(Seq("p", "w1")))
+      .filter(col("p") < size(col("w")) - 1)
+      .select(col("doc_id"), col("lang"),
+        concat(col("w1"), lit(" "),
+          element_at(col("w"), col("p") + 2)).as("bg"))
+      .withColumn("bucket", expr(
+        s"""aggregate(transform(sequence(1, length(bg)), i -> cast(ascii(substr(bg, i, 1)) as bigint)),
+           |  cast(0 as bigint), (h, c) -> (h * 31 + c) % 2147483648) % $DsirDim""".stripMargin)
+        .cast("int"))
+      .drop("bg")
+    val tCounts = bigrams.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t_b"))
+    val rCounts = bigrams.filter(col("lang") =!= "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("r_b"))
+    val buckets = tCounts.join(rCounts, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("t_b"), lit(0L)).as("t_b"),
+        coalesce(col("r_b"), lit(0L)).as("r_b"))
+    val totals = buckets.agg(sum(col("t_b")).as("t_n"), sum(col("r_b")).as("r_n"))
+    val llr = buckets.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round((log((col("t_b") + 1).cast("double") / (col("t_n") + DsirDim)) -
+               log((col("r_b") + 1).cast("double") / (col("r_n") + DsirDim))) *
+          DsirQ).cast("long").as("llr_q"))
+    val scored = bigrams.filter(col("lang") =!= "en")
+      .join(broadcast(llr), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("llr_q")).as("score_q"))
+    val cut = scored.agg(expr("percentile(score_q, 0.8d)").as("c"))
+    // score_q IS the log importance weight at 1e-6 scale; no derived
+    // float emission — a /1e6 re-scaling round-4'd for readability put
+    // exactly-half values (…50 at the 1e6 scale, common) on the Spark
+    // BigDecimal-vs-DuckDB raw-double round boundary and diverged at
+    // sf0.01. The integer image is the honest cross-engine contract.
+    scored.crossJoin(broadcast(cut))
+      .filter(col("score_q") > col("c"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("score_q"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   lazy val defs: Map[String, QueryDef] = Map(
     "q_temperature_mix" -> QueryDef(temperatureMix, Some(CorpusAuditOracles.temperatureMix)),
     "q_source_overlap"  -> QueryDef(sourceOverlap, Some(CorpusAuditOracles.sourceOverlap)),
-    "q_snapshot_diff"   -> QueryDef(snapshotDiff, Some(CorpusAuditOracles.snapshotDiff)))
+    "q_snapshot_diff"   -> QueryDef(snapshotDiff, Some(CorpusAuditOracles.snapshotDiff)),
+    "q_dsir_select"     -> QueryDef(dsirSelect, Some(CorpusAuditOracles.dsirSelect)))
 }
 
 /** DuckDB oracle twins for [[CorpusAudit]]. */
@@ -215,4 +307,55 @@ object CorpusAuditOracles {
        |FROM joined
        |GROUP BY source, status
        |ORDER BY source, status""".stripMargin
+
+  /** [[CorpusAudit.dsirSelect]] replayed end-to-end: scan-stage bigram
+    * lists (list positions, not a window), the identical 31-poly
+    * bucket hash ([[TextOracles]] hashEmbed twin), add-one-smoothed
+    * target/raw bucket distributions, per-bucket llr quantized to
+    * BIGINT at 1e6 BEFORE the per-doc sum (integer sums are exact and
+    * order-free in both engines), and the strictly-above-0.8-quantile
+    * keep. BIGINT casts guard DuckDB's HUGEINT sum widening.
+    */
+  val dsirSelect: String =
+    s"""WITH dwr AS (
+       |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS w
+       |  FROM documents),
+       |dbg AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+       |  FROM dwr),
+       |dbk AS (
+       |  SELECT doc_id, lang,
+       |    CAST(list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length(bg) + 1),
+       |          i -> CAST(ord(substr(bg, i, 1)) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % 2147483648) % ${CorpusAudit.DsirDim} AS INT) AS bucket
+       |  FROM dbg),
+       |tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_b FROM dbk WHERE lang = 'en' GROUP BY 1),
+       |rb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r_b FROM dbk WHERE lang <> 'en' GROUP BY 1),
+       |bk AS (
+       |  SELECT COALESCE(tb.bucket, rb.bucket) AS bucket,
+       |    COALESCE(t_b, 0) AS t_b, COALESCE(r_b, 0) AS r_b
+       |  FROM tb FULL OUTER JOIN rb ON tb.bucket = rb.bucket),
+       |tot AS (
+       |  SELECT CAST(sum(t_b) AS BIGINT) AS t_n, CAST(sum(r_b) AS BIGINT) AS r_n
+       |  FROM bk),
+       |llr AS (
+       |  SELECT bucket,
+       |    CAST(round((ln((t_b + 1) / ((t_n + ${CorpusAudit.DsirDim}) * 1e0)) -
+       |                ln((r_b + 1) / ((r_n + ${CorpusAudit.DsirDim}) * 1e0)))
+       |               * ${CorpusAudit.DsirQ}) AS BIGINT) AS llr_q
+       |  FROM bk, tot),
+       |scored AS (
+       |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(llr_q) AS BIGINT) AS score_q
+       |  FROM dbk JOIN llr USING (bucket)
+       |  WHERE lang <> 'en'
+       |  GROUP BY doc_id, lang),
+       |cut AS (SELECT quantile_cont(CAST(score_q AS DOUBLE), 0.8) AS c FROM scored)
+       |SELECT doc_id, lang, n_bigrams, score_q
+       |FROM scored, cut
+       |WHERE score_q > c
+       |ORDER BY doc_id""".stripMargin
 }

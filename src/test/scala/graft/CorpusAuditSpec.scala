@@ -86,4 +86,50 @@ class CorpusAuditSpec extends SparkSpec {
     assert(got.map(_._2).distinct.sorted ==
       Seq("added", "modified", "removed", "unchanged"))
   }
+
+  test("dsirSelect matches a plain-Scala DSIR replay and keeps ~top-20%") {
+    val langDocs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    def bigrams(text: String): Seq[String] = {
+      val ws = "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+      ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(bg: String): Int =
+      (bg.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 2147483648L) %
+        CorpusAudit.DsirDim).toInt
+    val all = langDocs.flatMap { case (id, lang, t) =>
+      bigrams(t).map(bg => (id, lang, bucket(bg)))
+    }
+    val tB = all.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val rB = all.filter(_._2 != "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (tN, rN) = (tB.values.sum, rB.values.sum)
+    val dim = CorpusAudit.DsirDim
+    val llrQ = (tB.keySet ++ rB.keySet).map { b =>
+      b -> math.round((math.log((tB.getOrElse(b, 0L) + 1).toDouble / (tN + dim)) -
+        math.log((rB.getOrElse(b, 0L) + 1).toDouble / (rN + dim))) *
+        CorpusAudit.DsirQ)
+    }.toMap
+    val scored = all.filter(_._2 != "en").groupBy(t => (t._1, t._2)).view
+      .mapValues(rows => (rows.size.toLong, rows.map(t => llrQ(t._3)).sum))
+      .toSeq.map { case ((id, lang), (n, sc)) => (id, lang, n, sc) }
+    // Spark's exact percentile: linear interpolation at rank p*(n-1)
+    val sorted = scored.map(_._4).sorted
+    val rank = 0.8 * (sorted.length - 1)
+    val lo = rank.toInt
+    val cut =
+      if (lo + 1 < sorted.length)
+        sorted(lo) + (rank - lo) * (sorted(lo + 1) - sorted(lo)).toDouble
+      else sorted(lo).toDouble
+    val expected = scored.filter(_._4 > cut).sortBy(_._1)
+    val got = CorpusAudit.dsirSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // structural: nothing from the target split leaks in, and the keep
+    // rate is the quantile contract (≤ 20% strictly above the cut)
+    assert(got.forall(_._2 != "en"))
+    val candidates = scored.length
+    assert(got.length <= math.ceil(candidates * 0.2).toInt + 1)
+    assert(got.nonEmpty, "degenerate fixture: nothing selected")
+  }
 }
