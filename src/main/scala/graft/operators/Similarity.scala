@@ -705,6 +705,76 @@ object Similarity {
         count(lit(1)).as("n"))
       .orderBy(col("label"), col("dim"))
 
+  /** Cluster count for [[kmeansRefine]] — also the per-vector argmin
+    * encoding radix: code = dist_q · 16 + cid needs cid < 16, so K ≤ 16.
+    */
+  val KmK = 8
+
+  /** Component quantization for [[kmeansRefine]] — the
+    * [[embeddingCentroids]] 1e-4 fixed-decimal convention. Worst-case
+    * encoded argmin: dim · (2·10⁴)² · 16 ≈ 2·10¹¹ per 32 dims, far
+    * inside BIGINT.
+    */
+  val KmQ = 10000L
+
+  /** Two unrolled Lloyd iterations over the embedding table, fully
+    * declarative and integer-exact — the oracle-CHECKED complement to
+    * the ML-exempt seeded-KMeans quantizer trainings ([[ivfTopK]],
+    * [[pqTopK]]): same assign/update algebra, but every step replays
+    * bit-identically in DuckDB. Seeds are the [[KmK]] smallest vec_ids
+    * (cid = rank in that order); components quantize to BIGINT at
+    * [[KmQ]] so distances are exact integer sums; centroid updates are
+    * integer division, which truncates toward zero in BOTH dialects for
+    * BIGINT operands (Spark `DIV` and DuckDB `//` — the round-4
+    * "DuckDB // floors" gotcha is about non-integer operands; measured
+    * -7 // 2 = -3, and embedding sums do go negative).
+    *
+    * Scale shape — the part worth having on a cluster: assignment is
+    * SCAN-STAGE, not a join. The K×dim centroid table collapses to a
+    * single array-of-structs row (`collect_list` over ≤ K·dim rows),
+    * broadcast-crossJoined onto the scan, and the argmin evaluates as
+    * array algebra per row (`array_min(transform(...))` — one encoded
+    * BIGINT per vector, ties to the smaller cid for free). Per Lloyd
+    * iteration the only corpus-sized exchange is the centroid update,
+    * and map-side partial aggregation collapses it to K·dim rows
+    * before the shuffle (the [[embeddingCentroids]] stance). Per-vector
+    * output: final cluster + exact quantized squared distance.
+    */
+  def kmeansRefine(s: SparkSession, d: String): DataFrame = {
+    val embQ = Tables.embeddings(s, d).select(col("vec_id"),
+      expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * $KmQ) AS BIGINT))")
+        .as("xq"))
+    // one-row frame: cents = array<struct<cid, cq>> ordered by seed rank
+    val seeds = embQ.orderBy(col("vec_id")).limit(KmK)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("xq")))).as("sa"))
+      .select(expr("transform(sa, (e, i) -> struct(CAST(i AS BIGINT) AS cid, e.xq AS cq))")
+        .as("cents"))
+    val codeExpr = expr(
+      """array_min(transform(cents, c ->
+        |  aggregate(zip_with(xq, c.cq, (a, b) -> (a - b) * (a - b)),
+        |            CAST(0 AS BIGINT), (acc, v) -> acc + v) * 16 + c.cid))""".stripMargin)
+    def assign(cents: DataFrame): DataFrame =
+      embQ.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("xq"), codeExpr.as("code"))
+    // floor-div centroid update, regrouped to the one-row cents shape
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(expr("pmod(code, 16)").as("cid"), posexplode(col("xq")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .select(col("cid"), col("pos"), expr("sx DIV cnt").as("cx"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+        .select(col("cid"), expr("transform(pcs, p -> p.cx)").as("cq"))
+        .agg(sort_array(collect_list(struct(col("cid"), col("cq")))).as("sa"))
+        .select(expr("transform(sa, e -> struct(e.cid AS cid, e.cq AS cq))").as("cents"))
+    assign(update(assign(seeds)))
+      .select(col("vec_id"),
+        expr("CAST(pmod(code, 16) AS INT)").as("cluster"),
+        expr("code DIV 16").as("dist_q"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * standard 4× compression step before shipping vectors to an ANN
     * serving tier. Per vector: scale = max|v|/127, q_i = round(v_i /
@@ -933,6 +1003,7 @@ object Similarity {
     "q_embedding_lsh"     -> QueryDef(lshNearDup, Some(SimilarityOracles.lshNearDup)),
     "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), Some(SimilarityOracles.ivfTopK)),
     "q_embedding_centroids" -> QueryDef(embeddingCentroids, Some(SimilarityOracles.embeddingCentroids)),
+    "q_kmeans_refine"     -> QueryDef(kmeansRefine, Some(SimilarityOracles.kmeansRefine)),
     "q_embedding_quantize" -> QueryDef(embeddingQuantize, Some(SimilarityOracles.embeddingQuantize)),
     "q_embedding_pca"     -> QueryDef((s, d) => embeddingPca(s, d), Some(SimilarityOracles.embeddingPca)),
     "q_embedding_pq"      -> QueryDef(pqTopK, Some(SimilarityOracles.pqTopK)),
@@ -1217,6 +1288,51 @@ object SimilarityOracles {
       |FROM vals
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
+
+  /** [[Similarity.kmeansRefine]] replayed end-to-end: quantized
+    * components, rank-of-smallest-vec_id seeds, per-(vector, centroid)
+    * exact integer distances (relational form — DuckDB has no zip_with,
+    * so the inner sum is `list_reduce` over 1-based positional
+    * `range`), the same `dist·16 + cid` encoded argmin, the
+    * truncating-integer-division centroid update (BIGINT `//` truncates
+    * toward zero exactly like Spark `DIV`), and the second assignment.
+    * BIGINT casts guard HUGEINT sum widening; `list(cx ORDER BY pos)`
+    * rebuilds the dim-ordered centroid arrays.
+    */
+  val kmeansRefine: String = {
+    val k = Similarity.KmK
+    val q = Similarity.KmQ
+    def distCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT e.vec_id,
+         |    min(list_reduce(
+         |          list_transform(range(1, len(e.xq) + 1),
+         |            i -> (e.xq[i] - c.cq[i]) * (e.xq[i] - c.cq[i])),
+         |          (a, b) -> a + b) * 16 + c.cid) AS code
+         |  FROM embq e, $cents c
+         |  GROUP BY e.vec_id)"""
+    s"""WITH embq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $q) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, xq AS cq
+       |  FROM (SELECT vec_id, xq FROM embq ORDER BY vec_id LIMIT $k)),
+       |${distCte("a1", "seeds")},
+       |v1 AS (
+       |  SELECT a1.code % 16 AS cid,
+       |    unnest(generate_series(1, len(xq))) AS pos, unnest(xq) AS x
+       |  FROM a1 JOIN embq USING (vec_id)),
+       |u1 AS (
+       |  SELECT cid, pos, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS cx
+       |  FROM v1 GROUP BY cid, pos),
+       |c1 AS (SELECT cid, list(cx ORDER BY pos) AS cq FROM u1 GROUP BY cid),
+       |${distCte("a2", "c1")}
+       |SELECT vec_id, CAST(code % 16 AS INT) AS cluster,
+       |  CAST(code // 16 AS BIGINT) AS dist_q
+       |FROM a2
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** Replays [[Similarity.semanticDedup]] downstream of the k-means fit:
     * reads the pinned cell assignments, re-derives the within-cell pairs,
