@@ -164,6 +164,30 @@ object CorpusAudit {
     */
   val DsirQ = 1000000L
 
+  /** Cutpoint-sample size: the 0.8 quantile is computed over the
+    * [[DsirCutSample]] candidates with the smallest golden-hash rank,
+    * not over every candidate. Spark's exact `percentile` buffers ALL
+    * input values in ONE final merge task (an ImperativeAggregate) —
+    * over per-doc scores that is O(corpus) driver-task memory at
+    * 10⁹–10¹⁰ docs (VERDICT r13 finding #2). A top-K by deterministic
+    * hash is a uniform sample BOTH engines replay exactly (no RNG
+    * state), plans as per-partition bounded heaps (TakeOrderedAndProject
+    * — no task ever holds more than K rows), and caps the percentile
+    * buffer at K forever. K = 20,000 puts the p = 0.8 quantile-rank
+    * standard error at sqrt(0.8·0.2/K) ≈ 0.28 % — noise relative to the
+    * "keep the top ~20 %" selection contract. At the test SFs up to
+    * sf0.1 the candidate count is below K, so the sample IS the full
+    * set; the sf1 rehearsal (29,410 candidates) exercises the capped
+    * path end-to-end against the oracle.
+    */
+  val DsirCutSample = 20000
+
+  /** Modulus for the cut-sample hash rank: a prime (≠ the bucket-1000
+    * modulus used elsewhere) so the sample is uncorrelated with every
+    * other golden-hash slice (test-doc membership, snapshot deciles).
+    */
+  val DsirSampleMod = 999983
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al.,
     * NeurIPS 2023): score every candidate document by the
     * log-likelihood ratio of a hashed bag-of-bigrams model fit on a
@@ -175,7 +199,9 @@ object CorpusAudit {
     * top ~20%: candidates strictly above the 0.8 quantile of the
     * integer score (equal-probability cut, ties at the cutpoint stay
     * together — the [[ScaleOps.userDeciles]] stance, no global
-    * row_number anywhere).
+    * row_number anywhere). The quantile is evaluated over the
+    * [[DsirCutSample]]-bounded deterministic hash sample (see there) so
+    * no task ever buffers corpus-cardinality values.
     *
     * Scale shape: bigram derivation is scan-stage array algebra
     * (`sequence` positions over the per-doc word array — no window, no
@@ -183,13 +209,20 @@ object CorpusAudit {
     * the two distribution fits aggregate to ≤ [[DsirDim]] rows each;
     * the log-ratio sidecar is broadcast; the per-doc score is one hash
     * aggregate keyed by doc_id with map-side partials; the quantile
-    * cutpoint is one tiny aggregate over per-doc rows, broadcast back.
-    * Everything downstream of the first aggregate is corpus-size-free.
-    * Documents with fewer than two tokens carry no bigram evidence and
-    * are excluded (they would score an uninformative 0 in the paper's
-    * formulation too).
+    * cutpoint is an exact percentile over the K-bounded hash sample
+    * (TakeOrderedAndProject: per-partition K-heaps, one K-row merge),
+    * broadcast back. Everything downstream of the first aggregate is
+    * corpus-size-free. Documents with fewer than two tokens carry no
+    * bigram evidence and are excluded (they would score an
+    * uninformative 0 in the paper's formulation too).
     */
-  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+  def dsirSelect(s: SparkSession, d: String): DataFrame =
+    dsirSelect(s, d, DsirCutSample)
+
+  /** [[dsirSelect]] with an explicit cut-sample bound (specs shrink it
+    * below the candidate count to exercise the sampled path at tiny SF).
+    */
+  def dsirSelect(s: SparkSession, d: String, cutSample: Int): DataFrame = {
     val words = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     val bigrams = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), words.as("w"))
@@ -222,7 +255,18 @@ object CorpusAudit {
       .join(broadcast(llr), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("llr_q")).as("score_q"))
-    val cut = scored.agg(expr("percentile(score_q, 0.8d)").as("c"))
+    // Cutpoint: exact interpolated percentile over the hash-sampled
+    // top-K (bounded buffer — see DsirCutSample). score_q is cast to
+    // DOUBLE before the percentile on BOTH sides so Spark and DuckDB
+    // interpolate over bit-identical values (ADVICE r13: a
+    // BIGINT-vs-DOUBLE asymmetry would diverge past 2^53; per-doc
+    // scores reaching 2^53 would need ~10^9 bigrams in one doc, but the
+    // symmetric cast removes the bound entirely). The strictly-above
+    // compare promotes score_q to double identically in both engines.
+    val cut = scored
+      .orderBy(GoldenHash.bucket(col("doc_id"), DsirSampleMod), col("doc_id"))
+      .limit(cutSample)
+      .agg(expr("percentile(cast(score_q as double), 0.8d)").as("c"))
     // score_q IS the log importance weight at 1e-6 scale; no derived
     // float emission — a /1e6 re-scaling round-4'd for readability put
     // exactly-half values (…50 at the 1e6 scale, common) on the Spark
@@ -314,9 +358,14 @@ object CorpusAuditOracles {
     * target/raw bucket distributions, per-bucket llr quantized to
     * BIGINT at 1e6 BEFORE the per-doc sum (integer sums are exact and
     * order-free in both engines), and the strictly-above-0.8-quantile
-    * keep. BIGINT casts guard DuckDB's HUGEINT sum widening.
+    * keep over the SAME golden-hash-ranked top-K cut sample the engine
+    * uses (ORDER BY hash, doc_id LIMIT K — deterministic in both
+    * engines; both interpolate the quantile over DOUBLE-cast scores).
+    * BIGINT casts guard DuckDB's HUGEINT sum widening.
     */
-  val dsirSelect: String =
+  val dsirSelect: String = dsirSelectSql(CorpusAudit.DsirCutSample)
+
+  def dsirSelectSql(cutSample: Int): String =
     s"""WITH dwr AS (
        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS w
        |  FROM documents),
@@ -353,7 +402,11 @@ object CorpusAuditOracles {
        |  FROM dbk JOIN llr USING (bucket)
        |  WHERE lang <> 'en'
        |  GROUP BY doc_id, lang),
-       |cut AS (SELECT quantile_cont(CAST(score_q AS DOUBLE), 0.8) AS c FROM scored)
+       |cut_sample AS (
+       |  SELECT score_q FROM scored
+       |  ORDER BY ${GoldenHash.bucketSql("doc_id", CorpusAudit.DsirSampleMod)}, doc_id
+       |  LIMIT $cutSample),
+       |cut AS (SELECT quantile_cont(CAST(score_q AS DOUBLE), 0.8) AS c FROM cut_sample)
        |SELECT doc_id, lang, n_bigrams, score_q
        |FROM scored, cut
        |WHERE score_q > c
