@@ -557,6 +557,9 @@ object Analytics {
     * (Spark `percentile` ≡ DuckDB `quantile_cont`); at 100 TB swap in
     * `approx_percentile` (mergeable sketch, no per-group sort buffer) —
     * kept exact here because exactness is what the oracle can check.
+    * Buffer bound: exact `percentile` holds every value of a GROUP in
+    * that group's final merge task — ROW-scale per event_type, which is
+    * why [[latencyPercentilesApprox]] is the registered 100 TB path.
     */
   def latencyPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -698,6 +701,12 @@ object Analytics {
     * interpolated percentile; the deviations then compare identically
     * in both engines. Two aggregate passes + one broadcast-size join
     * per pass (5 rows of per-type centers).
+    * Buffer bound: both exact medians buffer ROW-scale values per
+    * event_type in one task; at 100 TB swap both for
+    * `approx_percentile` exactly as documented on
+    * [[latencyPercentiles]] (kept exact because exactness is what the
+    * oracle checks, and the MAD flag's 4dp pre-round makes the swap
+    * behavior-compatible away from the last ulp).
     */
   def madAnomaly(s: SparkSession, d: String): DataFrame = {
     val med = Tables.events(s, d)

@@ -158,11 +158,16 @@ object BpeTrain {
     * cumulative word count fits the cap — band-at-a-time in descending
     * frequency, so the rule is deterministic (a tie band is kept or
     * dropped whole, never split by partition order) — and loud-log the
-    * dropped word count and occurrence mass. Hapax-tail words cannot
-    * win an argmax round against any repeated pair unless the alphabet
-    * is near-exhausted, so pruning the tail leaves the learned merges
-    * on the surviving vocab unchanged (BpeTrainSpec pins this). The
-    * frequency histogram collected to choose the threshold is
+    * dropped word count and occurrence mass. The auto-prune is taken
+    * ONLY when every dropped word is a hapax (freq 1): hapax-tail words
+    * cannot win an argmax round against any repeated pair unless the
+    * alphabet is near-exhausted, so that prune leaves the learned
+    * merges on the surviving vocab unchanged (BpeTrainSpec pins this).
+    * When the cap would force dropping REPEATED words — whose pair
+    * counts can move an argmax and silently change learned merges
+    * (ADVICE r13) — the method fails loudly instead: raise the cap or
+    * use the distributed [[learn]] path, which has no driver collect.
+    * The frequency histogram collected to choose the threshold is
     * distinct-FREQUENCY-bound (≪ vocab), never vocab-bound.
     */
   private[graft] def collectVocabCapped(v: DataFrame,
@@ -181,6 +186,14 @@ object BpeTrain {
       require(kept > 0,
         s"BPE vocab cap $cap cannot fit even the top frequency band " +
           s"(${hist.headOption.fold(0L)(_._2)} words at the max frequency)")
+      // merges-unchanged only holds for a hapax tail: dropped REPEATED
+      // words contribute pair counts that can flip an argmax (ADVICE
+      // r13), so that case is a loud failure, never a silent prune
+      val maxDroppedFreq = hist.drop(i).headOption.fold(0L)(_._1)
+      require(maxDroppedFreq <= 1L,
+        s"BPE vocab cap $cap would prune REPEATED words (dropped band " +
+          s"frequency $maxDroppedFreq > 1), which can change learned merges; " +
+          s"raise the cap or use the distributed learn() path")
       val droppedWords = hist.drop(i).map(_._2).sum
       val droppedMass = hist.drop(i).map { case (f, n) => f * n }.sum
       val totalMass = hist.map { case (f, n) => f * n }.sum

@@ -290,6 +290,10 @@ object ScaleOps {
     * key cardinality, not row count. Exact percentiles over the count
     * column are fine here precisely because the input to the rollup is
     * already one row per key.
+    * Buffer bound: the exact `percentile` buffers one value PER
+    * DISTINCT KEY in one task — at 10⁹ keys swap to `approx_percentile`
+    * or the [[CorpusAudit.DsirCutSample]]-style hash-sampled cut; exact
+    * kept because exactness is what the oracle checks.
     */
   def skewProfile(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -437,6 +441,11 @@ object ScaleOps {
     * equal-size bins: heavy ties at a cutpoint land in one bucket
     * (documented tradeoff; cutpoints rounded to 4dp first so the
     * comparison is engine-stable).
+    * Buffer bound: the nine exact percentiles buffer one value PER
+    * DISTINCT USER in one task — at 10⁹ users swap to
+    * `approx_percentile` or the [[CorpusAudit.DsirCutSample]]-style
+    * hash-sampled cut; exact kept because exactness is what the oracle
+    * checks.
     */
   def userDeciles(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.events(s, d)

@@ -1444,7 +1444,17 @@ object TrainingOracles {
        |  FROM read_parquet('${TrainingPrep.DeltaDigestPath}/*.parquet')),
        |${admissionCtes("d", s"${graft.GoldenHash.bucketSql("doc_id", 20)} = 7",
           "atrest",
-          "NOT EXISTS (SELECT 1 FROM dig WHERE dig.digest = sha256(q.text))")},
+          // independence guard (ADVICE r13): the exact stage replays the
+          // ENGINE-WRITTEN digest sidecar, so a writeDedupIndex bug that
+          // dropped or duplicated digest rows would otherwise be invisible
+          // here (both sides would admit the same wrong set). The count
+          // equation against an INDEPENDENT sha256 re-derivation of the
+          // at-rest texts poisons the gate (admits nothing → loud hash
+          // mismatch) whenever the sidecar is not a bijection of the
+          // distinct at-rest texts.
+          "(SELECT count(*) FROM dig) = " +
+            "(SELECT count(DISTINCT sha256(text)) FROM atrest) " +
+            "AND NOT EXISTS (SELECT 1 FROM dig WHERE dig.digest = sha256(q.text))")},
        |${bpeAccountingTail("e4_d")}""".stripMargin
 
   /** [[TrainingPrep.corpusPrepDelta2]] replayed END-TO-END ACROSS BOTH

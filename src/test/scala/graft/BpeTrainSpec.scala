@@ -152,6 +152,12 @@ class BpeTrainSpec extends SparkSpec {
 
     // a cap that cannot fit even the top band fails loud
     intercept[IllegalArgumentException] { BpeTrain.collectVocabCapped(v, 0) }
+
+    // a cap that would prune REPEATED words fails loud instead of
+    // silently changing learnable merges (ADVICE r13): cap 2 fits the
+    // freq-9 and freq-7 bands but would drop freq 6 and 4
+    val e = intercept[IllegalArgumentException] { BpeTrain.collectVocabCapped(v, 2) }
+    assert(e.getMessage.contains("REPEATED"), e.getMessage)
   }
 
   test("fixture corpus learns the full round budget deterministically") {
