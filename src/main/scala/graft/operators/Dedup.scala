@@ -330,39 +330,8 @@ object Dedup {
     val index = minhashIndex(s, d)
     pinMinhashIndex(s, d, index)
     val banded = minhashBanded(index)
-    val cand = candidateEdges(banded)
-
-    // exact-Jaccard verification, candidate edges only: cost and
-    // shuffle are O(docs x bands), independent of cluster sizes. Each
-    // edge pays one merge-intersect over the two PRE-BUILT sorted
-    // gram-hash arrays (SortedLongJaccard) — the string formulation
-    // re-shingled both texts per edge, which for high-degree bucket
-    // minima rebuilt the same gram set hundreds of times.
-    val grams = index.select(col("doc_id"), col("grams"))
-    val verified = cand
-      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
-      .filter(graft.functions.NgramJaccardFunctions.jaccardSorted(col("ga"), col("gb")) >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-
-    // canonical id: convergent min-label propagation over the verified
-    // edges — [[Graph.components]], the auto-selecting operator the
-    // propagation loop was extracted into (see its scaladoc for the
-    // convergence, cap, and checkpoint arguments; the star hub keeps
-    // real dup clusters at diameter ~2, so the propagation probe
-    // converges without escalating here, and DedupSpec plants a
-    // diameter-5 chain to pin full collapse — VERDICT r6 item 5; an
-    // adversarially deep cluster would now escalate to the star
-    // rewrite instead of paying rounds ∝ diameter). Propagation runs over
-    // the FULL vertex set rather than the edge-vertex subgraph:
-    // measured on this dup-dense corpus the subgraph restriction costs
-    // ~1 s of distinct + re-join for nothing; at sparse dup rates the
-    // restriction is the right call and is a one-line change at the
-    // `vertices` argument.
-    val labels = Graph.components(
-        Tables.documents(s, d).select(col("doc_id").as("id")),
-        verified.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      .select(col("id").as("doc_id"), col("component").as("label"))
+    val labels = nearDupLabels(
+      Tables.documents(s, d).select(col("doc_id").as("id")), index)
 
     // bucket-mate degree (linear rollup, not a pair count): the bucket
     // size attaches to every member in ONE unordered window over the
@@ -379,6 +348,75 @@ object Dedup {
         col("label").as("kept_doc_id"),
         (col("label") =!= col("doc_id")).as("is_duplicate"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Verified near-dup component labels (doc_id, label) for any indexed
+    * frame — the label chain of [[minhashDedup]], extracted so
+    * [[splitLeakageFree]] serves the SAME clustering (shared-body
+    * stance: the split can never drift from the oracle-verified
+    * labels).
+    *
+    * Exact-Jaccard verification runs on candidate edges only: cost and
+    * shuffle are O(docs × bands), independent of cluster sizes. Each
+    * edge pays one merge-intersect over the two PRE-BUILT sorted
+    * gram-hash arrays (SortedLongJaccard) — the string formulation
+    * re-shingled both texts per edge, which for high-degree bucket
+    * minima rebuilt the same gram set hundreds of times.
+    *
+    * Labels are convergent min-label propagation over the verified
+    * edges — [[Graph.components]], the auto-selecting operator the
+    * propagation loop was extracted into (see its scaladoc for the
+    * convergence, cap, and checkpoint arguments; the star hub keeps
+    * real dup clusters at diameter ~2, so the propagation probe
+    * converges without escalating here, and DedupSpec plants a
+    * diameter-5 chain to pin full collapse — VERDICT r6 item 5; an
+    * adversarially deep cluster would now escalate to the star
+    * rewrite instead of paying rounds ∝ diameter). Propagation runs
+    * over the FULL vertex set rather than the edge-vertex subgraph:
+    * measured on this dup-dense corpus the subgraph restriction costs
+    * ~1 s of distinct + re-join for nothing; at sparse dup rates the
+    * restriction is the right call and is a one-line change at the
+    * `vertices` argument.
+    */
+  private[graft] def nearDupLabels(vertices: DataFrame, index: DataFrame): DataFrame = {
+    val cand = candidateEdges(minhashBanded(index))
+    val grams = index.select(col("doc_id"), col("grams"))
+    val verified = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .filter(graft.functions.NgramJaccardFunctions.jaccardSorted(col("ga"), col("gb")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    Graph.components(vertices,
+        verified.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("label"))
+  }
+
+  /** Leakage-free train/val split (`q_split_leakage_free`): split
+    * membership is assigned per verified NEAR-DUP COMPONENT, never per
+    * document — no near-dup pair can straddle train/val. This is the
+    * standard companion to the decontamination family and exists for
+    * the same reason [[minhashDecontaminate]] does: a per-doc split
+    * rule leaks PARAPHRASES of validation documents into training even
+    * when no exact text crosses the line. The val slice is the ~10% of
+    * CLUSTERS whose canonical label lands in golden bucket 0 — the
+    * [[graft.GoldenHash.isTestDoc]] rule lifted from doc_id to the
+    * component label, so singleton docs keep their familiar assignment
+    * and every dup rides with its cluster's canonical doc.
+    *
+    * Scale shape: everything through the labels is the shared linear
+    * dedup chain ([[nearDupLabels]] — star+path candidates, never a
+    * within-bucket product); the split itself is a scan-stage CASE on
+    * the label with NO additional shuffle or join.
+    */
+  def splitLeakageFree(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
+    val index = minhashIndex(s, d)
+    pinMinhashIndex(s, d, index)
+    nearDupLabels(Tables.documents(s, d).select(col("doc_id").as("id")), index)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        when(graft.GoldenHash.bucket(col("label"), 10) === 0, lit("val"))
+          .otherwise(lit("train")).as("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -879,6 +917,10 @@ object Dedup {
     "q_approx_distinct_check" -> QueryDef(approxDistinctCheck,
       Some(DedupOracles.approxDistinctCheck), headline = false),
     "q_minhash_dedup"   -> QueryDef(minhashDedup, Some(DedupOracles.minhashDedup)),
+    // verified-not-benched (the q_dedup_canonical precedent): its only
+    // work beyond the q_minhash_dedup chain is a scan-stage CASE
+    "q_split_leakage_free" -> QueryDef(splitLeakageFree,
+      Some(DedupOracles.splitLeakageFree), headline = false),
     "q_minhash_decontaminate" -> QueryDef(minhashDecontaminate,
       Some(DedupOracles.minhashDecontaminate)),
     "q_simhash_dedup"   -> QueryDef(simhashDedup, Some(DedupOracles.simhashDedup)),
@@ -1086,6 +1128,21 @@ object DedupOracles {
        |  l.label <> l.doc_id AS is_duplicate,
        |  CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates
        |FROM labels l LEFT JOIN ncand n USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[Dedup.splitLeakageFree]]: the minhash closure oracle as a
+    * derived table (the [[dedupClusterStats]]/[[dedupCanonical]]
+    * composition precedent) — so the split assignment is checked on
+    * top of DuckDB's INDEPENDENT recursive-CTE connected components —
+    * then the identical golden-hash CASE on the component label.
+    */
+  lazy val splitLeakageFree: String =
+    s"""WITH mh AS (
+       |  SELECT doc_id, kept_doc_id AS cluster_id FROM ($minhashDedup) t)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ${graft.GoldenHash.bucketSql("cluster_id", 10)} = 0
+       |       THEN 'val' ELSE 'train' END AS split
+       |FROM mh
        |ORDER BY doc_id""".stripMargin
 
   /** [[Dedup.dedupClusterStats]]: the minhash closure oracle as a

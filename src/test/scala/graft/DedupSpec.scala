@@ -36,6 +36,40 @@ class DedupSpec extends SparkSpec {
     assert(byId(3L) == ((3L, false)))
   }
 
+  test("leakage-free split: a planted near-dup pair never straddles train/val") {
+    // Gamma ≡ 1 mod 10, so the PER-DOC golden split is doc_id % 10:
+    // doc 10 would be val, its near-dup 11 would be train — exactly the
+    // paraphrase leak a per-doc split rule creates. The component rule
+    // must land both on the cluster label's (10 → val) side.
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "en", "s", 68L),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu", "en", "s", 67L),
+      (22L, "completely different text about query engines and shuffle joins okay", "en", "s", 68L),
+      (33L, "yet another unrelated document mentioning windows and watermarks here", "en", "s", 69L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.splitLeakageFree(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(10L) == ((10L, 10L, "val")), out.toSeq.toString)
+    assert(byId(11L) == ((11L, 10L, "val")), "near-dup pair straddled the split")
+    assert(byId(22L)._3 == "train" && byId(33L)._3 == "train")
+
+    // fixture-wide: every component lands in exactly one split, the
+    // corpus genuinely contains clusters a per-doc rule WOULD have
+    // straddled, and the val fraction tracks the 10% cluster-hash rate
+    val full = Dedup.splitLeakageFree(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byCluster = full.groupBy(_._2)
+    assert(byCluster.forall { case (_, ms) => ms.map(_._3).distinct.length == 1 })
+    def docVal(id: Long): Boolean = (id * GoldenHash.Gamma) % 10 == 0
+    val wouldStraddle = byCluster.values.count(ms => ms.map(m => docVal(m._1)).distinct.length == 2)
+    assert(wouldStraddle > 0, "fixture has no would-straddle near-dup cluster")
+    val valFrac = full.count(_._3 == "val").toDouble / full.length
+    assert(valFrac > 0.02 && valFrac < 0.3, s"val fraction $valFrac off the ~10% rate")
+  }
+
   test("substring spans: shared verbatim passage found, merged, unique text unflagged") {
     // Docs 0 and 1 embed the same 120-char passage at DIFFERENT,
     // non-congruent offsets inside otherwise-unrelated text (the case
