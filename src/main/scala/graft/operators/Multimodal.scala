@@ -484,22 +484,33 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
-  def imageNearDup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // checkpoint the decode+hash pass: it is referenced by banding and
-    // both verification sides, and the ImageIO scan is the expensive
-    // stage — the minhashIndex pattern applied to pixels
-    val hashed = syntheticImagesWithDups(s, 120)
-      .mapPartitions { it =>
-        ImageIO.setUseCache(false)
-        it.flatMap(m => ImageIoCodec.decode(m.bytes).map(img => (m.media_id, aHash(img))))
-      }
-      .toDF("media_id", "phash")
-      .localCheckpoint(true)
-    graft.Artifacts.writeOnce(s, d, "image_phash") {
-      hashed.write.mode("overwrite").parquet(ImagePhashPath)
+  /** The checkpointed image decode+hash pass, cached per (session,
+    * corpus) — referenced by banding and both verification sides of
+    * [[imageNearDup]] AND by [[multimodalAssemble]]; the ImageIO scan
+    * is the expensive stage (the minhashIndex pattern applied to
+    * pixels).
+    */
+  private val imageHashCache = new graft.SessionCache[String, DataFrame]()
+  private def imageHashed(s: SparkSession, d: String): DataFrame =
+    imageHashCache.getOrBuild(s, d) {
+      import s.implicits._
+      syntheticImagesWithDups(s, 120)
+        .mapPartitions { it =>
+          ImageIO.setUseCache(false)
+          it.flatMap(m => ImageIoCodec.decode(m.bytes).map(img => (m.media_id, aHash(img))))
+        }
+        .toDF("media_id", "phash")
+        .localCheckpoint(true)
     }
-    phashNearDup(hashed)
+
+  private def ensureImagePhashPinned(s: SparkSession, d: String): Unit =
+    graft.Artifacts.writeOnce(s, d, "image_phash") {
+      imageHashed(s, d).write.mode("overwrite").parquet(ImagePhashPath)
+    }
+
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    ensureImagePhashPinned(s, d)
+    phashNearDup(imageHashed(s, d))
   }
 
   /** Audio corpus with PLANTED near-duplicates: every WAV from
@@ -535,23 +546,99 @@ object Multimodal {
     * embarrassingly-parallel scan, the banding join the only (tiny,
     * hash-keyed) shuffle.
     */
-  def audioNearDup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val hashed = syntheticAudioWithDups(s, 120)
-      .mapPartitions(it =>
-        it.flatMap(m => AudioCodec.aHash(m.bytes).map(h => (m.media_id, h))))
-      .toDF("media_id", "phash")
-      .localCheckpoint(true)
-    graft.Artifacts.writeOnce(s, d, "audio_phash") {
-      hashed.write.mode("overwrite").parquet(AudioPhashPath)
+  private val audioHashCache = new graft.SessionCache[String, DataFrame]()
+  private def audioHashed(s: SparkSession, d: String): DataFrame =
+    audioHashCache.getOrBuild(s, d) {
+      import s.implicits._
+      syntheticAudioWithDups(s, 120)
+        .mapPartitions(it =>
+          it.flatMap(m => AudioCodec.aHash(m.bytes).map(h => (m.media_id, h))))
+        .toDF("media_id", "phash")
+        .localCheckpoint(true)
     }
-    phashNearDup(hashed)
+
+  private def ensureAudioPhashPinned(s: SparkSession, d: String): Unit =
+    graft.Artifacts.writeOnce(s, d, "audio_phash") {
+      audioHashed(s, d).write.mode("overwrite").parquet(AudioPhashPath)
+    }
+
+  def audioNearDup(s: SparkSession, d: String): DataFrame = {
+    ensureAudioPhashPinned(s, d)
+    phashNearDup(audioHashed(s, d))
+  }
+
+  /** Interleaved multimodal training-record assembly
+    * (`q_multimodal_assemble`) — the corpus-prep step the image/audio
+    * near-dup gates FEED: admitted text is chunked
+    * ([[TrainingPrep.docChunks]]'s exact window algebra, shared code)
+    * and joined with the decoded, near-dup-CLEANED media into one
+    * ordered segment table per document —
+    * `(doc_id, seq, seg_kind ∈ {text,image,audio}, content,
+    * media_id, phash)`. Media flagged as the duplicate side of a
+    * verified near-dup pair ([[phashNearDup]]'s `media_b`, always the
+    * higher id — canonical-keeps-min, the dedup convention) is
+    * EXCLUDED from assembly.
+    *
+    * Interleave contract: text chunk i occupies slot i; the doc's
+    * surviving media, ranked (kind, media_id), take slots 1,2,… AFTER
+    * the same-numbered text chunk — text₀, text₁, media₁, text₂,
+    * media₂, … with any media overflow trailing. `seq` is the dense
+    * 1-based per-doc position of that total order. Media attach to
+    * documents by the golden-hash rule `(media_id·Γ) mod n_docs` — the
+    * fixture's documents carry no inline media references, so the
+    * deterministic hash stands in for the upstream reference table; a
+    * real deployment swaps ONE join key.
+    *
+    * Scale shape: chunk expansion is scan-stage (sequence → transform
+    * → posexplode, no shuffle); both hash scans are the shared
+    * checkpointed decode passes; the dup-drop is a broadcast-size
+    * anti join; ranking and `seq` are doc_id-PARTITIONED windows (no
+    * global window anywhere), so the only shuffles are the two
+    * doc_id hash exchanges.
+    */
+  def multimodalAssemble(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureImagePhashPinned(s, d); ensureAudioPhashPinned(s, d)
+    val img = imageHashed(s, d); val aud = audioHashed(s, d)
+    val media = img.withColumn("kind", lit("image"))
+      .unionByName(aud.withColumn("kind", lit("audio")))
+    val dropped = phashNearDup(img).select(col("media_b").as("media_id"))
+      .withColumn("kind", lit("image"))
+      .unionByName(phashNearDup(aud).select(col("media_b").as("media_id"))
+        .withColumn("kind", lit("audio")))
+      .distinct()
+    val docs = graft.Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val wm = Window.partitionBy(col("doc_id")).orderBy(col("kind"), col("media_id"))
+    val mediaSeg = media
+      .join(broadcast(dropped), Seq("kind", "media_id"), "left_anti")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("doc_id", (col("media_id") * lit(graft.GoldenHash.Gamma)) % col("n_docs"))
+      .withColumn("slot", row_number().over(wm).cast("long"))
+      .select(col("doc_id"), col("slot"), lit(1).as("is_media"),
+        col("kind").as("seg_kind"),
+        concat(lit("synthetic://"), col("kind"), lit("/"), col("media_id")).as("content"),
+        col("media_id"), col("phash"))
+    val textSeg = TrainingPrep.chunksOf(docs)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("slot"),
+        lit(0).as("is_media"), lit("text").as("seg_kind"),
+        col("chunk").as("content"),
+        lit(null).cast("long").as("media_id"), lit(null).cast("long").as("phash"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("slot"), col("is_media"), col("seg_kind"), col("media_id"))
+    textSeg.unionByName(mediaSeg)
+      .withColumn("seq", row_number().over(w))
+      .select(col("doc_id"), col("seq"), col("seg_kind"), col("content"),
+        col("media_id"), col("phash"))
+      .orderBy(col("doc_id"), col("seq"))
   }
 
   lazy val defs: Map[String, graft.QueryDef] = Map(
     "q_media_pipeline" -> graft.QueryDef(mediaPipeline, Some(MultimodalOracles.mediaPipeline)),
     "q_image_neardup"  -> graft.QueryDef(imageNearDup, Some(MultimodalOracles.imageNearDup)),
-    "q_audio_neardup"  -> graft.QueryDef(audioNearDup, Some(MultimodalOracles.audioNearDup)))
+    "q_audio_neardup"  -> graft.QueryDef(audioNearDup, Some(MultimodalOracles.audioNearDup)),
+    "q_multimodal_assemble" -> graft.QueryDef(multimodalAssemble,
+      Some(MultimodalOracles.multimodalAssemble)))
 }
 
 /** DuckDB oracles for the [[Multimodal]] queries — everything downstream
@@ -637,4 +724,58 @@ object MultimodalOracles {
     * replay as the image oracle ([[phashNearDupSql]]).
     */
   val audioNearDup: String = phashNearDupSql(Multimodal.AudioPhashPath)
+
+  /** Replays [[Multimodal.multimodalAssemble]] end-to-end from the two
+    * pinned phash artifacts and the documents table: both near-dup
+    * oracles embedded as derived tables (the
+    * [[DedupOracles.dedupCanonical]] composition precedent) provide
+    * the excluded `media_b` sets, the chunk algebra is the
+    * [[TrainingOracles.docChunks]] window expansion verbatim, the
+    * attach rule is the same `(media_id·Γ) mod n_docs`, and the
+    * interleave/`seq` total order re-derives via the identical
+    * doc-partitioned row_number.
+    */
+  val multimodalAssemble: String = {
+    val st = TrainingPrep.ChunkStride; val sz = TrainingPrep.ChunkSize
+    s"""WITH imgsig AS (
+       |  SELECT media_id, phash FROM read_parquet('${Multimodal.ImagePhashPath}/*.parquet')),
+       |audsig AS (
+       |  SELECT media_id, phash FROM read_parquet('${Multimodal.AudioPhashPath}/*.parquet')),
+       |imgdup AS (SELECT DISTINCT media_b AS media_id FROM ($imageNearDup) t),
+       |auddup AS (SELECT DISTINCT media_b AS media_id FROM ($audioNearDup) t),
+       |media AS (
+       |  SELECT 'image' AS kind, media_id, phash FROM imgsig
+       |  WHERE media_id NOT IN (SELECT media_id FROM imgdup)
+       |  UNION ALL
+       |  SELECT 'audio' AS kind, media_id, phash FROM audsig
+       |  WHERE media_id NOT IN (SELECT media_id FROM auddup)),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |att AS (
+       |  SELECT kind, media_id, phash,
+       |    (media_id * ${graft.GoldenHash.Gamma}) % n_docs AS doc_id
+       |  FROM media, nd),
+       |mseg AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY kind, media_id) AS slot,
+       |    1 AS is_media, kind AS seg_kind,
+       |    'synthetic://' || kind || '/' || media_id AS content,
+       |    media_id, phash
+       |  FROM att),
+       |pos AS (
+       |  SELECT doc_id, text, unnest(generate_series(0, (length(text)-1)//$st)) AS i
+       |  FROM documents WHERE length(text) > 0),
+       |tseg AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS slot, 0 AS is_media,
+       |    'text' AS seg_kind,
+       |    substring(text, CAST(i*$st+1 AS INT), $sz) AS content,
+       |    CAST(NULL AS BIGINT) AS media_id, CAST(NULL AS BIGINT) AS phash
+       |  FROM pos),
+       |segs AS (SELECT * FROM tseg UNION ALL SELECT * FROM mseg)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY slot, is_media, seg_kind, media_id) AS INT) AS seq,
+       |  seg_kind, content, media_id, phash
+       |FROM segs
+       |ORDER BY doc_id, seq""".stripMargin
+  }
 }

@@ -119,9 +119,10 @@ object TrainingPrep {
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** The chunk expansion with the grouping columns still attached —
-    * shared by [[docChunks]] and [[seqPack]].
+    * shared by [[docChunks]], [[seqPack]], and
+    * [[Multimodal.multimodalAssemble]]'s text segments.
     */
-  private def chunksOf(docs: DataFrame): DataFrame =
+  private[operators] def chunksOf(docs: DataFrame): DataFrame =
     docs
       // empty-text guard: on length 0 the chunk-count expression
       // diverges between engines (Spark DIV truncates toward zero →

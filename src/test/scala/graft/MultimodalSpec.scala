@@ -155,4 +155,61 @@ class MultimodalSpec extends SparkSpec {
       .collect().toMap
     assert(hashed.values.toSet.size > 30, s"degenerate hashes: ${hashed.values.toSet.size}")
   }
+
+  test("multimodal assembly: ordered segments, dup-flagged media excluded") {
+    val segs = Multimodal.multimodalAssemble(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val byDoc = segs.groupBy(_._1)
+
+    // seq is the dense 1-based per-doc position, in emitted order
+    byDoc.foreach { case (doc, ss) =>
+      assert(ss.map(_._2).sorted.toSeq == (1 to ss.length),
+        s"doc $doc seq not dense: ${ss.map(_._2).sorted.take(5).toSeq}…")
+    }
+
+    // text segments replay the doc's chunk windows IN OFFSET ORDER
+    val docsText = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc.foreach { case (doc, ss) =>
+      val gotChunks = ss.sortBy(_._2).filter(_._3 == "text").map(_._4).toSeq
+      val t = docsText(doc)
+      val expected = (0 to (t.length - 1) / 100).map(i => t.slice(i * 100, i * 100 + 150))
+      assert(gotChunks == expected, s"doc $doc text chunks out of order")
+    }
+
+    // media interleave: per doc, media segments are (kind, media_id)-
+    // ascending, and media rank r sits directly after text chunk r when
+    // that chunk exists (the slot contract)
+    byDoc.foreach { case (doc, ss) =>
+      val ordered = ss.sortBy(_._2)
+      val media = ordered.filter(_._3 != "text")
+      val keys = media.map(m => (m._3, m._5.get))
+      assert(keys.sortBy(identity).toSeq == keys.toSeq, s"doc $doc media order drifted")
+      val nChunks = ordered.count(_._3 == "text")
+      media.zipWithIndex.foreach { case (m, i) =>
+        val rank = i + 1
+        if (rank < nChunks) {
+          // the segment right before media rank r must be text chunk r
+          val pos = ordered.indexWhere(_._2 == m._2)
+          assert(ordered(pos - 1)._3 == "text" || ordered(pos - 1)._3 < m._3,
+            s"doc $doc media rank $rank not interleaved after its text chunk")
+        }
+      }
+    }
+
+    // every dup-flagged media id (the media_b side of a verified pair)
+    // is absent, and the fixture genuinely flags some
+    val imgDropped = Multimodal.imageNearDup(spark, sf)
+      .select("media_b").collect().map(_.getLong(0)).toSet
+    val audDropped = Multimodal.audioNearDup(spark, sf)
+      .select("media_b").collect().map(_.getLong(0)).toSet
+    assert(imgDropped.nonEmpty && audDropped.nonEmpty, "planted dups missing")
+    val assembledImg = segs.filter(_._3 == "image").flatMap(_._5).toSet
+    val assembledAud = segs.filter(_._3 == "audio").flatMap(_._5).toSet
+    assert(assembledImg.intersect(imgDropped).isEmpty, "dup image assembled")
+    assert(assembledAud.intersect(audDropped).isEmpty, "dup audio assembled")
+    assert(assembledImg.nonEmpty && assembledAud.nonEmpty)
+  }
 }
