@@ -76,7 +76,8 @@ object Bench {
     // by sfDir.
     val coldTracked = Set(
       "q_bpe_train", "q_bpe_train_deep", "q_embedding_lsh", "q_embedding_ivf",
-      "q_embedding_pq", "q_embedding_ivfpq", "q_ann_index_append", "q_ann_index_drift",
+      "q_embedding_pq", "q_embedding_ivfpq", "q_ann_index_append", "q_ann_index_append2",
+      "q_ann_index_drift",
       "q_corpus_prep_delta", "q_corpus_prep_delta2", "q_bm25_indexed", "q_bm25_append",
       "q_knn_classify_ivf", "q_pagerank")
     val cold = allTimes.collect {

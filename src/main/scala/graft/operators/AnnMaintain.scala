@@ -169,6 +169,122 @@ object AnnMaintain {
     encodeBatch(delta, cdf, bdf).orderBy(col("vec_id"))
   }
 
+  // ------------------------------------------- generation-2 probe
+
+  /** Query-batch membership for the gen-2 probe: a second ~5% slice,
+    * disjoint from the appended batch ([[isDelta]], bucket 7) — the
+    * corpus_prep_delta2 split shape applied to vectors.
+    */
+  private def isQueryB: Column = graft.GoldenHash.bucket(col("vec_id"), 20) === 11
+  private val isQueryBSql = graft.GoldenHash.bucketSql("vec_id", 20) + " = 11"
+
+  /** Results per query in the gen-2 probe. */
+  val ProbeK = 3
+
+  /** Fixed-point scale for the ADC distance: each per-subspace squared
+    * L2 is quantized to round(sd2 · 1e9) BIGINT BEFORE the per-pair
+    * sum, so the emitted distance is an integer sum — exact and
+    * order-free in both engines (the DsirQ / PcaQ convention; a raw
+    * double sum of [[Similarity.PqM]] terms can differ in the last ulp
+    * between engines purely from accumulation order).
+    */
+  val AdcQ = 1000000000L
+
+  /** The gen-1 inverted lists GROWN by the appended batch:
+    * frozen-encode of the at-rest slice (the build's own output — a
+    * deployment holds these at rest, so they're session-cached and
+    * checkpointed like every other index structure) unioned with the
+    * frozen-encode of batch A. Both sides are the SAME deterministic
+    * [[encodeBatch]]; AnnMaintainSpec pins append-then-probe ==
+    * rebuild-then-probe on exactly this construction.
+    */
+  private val grownListsCache = new graft.SessionCache[String, DataFrame]()
+  private def grownLists(s: SparkSession, d: String,
+      cdf: DataFrame, bdf: DataFrame): DataFrame =
+    grownListsCache.getOrBuild(s, d) {
+      val vecs = Similarity.vecs(s, d).select(col("vec_id"), col("v"))
+      encodeBatch(vecs.filter(!isDelta && !isQueryB), cdf, bdf)
+        .unionByName(encodeBatch(vecs.filter(isDelta), cdf, bdf))
+        .localCheckpoint(true)
+    }
+
+  /** IVF-PQ probe of a (vec_id, v) query batch against inverted lists
+    * (vec_id, cell, codes): each query routes to its nearest FROZEN
+    * cell, scans only that cell's list, and scores every member by
+    * asymmetric distance (ADC) — per subspace, squared L2 from the
+    * query's sub-vector to the member's code centroid, quantized to
+    * BIGINT and summed. Top [[ProbeK]] per query on (adc_q, member_id).
+    *
+    * Scale shape: query × list-members pairs are the inherent IVF
+    * probe cost (∝ batch × list size, never corpus²); the per-pair
+    * per-subspace lookup is a BROADCAST hash join against the 128-row
+    * codebook frame inside the scan stage; ranking is a query-
+    * partitioned window. (A production ADC precomputes the 128-entry
+    * distance table per query; the per-pair join here is the same
+    * arithmetic in declarative form.)
+    */
+  private[graft] def probeGrown(queries: DataFrame, lists: DataFrame,
+      cdf: DataFrame, bdf: DataFrame): DataFrame = {
+    val q = assignCells(queries, cdf)
+      .select(col("vec_id").as("query_id"), col("v"), col("cell"))
+    val members = lists.select(col("vec_id").as("member_id"), col("cell"), col("codes"))
+    val adc = q.join(members, Seq("cell"))
+      .select(col("query_id"), col("member_id"), col("cell"), col("v"),
+        posexplode(split(col("codes"), "-")).as(Seq("m", "code")))
+      .withColumn("c", col("code").cast("int"))
+      .join(broadcast(bdf), Seq("m", "c"))
+      .withColumn("sub",
+        slice(col("v"), col("m") * Similarity.PqSubDim + lit(1), lit(Similarity.PqSubDim)))
+      .withColumn("sd2q", round(sqL2("sub", "centroid") * AdcQ).cast("long"))
+      .groupBy(col("query_id"), col("member_id"), col("cell"))
+      .agg(sum(col("sd2q")).as("adc_q"))
+    adc
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_q").asc, col("member_id"))))
+      .filter(col("rnk") <= ProbeK)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("member_id"), col("cell"), col("adc_q"),
+        (graft.GoldenHash.bucket(col("member_id"), 20) === 7).as("from_append"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Generation-2 probe (`q_ann_index_append2`) — the
+    * [[TrainingPrep.corpusPrepDelta2]] loop applied to the ANN index:
+    * append batch A (bucket 7) into the gen-1 inverted lists, then
+    * serve query batch B (bucket 11) AGAINST THE GROWN LISTS with the
+    * quantizers still frozen — proving the index keeps answering
+    * correctly across append generations without a refit. The
+    * `from_append` flag surfaces which results come from the appended
+    * generation (the spec pins that some do). The oracle re-derives
+    * BOTH the gen-1 lists and A's appended rows itself from the pinned
+    * frozen sidecars and raw embeddings — never from an engine-written
+    * gen-2 artifact (the delta2 oracle stance).
+    */
+  def annIndexAppend2(s: SparkSession, d: String): DataFrame = {
+    val fz = frozen(s, d)
+    pinFrozen(s, d, fz)
+    val cdf = s.createDataFrame(fz.centroids).toDF("cell", "centroid")
+    val bdf = s.createDataFrame(fz.codebooks).toDF("m", "c", "centroid")
+    val queries = Similarity.vecs(s, d).filter(isQueryB)
+      .select(col("vec_id"), col("v"))
+    probeGrown(queries, grownLists(s, d, cdf, bdf), cdf, bdf)
+  }
+
+  /** Rebuild-then-probe twin for the spec: identical probe served from
+    * lists encoded in ONE pass over at-rest ∪ A (what a from-scratch
+    * rebuild with the same frozen quantizers would hold). Must equal
+    * [[annIndexAppend2]] row-for-row.
+    */
+  private[graft] def append2Rebuilt(s: SparkSession, d: String): DataFrame = {
+    val fz = frozen(s, d)
+    val cdf = s.createDataFrame(fz.centroids).toDF("cell", "centroid")
+    val bdf = s.createDataFrame(fz.codebooks).toDF("m", "c", "centroid")
+    val vecs = Similarity.vecs(s, d).select(col("vec_id"), col("v"))
+    val rebuilt = encodeBatch(vecs.filter(!isQueryB), cdf, bdf)
+    probeGrown(vecs.filter(isQueryB), rebuilt, cdf, bdf)
+  }
+
   /** Thresholds for the retrain trigger: a cell is flagged when its
     * post-append occupancy exceeds 2× the mean, or the appended
     * vectors sit 1.5× further from the frozen centroid than the
@@ -283,9 +399,11 @@ object AnnMaintain {
 
   lazy val defs: Map[String, QueryDef] = Map(
     "q_ann_index_append" -> QueryDef(annIndexAppend, Some(AnnMaintainOracles.append)),
+    "q_ann_index_append2" -> QueryDef(annIndexAppend2, Some(AnnMaintainOracles.append2)),
     "q_ann_index_drift" -> QueryDef(annIndexDrift, Some(AnnMaintainOracles.drift)))
 
   private[operators] val deltaSql = isDeltaSql
+  private[operators] val queryBSql = isQueryBSql
 }
 
 /** DuckDB replay of the append and the drift monitor over the pinned
@@ -314,28 +432,86 @@ object AnnMaintainOracles {
        |books AS (
        |  SELECT m, c, centroid FROM read_parquet('${AnnMaintain.CodebooksPath}/*.parquet'))""".stripMargin
 
-  val append: String =
-    s"""$header,
-       |assign AS (
-       |  ${assignSql(s"SELECT vec_id, v FROM e WHERE ${AnnMaintain.deltaSql}")}),
-       |subs AS (
+  /** The frozen-quantizer encode of one `pred`-selected slice, as
+    * `_$tag`-suffixed CTEs ending in `enc_$tag (vec_id, cell, cell_d2,
+    * codes)` — ONE builder shared by [[append]] and [[append2]] (and
+    * twice within append2, for the at-rest lists and batch A), so the
+    * three replays cannot drift.
+    */
+  private def encodeCtes(tag: String, pred: String): String =
+    s"""assign_$tag AS (
+       |  ${assignSql(s"SELECT vec_id, v FROM e WHERE $pred")}),
+       |subs_$tag AS (
        |  SELECT a.vec_id, b.m, b.c,
        |    ${sqL2Sql.format(
               s"list_slice(a.v, b.m * ${Similarity.PqSubDim} + 1, (b.m + 1) * ${Similarity.PqSubDim})",
               "b.centroid")} AS sd2
-       |  FROM assign a CROSS JOIN books b),
-       |coded AS (
+       |  FROM assign_$tag a CROSS JOIN books b),
+       |coded_$tag AS (
        |  SELECT vec_id, m, c FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
        |      ORDER BY round(sd2, 9) ASC, c) AS rn
-       |    FROM subs)
+       |    FROM subs_$tag)
        |  WHERE rn = 1),
-       |codes AS (
+       |codes_$tag AS (
        |  SELECT vec_id, string_agg(CAST(c AS VARCHAR), '-' ORDER BY m) AS codes
-       |  FROM coded GROUP BY vec_id)
-       |SELECT a.vec_id, a.cell, round(a.d2, 4) AS cell_d2, codes.codes
-       |FROM assign a JOIN codes USING (vec_id)
-       |ORDER BY a.vec_id""".stripMargin
+       |  FROM coded_$tag GROUP BY vec_id),
+       |enc_$tag AS (
+       |  SELECT a.vec_id, a.cell, round(a.d2, 4) AS cell_d2, c.codes
+       |  FROM assign_$tag a JOIN codes_$tag c USING (vec_id))""".stripMargin
+
+  val append: String =
+    s"""$header,
+       |${encodeCtes("d", AnnMaintain.deltaSql)}
+       |SELECT vec_id, cell, cell_d2, codes
+       |FROM enc_d
+       |ORDER BY vec_id""".stripMargin
+
+  /** Replays [[AnnMaintain.annIndexAppend2]] END-TO-END ACROSS BOTH
+    * GENERATIONS from the pinned frozen sidecars and raw embeddings
+    * alone: the gen-1 lists (at-rest encode) and batch A's appended
+    * rows are BOTH re-derived independently — nothing is read from an
+    * engine-written gen-2 artifact — then query batch B routes to its
+    * nearest frozen cell and scores the grown list by the identical
+    * integer-quantized ADC sum.
+    */
+  val append2: String = {
+    val sub = Similarity.PqSubDim
+    s"""$header,
+       |${encodeCtes("ar",
+          s"NOT (${AnnMaintain.deltaSql}) AND NOT (${AnnMaintain.queryBSql})")},
+       |${encodeCtes("a", AnnMaintain.deltaSql)},
+       |lists AS (
+       |  SELECT vec_id, cell, codes FROM enc_ar
+       |  UNION ALL
+       |  SELECT vec_id, cell, codes FROM enc_a),
+       |qassign AS (
+       |  ${assignSql(s"SELECT vec_id, v FROM e WHERE ${AnnMaintain.queryBSql}")}),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, q.v, l.vec_id AS member_id, l.cell, l.codes
+       |  FROM qassign q JOIN lists l USING (cell)),
+       |pexp AS (
+       |  SELECT query_id, v, member_id, cell, codes,
+       |    unnest(generate_series(0, ${Similarity.PqM - 1})) AS m
+       |  FROM pairs),
+       |adc AS (
+       |  SELECT query_id, member_id, cell,
+       |    CAST(sum(CAST(round(${sqL2Sql.format(
+              s"list_slice(p.v, p.m * $sub + 1, (p.m + 1) * $sub)",
+              "b.centroid")} * ${AnnMaintain.AdcQ}) AS BIGINT)) AS BIGINT) AS adc_q
+       |  FROM pexp p JOIN books b
+       |    ON b.m = p.m AND b.c = CAST(string_split(p.codes, '-')[p.m + 1] AS INT)
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_q ASC, member_id) AS rnk
+       |  FROM adc)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, member_id, cell, adc_q,
+       |  (${graft.GoldenHash.bucketSql("member_id", 20)}) = 7 AS from_append
+       |FROM ranked
+       |WHERE rnk <= ${AnnMaintain.ProbeK}
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   val drift: String =
     s"""$header,

@@ -269,4 +269,27 @@ class AnnMaintainSpec extends SparkSpec {
     assert(rRebuilt >= 12, s"post-rebuild recall $rRebuilt/15 below floor")
     all.unpersist()
   }
+
+  test("gen-2 probe: append-then-probe == rebuild-then-probe, appended rows served") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    val appended = rows(AnnMaintain.annIndexAppend2(spark, sf))
+    val rebuilt = rows(AnnMaintain.append2Rebuilt(spark, sf))
+    assert(appended == rebuilt,
+      "probing grown lists diverged from probing a one-pass rebuild")
+    // the appended generation is genuinely served: some query's top-k
+    // includes a batch-A member, and the flag matches the bucket rule
+    assert(appended.exists(_._6), "no probe result came from the appended batch")
+    appended.foreach { case (_, _, member, _, _, flag) =>
+      assert(flag == ((member * GoldenHash.Gamma) % 20 == 7))
+    }
+    // every query got its full top-k (dense 1..k) against the grown
+    // lists, ordered by the integer ADC key
+    appended.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted == (1 to rs.length), s"query $q ranks not dense")
+      val sorted = rs.sortBy(_._2).map(_._5)
+      assert(sorted == sorted.sorted, s"query $q adc_q not ascending by rank")
+    }
+  }
 }
