@@ -407,7 +407,12 @@ object BpeTrain {
   lazy val defs: Map[String, QueryDef] = Map(
     "q_bpe_train" -> QueryDef(bpeTrain, Some(BpeOracles.bpeTrain)),
     "q_bpe_train_deep" -> QueryDef(bpeTrainDeep, Some(BpeOracles.bpeTrainDeep)),
-    "q_bpe_apply" -> QueryDef(bpeApply, Some(BpeOracles.bpeApply)),
+    // verified-not-benched since r14: q_bpe_fertility IS bpeApply's
+    // per-doc accounting rolled up per lang (BpeTrainSpec pins that),
+    // so benching both timed the same chain twice — the compositional-
+    // prefix convention
+    "q_bpe_apply" -> QueryDef(bpeApply, Some(BpeOracles.bpeApply),
+      headline = false),
     "q_bpe_fertility" -> QueryDef(bpeFertility, Some(BpeOracles.bpeFertility)))
 }
 

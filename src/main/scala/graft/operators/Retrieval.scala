@@ -505,10 +505,17 @@ object Retrieval {
   // ------------------------------------------------------------- registry
 
   lazy val defs: Map[String, QueryDef] = Map(
-    "q_bm25_topk"       -> QueryDef(bm25TopK, Some(RetrievalOracles.bm25TopK)),
+    // verified-not-benched since r14 (the q_embedding_neardup
+    // precedent): the flat rebuild-per-query baseline whose scale-path
+    // siblings q_bm25_indexed + q_bm25_append keep the bench slots
+    "q_bm25_topk"       -> QueryDef(bm25TopK, Some(RetrievalOracles.bm25TopK),
+      headline = false),
     "q_bm25_indexed"    -> QueryDef(bm25Indexed, Some(RetrievalOracles.bm25Indexed)),
     "q_bm25_append"     -> QueryDef(bm25AppendProbe, Some(RetrievalOracles.bm25Appended)),
-    "q_knn_classify"    -> QueryDef(knnClassify, Some(RetrievalOracles.knnClassify)),
+    // verified-not-benched since r14: exact-vote baseline of the
+    // benched IVF sibling
+    "q_knn_classify"    -> QueryDef(knnClassify, Some(RetrievalOracles.knnClassify),
+      headline = false),
     "q_knn_classify_ivf" -> QueryDef((s, d) => knnClassifyIvf(s, d),
       Some(RetrievalOracles.knnClassifyIvf)),
     "q_pmi_pairs"       -> QueryDef(pmiPairs, Some(RetrievalOracles.pmiPairs)),

@@ -481,7 +481,11 @@ object ScaleOps {
     "q_data_mixture"        -> QueryDef(dataMixture, Some(ScaleOracles.dataMixture)),
     "q_grouping_sets"       -> QueryDef(groupingSets, Some(groupingSetsSql)),
     "q_heavy_hitters"       -> QueryDef(heavyHitters, None),
-    "q_heavy_hitters_exact" -> QueryDef(heavyHittersExact, Some(ScaleOracles.heavyHittersExact)),
+    // verified-not-benched since r14: the exact oracle-gate companion
+    // of the benched sketch (the sketch is the scale path; Verify still
+    // runs this one against DuckDB every round)
+    "q_heavy_hitters_exact" -> QueryDef(heavyHittersExact, Some(ScaleOracles.heavyHittersExact),
+      headline = false),
     "q_heavy_hitters_sound" -> QueryDef(heavyHittersSound,
       Some(ScaleOracles.heavyHittersSound), headline = false),
     "q_source_cap"          -> QueryDef(sourceCap, Some(ScaleOracles.sourceCap)),

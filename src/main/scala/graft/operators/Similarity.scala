@@ -1001,16 +1001,24 @@ object Similarity {
     "q_embedding_neardup" -> QueryDef(nearDupPairs, Some(SimilarityOracles.nearDupPairs),
       headline = false),
     "q_embedding_lsh"     -> QueryDef(lshNearDup, Some(SimilarityOracles.lshNearDup)),
-    "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), Some(SimilarityOracles.ivfTopK)),
+    // q_embedding_ivf / q_embedding_pq: verified-not-benched since r14
+    // — constituent stages of the benched composition q_embedding_ivfpq
+    // (the corpus_prep→prep5 precedent); q_embedding_lsh stays benched
+    // as the other ANN family
+    "q_embedding_ivf"     -> QueryDef((s, d) => ivfTopK(s, d), Some(SimilarityOracles.ivfTopK),
+      headline = false),
     "q_embedding_centroids" -> QueryDef(embeddingCentroids, Some(SimilarityOracles.embeddingCentroids)),
     "q_kmeans_refine"     -> QueryDef(kmeansRefine, Some(SimilarityOracles.kmeansRefine)),
     "q_embedding_quantize" -> QueryDef(embeddingQuantize, Some(SimilarityOracles.embeddingQuantize)),
     "q_embedding_pca"     -> QueryDef((s, d) => embeddingPca(s, d), Some(SimilarityOracles.embeddingPca)),
-    "q_embedding_pq"      -> QueryDef(pqTopK, Some(SimilarityOracles.pqTopK)),
+    "q_embedding_pq"      -> QueryDef(pqTopK, Some(SimilarityOracles.pqTopK),
+      headline = false),
     "q_embedding_ivfpq"   -> QueryDef((s, d) => ivfPqTopK(s, d), Some(SimilarityOracles.ivfPqTopK)),
     "q_semantic_dedup"    -> QueryDef((s, d) => semanticDedup(s, d), Some(SimilarityOracles.semanticDedup)),
+    // verified-not-benched since r14: exact brute-force baseline of the
+    // benched q_semantic_decontaminate_ivf (+ the auto-selecting spec)
     "q_semantic_decontaminate" -> QueryDef((s, d) => semanticDecontaminate(s, d),
-      Some(SimilarityOracles.semanticDecontaminate)),
+      Some(SimilarityOracles.semanticDecontaminate), headline = false),
     "q_semantic_decontaminate_ivf" -> QueryDef((s, d) => semanticDecontaminateIvf(s, d),
       Some(SimilarityOracles.semanticDecontaminateIvf)),
     "q_embedding_prune"   -> QueryDef((s, d) => prototypePrune(s, d), Some(SimilarityOracles.prototypePrune)))

@@ -776,12 +776,20 @@ object TrainingPrep {
     "q_corpus_prep4"      -> QueryDef(corpusPrep4, Some(TrainingOracles.corpusPrep4),
       headline = false),
     "q_corpus_prep5"      -> QueryDef(corpusPrep5, Some(TrainingOracles.corpusPrep5)),
-    "q_corpus_prep_delta" -> QueryDef(corpusPrepDelta, Some(TrainingOracles.corpusPrepDelta)),
+    // verified-not-benched since r14 (VERDICT r13 item 1): delta is the
+    // single-generation PREFIX of delta2 — the prep/prep2/prep3/prep4
+    // precedent; delta2 keeps the benched slot for the admission loop
+    "q_corpus_prep_delta" -> QueryDef(corpusPrepDelta, Some(TrainingOracles.corpusPrepDelta),
+      headline = false),
     "q_corpus_prep_delta2" -> QueryDef(corpusPrepDelta2, Some(TrainingOracles.corpusPrepDelta2)),
     "q_token_shards"      -> QueryDef(tokenShards, Some(TrainingOracles.tokenShards)),
     "q_corpus_prep3"      -> QueryDef(corpusPrep3, Some(TrainingOracles.corpusPrep3),
       headline = false),
-    "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms)),
+    // verified-not-benched since r14: same output, same oracle as
+    // q_tfidf_cached — two execution strategies of one query; the
+    // artifact-backed scale path keeps the bench slot
+    "q_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(TrainingOracles.tfidfTopTerms),
+      headline = false),
     "q_tfidf_cached"      -> QueryDef(tfidfTopTermsCached, Some(TrainingOracles.tfidfTopTerms)),
     "q_pii_redact"        -> QueryDef(piiRedact, Some(TrainingOracles.piiRedact)))
 }
