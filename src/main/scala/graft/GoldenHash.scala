@@ -39,4 +39,32 @@ object GoldenHash {
 
   val isTestDocSql: String = bucketSql("doc_id", 10) + " = 0"
   val isTrainDocSql: String = bucketSql("doc_id", 10) + " <> 0"
+
+  /** THE deterministic cut-sample rule (one definition, engine + SQL
+    * forms, like the bucket rule above): the [[CutSampleK]] rows with
+    * the smallest golden-hash rank of the id column. Exact-percentile
+    * cutpoints over per-document scores buffer the whole corpus in one
+    * task (VERDICT r13 finding #2 — Spark's `percentile` is an
+    * all-values ImperativeAggregate); computing the cutpoint over this
+    * sample instead caps that buffer at K forever, plans as
+    * TakeOrderedAndProject (per-partition K-heaps), and stays
+    * bit-replayable in DuckDB — no RNG state. K = 20,000 puts the
+    * worst-case quantile-rank standard error at sqrt(p(1-p)/K) ≤ 0.35%.
+    * At the sf0.01/0.1 oracle-gate scales the corpus is under K, so the
+    * sample IS the full set and results are unchanged; the sf1
+    * rehearsal (50k docs) exercises the capped path. The modulus is a
+    * prime ≠ the bucket-1000 modulus so the sample is uncorrelated with
+    * every other golden-hash slice (test membership, snapshot deciles).
+    */
+  val CutSampleK = 20000
+  val CutSampleMod = 999983
+
+  def cutSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      k: Int = CutSampleK): org.apache.spark.sql.DataFrame =
+    df.orderBy(bucket(org.apache.spark.sql.functions.col(idCol), CutSampleMod),
+      org.apache.spark.sql.functions.col(idCol)).limit(k)
+
+  /** The identical sample as a SQL derived table over CTE `from`. */
+  def cutSampleSql(from: String, idCol: String, k: Int = CutSampleK): String =
+    s"SELECT * FROM $from ORDER BY ${bucketSql(idCol, CutSampleMod)}, $idCol LIMIT $k"
 }

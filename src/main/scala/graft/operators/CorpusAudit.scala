@@ -179,14 +179,13 @@ object CorpusAudit {
     * sf0.1 the candidate count is below K, so the sample IS the full
     * set; the sf1 rehearsal (29,410 candidates) exercises the capped
     * path end-to-end against the oracle.
+    * Both constants alias [[graft.GoldenHash]]'s fleet-wide cut-sample
+    * rule (hoisted there when lmQuality / qualityCalibration /
+    * corpusPrep5 adopted the same fix) — one definition, no drift.
     */
-  val DsirCutSample = 20000
+  val DsirCutSample: Int = GoldenHash.CutSampleK
 
-  /** Modulus for the cut-sample hash rank: a prime (≠ the bucket-1000
-    * modulus used elsewhere) so the sample is uncorrelated with every
-    * other golden-hash slice (test-doc membership, snapshot deciles).
-    */
-  val DsirSampleMod = 999983
+  val DsirSampleMod: Int = GoldenHash.CutSampleMod
 
   /** DSIR — Data Selection via Importance Resampling (Xie et al.,
     * NeurIPS 2023): score every candidate document by the

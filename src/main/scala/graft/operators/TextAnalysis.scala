@@ -219,11 +219,15 @@ object TextAnalysis {
     // the sf1 rehearsal)
     val scored = modelQuality(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("quality_logit").as("ql"), (col("lang") === "en").as("is_en"))
+      .select(col("doc_id"), col("quality_logit").as("ql"),
+        (col("lang") === "en").as("is_en"))
       .localCheckpoint(true)
     val cutCols = (1 to 9).map(k =>
       round(expr(s"percentile(ql, 0.$k)"), 6).as(s"c$k"))
-    val cuts = scored.agg(cutCols.head, cutCols.tail: _*)
+    // K-bounded golden-hash cut sample — per-document input, the
+    // DSIR-cutpoint fix class (r14 percentile sweep)
+    val cuts = graft.GoldenHash.cutSample(scored, "doc_id")
+      .agg(cutCols.head, cutCols.tail: _*)
     val decile = (1 to 9).map(k =>
       when(col("ql") > col(s"c$k"), 1).otherwise(0))
       .reduce(_ + _) + lit(1)
@@ -578,7 +582,12 @@ object TextAnalysis {
     val scored = lmScored(s, d)
     val cutCols = (1 to 9).map(k =>
       round(expr(s"percentile(avg_ll, 0.$k)"), 4).as(s"c$k"))
-    val cuts = scored.agg(cutCols.head, cutCols.tail: _*)
+    // cutpoints over the K-bounded golden-hash sample, not every doc:
+    // exact percentile buffers its whole input in one task, and this
+    // input is one row PER DOCUMENT (the DSIR-cutpoint fix class,
+    // r14 percentile sweep; PlanGuardSpec asserts the bound)
+    val cuts = graft.GoldenHash.cutSample(scored, "doc_id")
+      .agg(cutCols.head, cutCols.tail: _*)
     val decile = (1 to 9).map(k =>
       when(col("avg_ll") > col(s"c$k"), 1).otherwise(0))
       .reduce(_ + _) + lit(1)
@@ -710,7 +719,7 @@ object TextOracles {
     s"""WITH $lmScoredCtes,
        |lmcuts AS (
        |  SELECT $cutDefs
-       |  FROM lmscored)
+       |  FROM (${graft.GoldenHash.cutSampleSql("lmscored", "doc_id")}))
        |SELECT doc_id, n_bigrams, avg_ll,
        |  CAST(($bucket) + 1 AS INT) AS decile,
        |  (avg_ll <= c1) AS low_quality
@@ -892,9 +901,9 @@ object TextOracles {
       .map(k => s"(CASE WHEN ql > c$k THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH $qualityScoredCtes,
        |lab AS (
-       |  SELECT round(s.lin, 6) AS ql, d.lang = 'en' AS is_en
+       |  SELECT doc_id, round(s.lin, 6) AS ql, d.lang = 'en' AS is_en
        |  FROM qscored s JOIN documents d USING (doc_id)),
-       |cuts AS (SELECT $cuts FROM lab),
+       |cuts AS (SELECT $cuts FROM (${graft.GoldenHash.cutSampleSql("lab", "doc_id")})),
        |bucketed AS (
        |  SELECT ql, is_en, CAST(1 + $bucket AS INT) AS decile
        |  FROM lab, cuts)

@@ -456,7 +456,10 @@ object TrainingPrep {
   def corpusPrep5(s: SparkSession, d: String): DataFrame = {
     val scoredQ = TextAnalysis.modelQuality(s, d)
       .select(col("doc_id"), col("quality_logit").as("ql"))
-    val c1 = scoredQ.agg(round(expr("percentile(ql, 0.1)"), 6).as("c1"))
+    // cutpoint over the K-bounded golden-hash sample — per-document
+    // input, the DSIR-cutpoint fix class (r14 percentile sweep)
+    val c1 = graft.GoldenHash.cutSample(scoredQ, "doc_id")
+      .agg(round(expr("percentile(ql, 0.1)"), 6).as("c1"))
     val calLow = scoredQ.crossJoin(broadcast(c1))
       .filter(col("ql") <= col("c1")).select(col("doc_id"))
     val sampleDrop = Tables.documents(s, d)
@@ -1014,7 +1017,8 @@ object TrainingOracles {
       |callab AS (
       |  SELECT doc_id, round(lin, 6) AS ql FROM qscored),
       |calcuts AS (
-      |  SELECT round(quantile_cont(ql, 0.1), 6) AS c1 FROM callab),
+      |  SELECT round(quantile_cont(ql, 0.1), 6) AS c1
+      |  FROM (${graft.GoldenHash.cutSampleSql("callab", "doc_id")})),
       |callow AS (
       |  SELECT doc_id FROM callab, calcuts WHERE ql <= c1),
       |sampdrop AS (
@@ -1038,7 +1042,8 @@ object TrainingOracles {
       |${DedupOracles.spanCtes},
       |$extraCtes
       |lmcuts AS (
-      |  SELECT round(quantile_cont(avg_ll, 0.1), 4) AS c1 FROM lmscored),
+      |  SELECT round(quantile_cont(avg_ll, 0.1), 4) AS c1
+      |  FROM (${graft.GoldenHash.cutSampleSql("lmscored", "doc_id")})),
       |lmlow AS (
       |  SELECT doc_id FROM lmscored, lmcuts WHERE avg_ll <= c1),
       |spanheavy AS (
