@@ -100,6 +100,7 @@ object Bench {
       "q_embedding_pq", "q_embedding_ivfpq", "q_ann_index_append", "q_ann_index_append2",
       "q_ann_index_drift",
       "q_corpus_prep_delta", "q_corpus_prep_delta2", "q_bm25_indexed", "q_bm25_append",
+      "q_split_assign_delta",
       "q_knn_classify_ivf", "q_pagerank")
     val cold = allTimes.collect {
       case (n, ts) if coldTracked(n) && ts.nonEmpty => n -> Some(ts.head)

@@ -420,6 +420,97 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The split column for a component-label column — THE one rule
+    * shared by [[splitLeakageFree]] and [[splitAssignDelta]].
+    */
+  private def splitOfLabel(label: Column): Column =
+    when(graft.GoldenHash.bucket(label, 10) === 0, lit("val")).otherwise(lit("train"))
+
+  /** At-rest split assignment (labels + split), cached per (session,
+    * corpus): this IS the stored split table a deployment keeps beside
+    * the corpus — [[splitAssignDelta]] treats it as the frozen at-rest
+    * artifact exactly as the admission loop treats the dedup index
+    * (computed once per corpus version, probed per batch).
+    */
+  private val atRestSplitCache = new graft.SessionCache[String, DataFrame]()
+  private def atRestSplit(s: SparkSession, d: String): DataFrame =
+    atRestSplitCache.getOrBuild(s, d) {
+      val isDelta = graft.GoldenHash.bucket(col("doc_id"), 20) === 7
+      val atRest = Tables.documents(s, d).filter(!isDelta)
+      nearDupLabels(atRest.select(col("doc_id").as("id")),
+          minhashIndex(s, d).filter(graft.GoldenHash.bucket(col("doc_id"), 20) =!= 7))
+        .select(col("doc_id"), col("label"), splitOfLabel(col("label")).as("split"))
+        .localCheckpoint(true)
+    }
+
+  /** Incremental split assignment (`q_split_assign_delta`) — the
+    * admission-loop sibling of [[splitLeakageFree]]: when a NEW batch
+    * arrives (the standard `bucket(doc_id,20)=7` delta slice), each
+    * batch document must join the split its near-dup cluster already
+    * lives in — a paraphrase of a val document arriving a week later
+    * must NOT land in train, which is exactly the leak a per-doc hash
+    * rule (or re-running the full split from scratch at a different
+    * corpus version) silently creates.
+    *
+    * Rule, per BATCH COMPONENT (batch-internal near-dup components,
+    * [[nearDupLabels]] over the batch alone — two batch docs that are
+    * near-dups of each other must co-assign even when only one of them
+    * matches at rest): the ANCHOR is the minimum at-rest doc any member
+    * verifies against through the bucketed-index probe
+    * ([[incrementalNearDups]] — candidates ∝ batch, the at-rest side
+    * never reshuffles); an anchored component inherits the anchor's
+    * at-rest cluster split, an unanchored one hashes its own label
+    * (which equals what [[splitLeakageFree]] would assign it on the
+    * next full run, since a fresh unmatched cluster keeps its minimum
+    * id as label).
+    *
+    * Scale shape: the at-rest labels are the frozen stored split
+    * ([[atRestSplit]], computed once per corpus version); steady-state
+    * per-batch cost is probe ∝ batch + a batch-sized component run +
+    * broadcast joins of batch-component-bounded frames.
+    */
+  def splitAssignDelta(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
+    val isDelta = graft.GoldenHash.bucket(col("doc_id"), 20) === 7
+    val docs = Tables.documents(s, d)
+    val index = minhashIndex(s, d)
+    pinMinhashIndex(s, d, index)
+    TrainingPrep.ensureDeltaArtifacts(s, d)
+    splitAssignDeltaCore(s, docs.filter(isDelta), atRestSplit(s, d), "deltadx")
+  }
+
+  /** Frame-parametric core of [[splitAssignDelta]] (specs plant
+    * batches against their own bucketed index): `atSplit` is the
+    * frozen (doc_id, label, split) at-rest assignment, `prefix` the
+    * bucketed at-rest index the probe runs against. The batch's
+    * signature index is derived here — cost ∝ batch, like the probe.
+    */
+  private[graft] def splitAssignDeltaCore(s: SparkSession, batch: DataFrame,
+      atSplit: DataFrame, prefix: String): DataFrame = {
+    val bLabels = nearDupLabels(batch.select(col("doc_id").as("id")),
+      minhashIndexOf(batch.select(col("doc_id"), col("text"))))
+    val matches = incrementalNearDups(s,
+      batch.select(col("doc_id"), col("text")), prefix)
+    // per batch component: minimum verified at-rest anchor over members
+    val inh = bLabels
+      .join(matches.select(col("doc_id"), col("dup_of")), Seq("doc_id"), "left")
+      .groupBy(col("label")).agg(min(col("dup_of")).as("anchor"))
+    // anchors ∝ batch components: prune the at-rest split table by a
+    // broadcast semi join, then the lookup join is broadcast-small
+    val needed = atSplit
+      .select(col("doc_id").as("anchor"), col("split").as("a_split"))
+      .join(broadcast(inh.select(col("anchor")).filter(col("anchor").isNotNull).distinct()),
+        Seq("anchor"), "left_semi")
+    val anchored = inh.join(broadcast(needed), Seq("anchor"), "left")
+      .select(col("label"),
+        col("anchor"),
+        coalesce(col("a_split"), splitOfLabel(col("label"))).as("split"))
+    bLabels.join(broadcast(anchored), Seq("label"))
+      .select(col("doc_id"), col("label").as("batch_cluster"),
+        col("anchor").as("anchor_doc"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fuzzy (MinHash) benchmark decontamination — the near-duplicate
     * sibling of [[ScaleOps]]'s exact/Bloom/5-gram trio: drop-flag every
     * TRAINING document whose char-3-gram Jaccard against some BENCHMARK
@@ -921,6 +1012,8 @@ object Dedup {
     // work beyond the q_minhash_dedup chain is a scan-stage CASE
     "q_split_leakage_free" -> QueryDef(splitLeakageFree,
       Some(DedupOracles.splitLeakageFree), headline = false),
+    "q_split_assign_delta" -> QueryDef(splitAssignDelta,
+      Some(DedupOracles.splitAssignDelta)),
     "q_minhash_decontaminate" -> QueryDef(minhashDecontaminate,
       Some(DedupOracles.minhashDecontaminate)),
     "q_simhash_dedup"   -> QueryDef(simhashDedup, Some(DedupOracles.simhashDedup)),
@@ -1144,6 +1237,107 @@ object DedupOracles {
        |       THEN 'val' ELSE 'train' END AS split
        |FROM mh
        |ORDER BY doc_id""".stripMargin
+
+  /** One `$tag`-prefixed star+path → verify → recursive-closure →
+    * min-label fragment over the `pred`-selected slice of the pinned
+    * index — the [[minhashDedup]] closure parameterized so
+    * [[splitAssignDelta]] can replay the AT-REST and BATCH component
+    * runs from the same shape (ends in `${tag}labels (doc_id, label)`).
+    * Callers embed it under one `WITH RECURSIVE`.
+    */
+  private def splitClosureCtes(tag: String, pred: String): String =
+    s"""${tag}b AS (SELECT * FROM banded WHERE $pred),
+       |${tag}mins AS (SELECT band, key, min(doc_id) AS bmin FROM ${tag}b GROUP BY 1, 2),
+       |${tag}star AS (
+       |  SELECT m.bmin AS doc_a, b.doc_id AS doc_b
+       |  FROM ${tag}b b JOIN ${tag}mins m USING (band, key)
+       |  WHERE b.doc_id <> m.bmin),
+       |${tag}path AS (
+       |  SELECT prev AS doc_a, doc_id AS doc_b FROM (
+       |    SELECT doc_id, lag(doc_id) OVER (PARTITION BY band, key ORDER BY doc_id) AS prev
+       |    FROM ${tag}b)
+       |  WHERE prev IS NOT NULL),
+       |${tag}cand AS (
+       |  SELECT DISTINCT doc_a, doc_b
+       |  FROM (SELECT * FROM ${tag}star UNION ALL SELECT * FROM ${tag}path)),
+       |${tag}ver AS (
+       |  SELECT c.doc_a, c.doc_b FROM ${tag}cand c
+       |  JOIN art ga ON c.doc_a = ga.doc_id
+       |  JOIN art gb ON c.doc_b = gb.doc_id
+       |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |        / (len(ga.grams) + len(gb.grams)
+       |           - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+       |${tag}und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM ${tag}ver
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM ${tag}ver),
+       |${tag}reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM documents WHERE $pred
+       |  UNION
+       |  SELECT r.src, u.dst FROM ${tag}reach r JOIN ${tag}und u ON r.dst = u.src),
+       |${tag}labels AS (
+       |  SELECT src AS doc_id, min(dst) AS label FROM ${tag}reach GROUP BY 1)""".stripMargin
+
+  /** [[Dedup.splitAssignDelta]] replayed END-TO-END from the pinned
+    * full-corpus index and the documents table alone: the frozen
+    * at-rest split is re-derived through its own closure (never read
+    * from an engine-written labels artifact), the batch-internal
+    * components through a second closure, and the probe through the
+    * same banded / residue-class-pruned / gram-verified stages the
+    * engine's [[incrementalNearDups]] runs — then the identical
+    * component-level anchor-inheritance CASE. The same SCALE NOTE as
+    * [[minhashDedup]] applies: closure cost is |component|², fine at
+    * the gate scales; large-SF rehearsals use
+    * `tools/uf_check_split_delta.py`.
+    */
+  lazy val splitAssignDelta: String = {
+    val b20 = graft.GoldenHash.bucketSql("doc_id", 20)
+    s"""WITH RECURSIVE
+       |art AS (
+       |  SELECT doc_id, bands, grams
+       |  FROM read_parquet('${Dedup.MinhashIndexPath}/*.parquet')),
+       |banded AS (
+       |  SELECT doc_id, i AS band, bands[i + 1] AS key
+       |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i)),
+       |${splitClosureCtes("r", s"($b20) <> 7")},
+       |atsplit AS (
+       |  SELECT doc_id, label,
+       |    CASE WHEN ${graft.GoldenHash.bucketSql("label", 10)} = 0
+       |         THEN 'val' ELSE 'train' END AS split
+       |  FROM rlabels),
+       |${splitClosureCtes("bt", s"($b20) = 7")},
+       |hits AS (
+       |  SELECT p.doc_id, p.band, p.key, i.doc_id AS idx_doc
+       |  FROM btb p JOIN rb i USING (band, key)
+       |  WHERE p.doc_id <> i.doc_id),
+       |cand AS (
+       |  SELECT DISTINCT doc_id, idx_doc FROM (
+       |    SELECT doc_id, min(idx_doc) AS idx_doc
+       |    FROM hits
+       |    GROUP BY doc_id, band, key, idx_doc % ${Dedup.ProbeCandPerBucket})),
+       |probe AS (
+       |  SELECT c.doc_id, min(c.idx_doc) AS dup_of
+       |  FROM cand c
+       |  JOIN art ga ON c.doc_id = ga.doc_id
+       |  JOIN art gb ON c.idx_doc = gb.doc_id
+       |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |        / (len(ga.grams) + len(gb.grams)
+       |           - len(list_intersect(ga.grams, gb.grams))) >= 0.5
+       |  GROUP BY c.doc_id),
+       |inh AS (
+       |  SELECT bl.label, min(p.dup_of) AS anchor
+       |  FROM btlabels bl LEFT JOIN probe p USING (doc_id)
+       |  GROUP BY 1),
+       |fin AS (
+       |  SELECT i.label, i.anchor,
+       |    COALESCE(a.split,
+       |      CASE WHEN ${graft.GoldenHash.bucketSql("i.label", 10)} = 0
+       |           THEN 'val' ELSE 'train' END) AS split
+       |  FROM inh i LEFT JOIN atsplit a ON a.doc_id = i.anchor)
+       |SELECT bl.doc_id, bl.label AS batch_cluster, f.anchor AS anchor_doc, f.split
+       |FROM btlabels bl JOIN fin f USING (label)
+       |ORDER BY bl.doc_id""".stripMargin
+  }
 
   /** [[Dedup.dedupClusterStats]]: the minhash closure oracle as a
     * derived table, then the identical two-level size rollup.

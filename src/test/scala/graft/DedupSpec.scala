@@ -70,6 +70,43 @@ class DedupSpec extends SparkSpec {
     assert(valFrac > 0.02 && valFrac < 0.3, s"val fraction $valFrac off the ~10% rate")
   }
 
+  test("incremental split: batch near-dups inherit their at-rest cluster's split") {
+    // At rest: doc 20's singleton cluster is 'val' (label 20, 20%10=0 —
+    // Gamma ≡ 1 mod 10/20 makes the hash rules id%10 / id%20 here).
+    // Batch (id%20=7): 27 is a near-dup of 20 and must inherit 'val'
+    // even though its own hash says train (27%10=7); 47/107 are
+    // near-dups of each other with no at-rest match — they co-assign
+    // via their component label (47 → train); 67 is a lone new doc.
+    val T  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val T2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val P  = "orange banana cherry grape melon peach plum apricot fig date kiwi lime"
+    val P2 = "orange banana cherry grape melon peach plum apricot fig date kiwi lemon"
+    val atRest = Seq(
+      (20L, T, "en", "s", 60L),
+      (41L, "completely different text about query engines and shuffle joins okay", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(
+      (27L, T2, "en", "s", 60L),
+      (47L, P, "en", "s", 60L),
+      (107L, P2, "en", "s", 60L),
+      (67L, "yet another unrelated document mentioning windows and watermarks here", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val atSplit = Seq((20L, 20L, "val"), (41L, 41L, "train"))
+      .toDF("doc_id", "label", "split")
+    Dedup.writeDedupIndex(atRest, "splitspec")
+    val out = Dedup.splitAssignDeltaCore(spark, batch, atSplit, "splitspec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(27L) == ((27L, 27L, Some(20L), "val")),
+      s"paraphrase of a val doc must inherit val: ${out.toSeq}")
+    assert(byId(47L) == ((47L, 47L, None, "train")))
+    assert(byId(107L) == ((107L, 47L, None, "train")),
+      "batch-internal near-dups must co-assign through their component")
+    assert(byId(67L) == ((67L, 67L, None, "train")))
+  }
+
   test("substring spans: shared verbatim passage found, merged, unique text unflagged") {
     // Docs 0 and 1 embed the same 120-char passage at DIFFERENT,
     // non-congruent offsets inside otherwise-unrelated text (the case
