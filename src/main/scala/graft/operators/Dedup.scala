@@ -221,7 +221,7 @@ object Dedup {
   /** Per-doc dedup index (signatures + sorted gram hashes) for any
     * (doc_id, text) frame — the table-agnostic core of [[minhashIndex]].
     */
-  private def minhashIndexOf(docs: DataFrame): DataFrame = {
+  private[graft] def minhashIndexOf(docs: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(docs.sparkSession)
     graft.Tables.scanSpread(docs, col("doc_id"))
       .select(col("doc_id"),
@@ -476,21 +476,27 @@ object Dedup {
     val index = minhashIndex(s, d)
     pinMinhashIndex(s, d, index)
     TrainingPrep.ensureDeltaArtifacts(s, d)
-    splitAssignDeltaCore(s, docs.filter(isDelta), atRestSplit(s, d), "deltadx")
+    // the batch's signature rows already live in the cached corpus
+    // index — filter them out instead of re-scanning batch text twice
+    // (once for labels, once for the probe)
+    splitAssignDeltaCore(s, docs.filter(isDelta), atRestSplit(s, d),
+      "deltadx", Some(index.filter(isDelta)))
   }
 
   /** Frame-parametric core of [[splitAssignDelta]] (specs plant
     * batches against their own bucketed index): `atSplit` is the
     * frozen (doc_id, label, split) at-rest assignment, `prefix` the
     * bucketed at-rest index the probe runs against. The batch's
-    * signature index is derived here — cost ∝ batch, like the probe.
+    * signature index is derived here (cost ∝ batch) unless the caller
+    * already holds one.
     */
   private[graft] def splitAssignDeltaCore(s: SparkSession, batch: DataFrame,
-      atSplit: DataFrame, prefix: String): DataFrame = {
-    val bLabels = nearDupLabels(batch.select(col("doc_id").as("id")),
+      atSplit: DataFrame, prefix: String,
+      batchIdx: Option[DataFrame] = None): DataFrame = {
+    val idx = batchIdx.getOrElse(
       minhashIndexOf(batch.select(col("doc_id"), col("text"))))
-    val matches = incrementalNearDups(s,
-      batch.select(col("doc_id"), col("text")), prefix)
+    val bLabels = nearDupLabels(batch.select(col("doc_id").as("id")), idx)
+    val matches = incrementalNearDupsIdx(s, idx, prefix)
     // per batch component: minimum verified at-rest anchor over members
     val inh = bLabels
       .join(matches.select(col("doc_id"), col("dup_of")), Seq("doc_id"), "left")
@@ -868,8 +874,16 @@ object Dedup {
   val ProbeCandPerBucket = 8
 
   def incrementalNearDups(s: SparkSession, newDocs: DataFrame,
+      prefix: String): DataFrame =
+    incrementalNearDupsIdx(s, minhashIndexOf(newDocs), prefix)
+
+  /** [[incrementalNearDups]] over a PRE-BUILT batch signature index —
+    * callers that already hold one (the cached corpus index filtered to
+    * the batch slice, [[splitAssignDelta]]) skip the second signature
+    * scan.
+    */
+  private[graft] def incrementalNearDupsIdx(s: SparkSession, newIdx: DataFrame,
       prefix: String): DataFrame = {
-    val newIdx = minhashIndexOf(newDocs)
     // self-guard: if a batch id collides with an already-indexed id
     // (re-ingest, replay), the doc must not be flagged as a duplicate
     // of ITSELF at jaccard 1.0 — identical ids are the same document

@@ -990,7 +990,10 @@ object Similarity {
   }
 
   lazy val defs: Map[String, QueryDef] = Map(
-    "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK)),
+    // verified-not-benched since r14: the brute-force exact top-k
+    // baseline of the four benched ANN paths (lsh / ivfpq families)
+    "q_embedding_topk"    -> QueryDef(bruteTopK, Some(SimilarityOracles.bruteTopK),
+      headline = false),
     "q_hard_negatives"    -> QueryDef(hardNegatives, Some(SimilarityOracles.hardNegatives)),
     // verified-not-benched (the corpusPrep-prefix convention, VERDICT
     // r12 item 2): the exact all-pairs baseline is quadratic BY
