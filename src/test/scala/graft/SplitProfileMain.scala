@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Graph}
 
 /** Dev-only breakdown profiler for q_split_assign_delta (round-14 perf
   * triage; safe to keep — test scope, never shipped).
@@ -19,18 +20,20 @@ object SplitProfileMain {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    t("full cold")(graft.operators.Dedup.splitAssignDelta(spark, d).count())
+    t("full cold")(Dedup.splitAssignDelta(spark, d).count())
     val isDelta = graft.GoldenHash.bucket(col("doc_id"), 20) === 7
     val batch = graft.Tables.documents(spark, d).filter(isDelta)
-    t("batch labels")(graft.operators.Dedup.nearDupLabels(
-      batch.select(col("doc_id").as("id")),
-      graft.operators.Dedup.minhashIndexOf(batch.select(col("doc_id"), col("text")))).count())
-    t("batch labels 2")(graft.operators.Dedup.nearDupLabels(
-      batch.select(col("doc_id").as("id")),
-      graft.operators.Dedup.minhashIndexOf(batch.select(col("doc_id"), col("text")))).count())
-    t("probe only")(graft.operators.Dedup.incrementalNearDups(
-      spark, batch.select(col("doc_id"), col("text")), "deltadx").count())
-    t("full warm")(graft.operators.Dedup.splitAssignDelta(spark, d).count())
+    val idx = t("batch idx")(
+      Dedup.minhashIndexOf(batch.select(col("doc_id"), col("text"))))
+    t("labels total")(Dedup.nearDupLabels(
+      batch.select(col("doc_id").as("id")), idx).count())
+    // components alone on a trivial planted edge set of the same size
+    val verts = batch.select(col("doc_id").as("id"))
+    val edges = batch.limit(50).select(col("doc_id").as("src"),
+      (col("doc_id") + 0).as("dst"))
+    t("components only")(Graph.components(verts, edges).count())
+    t("components only 2")(Graph.components(verts, edges).count())
+    t("full warm")(Dedup.splitAssignDelta(spark, d).count())
     spark.stop()
   }
 }
