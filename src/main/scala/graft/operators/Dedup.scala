@@ -517,6 +517,88 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Pinned copy of the GROWN split table (at-rest rows ∪ generation-1
+    * batch rows) — [[splitAssignDelta2]]'s generation-2 lookup state.
+    * Pinned for reuse across invocations in one session; the ORACLE
+    * never reads it (it re-derives both generations from the pinned
+    * minhash index and raw text, so a fold bug diverges the compare).
+    */
+  val Split2GrownPath: String = graft.Artifacts.path("split2_grown")
+
+  private val split2GrownCache = new graft.SessionCache[String, DataFrame]()
+
+  /** Second-GENERATION incremental split assignment
+    * (`q_split_assign_delta2`) — the query that proves the
+    * split-maintenance LOOP, completing the triad the admission loop
+    * ([[TrainingPrep.corpusPrepDelta2]]) and the ANN index
+    * ([[AnnMaintain]]'s second-generation probe) already prove for
+    * their artifacts: batch A (the [[graft.GoldenHash]] bucket-7
+    * slice) is assigned against the frozen at-rest split (buckets
+    * ∉ {7, 11}), its rows are FOLDED into the stored split table —
+    * an anchored A document adopts its anchor's AT-REST cluster
+    * label, an unanchored one registers its batch label — and A's own
+    * index rows are appended ([[appendDedupIndex]]); batch B (bucket
+    * 11, the next ingest) is then assigned against the GROWN state.
+    * The property only a second generation exercises: a B document
+    * whose nearest near-dup is an A document must inherit the split A
+    * was assigned — transitively the split of the at-rest cluster A
+    * anchored to — which no single-probe run can check.
+    *
+    * Scale shape: generation 1 (at-rest index + split build, A's
+    * assignment, the fold, the append) runs ONCE per corpus version
+    * ([[graft.Artifacts.writeOnce]] — an amortized batch job, like
+    * every index build here); the steady state is generation 2's
+    * probe, cost ∝ batch B against bucketed tables that never
+    * reshuffle plus a broadcast lookup of batch-component-bounded
+    * anchors. The oracle replays BOTH generations end-to-end from the
+    * pinned minhash index and the documents table alone — at-rest
+    * closure, A's closure + probe + inheritance, the fold, B's
+    * closure + probe against at-rest ∪ A — so wrong/missing/extra
+    * rows in either the fold or the append diverge the compare.
+    * DedupSpec pins the transitive-inheritance chain on planted docs
+    * (at-rest val cluster → A near-dup → B near-dup of A).
+    */
+  def splitAssignDelta2(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
+    val docs = Tables.documents(s, d)
+    val index = minhashIndex(s, d)
+    pinMinhashIndex(s, d, index)
+    val b20 = graft.GoldenHash.bucket(col("doc_id"), 20)
+    graft.Artifacts.writeOnce(s, d, "split2_index") {
+      val atRest = b20 =!= 7 && b20 =!= 11
+      writeDedupIndex(docs.filter(atRest), "split2dx")
+      val atSplit = nearDupLabels(
+          docs.filter(atRest).select(col("doc_id").as("id")),
+          index.filter(atRest))
+        .select(col("doc_id"), col("label"), splitOfLabel(col("label")).as("split"))
+        .localCheckpoint(true)
+      val aAssign = splitAssignDeltaCore(s, docs.filter(b20 === 7), atSplit,
+        "split2dx", Some(index.filter(b20 === 7)))
+      // fold: anchored A rows adopt the anchor's at-rest cluster label
+      // (so later generations see ONE label per merged cluster),
+      // unanchored ones register their batch label — the same label
+      // splitLeakageFree would mint for a fresh cluster
+      val aRows = aAssign
+        .join(atSplit.select(col("doc_id").as("anchor_doc"), col("label").as("a_label")),
+          Seq("anchor_doc"), "left")
+        .select(col("doc_id"),
+          coalesce(col("a_label"), col("batch_cluster")).as("label"),
+          col("split"))
+      // the grown table materializes BEFORE the append below runs:
+      // the parquet write is the action that evaluates A's probe, so
+      // the probe still sees the pre-append (at-rest only) index
+      atSplit.select(col("doc_id"), col("label"), col("split"))
+        .unionByName(aRows)
+        .write.mode("overwrite").parquet(Split2GrownPath)
+      appendDedupIndex(docs.filter(b20 === 7).select(col("doc_id"), col("text")),
+        "split2dx")
+    }
+    val grown = split2GrownCache.getOrBuild(s, d)(
+      s.read.parquet(Split2GrownPath).localCheckpoint(true))
+    splitAssignDeltaCore(s, docs.filter(b20 === 11), grown,
+      "split2dx", Some(index.filter(b20 === 11)))
+  }
+
   /** Fuzzy (MinHash) benchmark decontamination — the near-duplicate
     * sibling of [[ScaleOps]]'s exact/Bloom/5-gram trio: drop-flag every
     * TRAINING document whose char-3-gram Jaccard against some BENCHMARK
@@ -1026,8 +1108,13 @@ object Dedup {
     // work beyond the q_minhash_dedup chain is a scan-stage CASE
     "q_split_leakage_free" -> QueryDef(splitLeakageFree,
       Some(DedupOracles.splitLeakageFree), headline = false),
+    // verified-not-benched since round 14: single-generation prefix of
+    // benched q_split_assign_delta2 (the corpus_prep_delta → delta2
+    // precedent, VERDICT r13 item 1)
     "q_split_assign_delta" -> QueryDef(splitAssignDelta,
-      Some(DedupOracles.splitAssignDelta)),
+      Some(DedupOracles.splitAssignDelta), headline = false),
+    "q_split_assign_delta2" -> QueryDef(splitAssignDelta2,
+      Some(DedupOracles.splitAssignDelta2)),
     "q_minhash_decontaminate" -> QueryDef(minhashDecontaminate,
       Some(DedupOracles.minhashDecontaminate)),
     "q_simhash_dedup"   -> QueryDef(simhashDedup, Some(DedupOracles.simhashDedup)),
@@ -1304,15 +1391,72 @@ object DedupOracles {
     * the gate scales; large-SF rehearsals use
     * `tools/uf_check_split_delta.py`.
     */
-  lazy val splitAssignDelta: String = {
-    val b20 = graft.GoldenHash.bucketSql("doc_id", 20)
-    s"""WITH RECURSIVE
-       |art AS (
+  /** The `art` + positionally-unnested `banded` CTE pair over the
+    * pinned full-corpus index — the opening every split-delta oracle
+    * shares.
+    */
+  private val splitArtCtes: String =
+    s"""art AS (
        |  SELECT doc_id, bands, grams
        |  FROM read_parquet('${Dedup.MinhashIndexPath}/*.parquet')),
        |banded AS (
        |  SELECT doc_id, i AS band, bands[i + 1] AS key
-       |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i)),
+       |  FROM art, (SELECT unnest(generate_series(0, ${Dedup.MinhashBands - 1})) AS i))""".stripMargin
+
+  /** `$tag`-prefixed replay of [[Dedup.incrementalNearDupsIdx]]'s probe
+    * + the component-level anchor-inheritance tail: band hits of
+    * `${batchTag}b` against the `idxPred` slice of `banded`,
+    * residue-class candidate pruning, gram verification, then per
+    * `${batchTag}labels` component the minimum verified anchor and the
+    * split lookup in `$splitTable` (doc_id, split) with the unanchored
+    * golden-hash fallback. Ends in `${tag}fin (label, anchor, split)`.
+    * ONE builder for the generation-1 and generation-2 oracles — they
+    * cannot drift.
+    */
+  private def splitProbeAssignCtes(tag: String, batchTag: String,
+      idxPred: String, splitTable: String): String =
+    s"""${tag}ib AS (SELECT * FROM banded WHERE $idxPred),
+       |${tag}hits AS (
+       |  SELECT p.doc_id, p.band, p.key, i.doc_id AS idx_doc
+       |  FROM ${batchTag}b p JOIN ${tag}ib i USING (band, key)
+       |  WHERE p.doc_id <> i.doc_id),
+       |${tag}cand AS (
+       |  SELECT DISTINCT doc_id, idx_doc FROM (
+       |    SELECT doc_id, min(idx_doc) AS idx_doc
+       |    FROM ${tag}hits
+       |    GROUP BY doc_id, band, key, idx_doc % ${Dedup.ProbeCandPerBucket})),
+       |${tag}probe AS (
+       |  SELECT c.doc_id, min(c.idx_doc) AS dup_of
+       |  FROM ${tag}cand c
+       |  JOIN art ga ON c.doc_id = ga.doc_id
+       |  JOIN art gb ON c.idx_doc = gb.doc_id
+       |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |        / (len(ga.grams) + len(gb.grams)
+       |           - len(list_intersect(ga.grams, gb.grams))) >= 0.5
+       |  GROUP BY c.doc_id),
+       |${tag}inh AS (
+       |  SELECT bl.label, min(p.dup_of) AS anchor
+       |  FROM ${batchTag}labels bl LEFT JOIN ${tag}probe p USING (doc_id)
+       |  GROUP BY 1),
+       |${tag}fin AS (
+       |  SELECT i.label, i.anchor,
+       |    COALESCE(a.split,
+       |      CASE WHEN ${graft.GoldenHash.bucketSql("i.label", 10)} = 0
+       |           THEN 'val' ELSE 'train' END) AS split
+       |  FROM ${tag}inh i LEFT JOIN $splitTable a ON a.doc_id = i.anchor)""".stripMargin
+
+  /** The final (doc_id, batch_cluster, anchor_doc, split) projection
+    * joining `${batchTag}labels` back to `${tag}fin`.
+    */
+  private def splitFinalSelect(tag: String, batchTag: String): String =
+    s"""SELECT bl.doc_id, bl.label AS batch_cluster, f.anchor AS anchor_doc, f.split
+       |FROM ${batchTag}labels bl JOIN ${tag}fin f USING (label)
+       |ORDER BY bl.doc_id""".stripMargin
+
+  lazy val splitAssignDelta: String = {
+    val b20 = graft.GoldenHash.bucketSql("doc_id", 20)
+    s"""WITH RECURSIVE
+       |$splitArtCtes,
        |${splitClosureCtes("r", s"($b20) <> 7")},
        |atsplit AS (
        |  SELECT doc_id, label,
@@ -1320,37 +1464,49 @@ object DedupOracles {
        |         THEN 'val' ELSE 'train' END AS split
        |  FROM rlabels),
        |${splitClosureCtes("bt", s"($b20) = 7")},
-       |hits AS (
-       |  SELECT p.doc_id, p.band, p.key, i.doc_id AS idx_doc
-       |  FROM btb p JOIN rb i USING (band, key)
-       |  WHERE p.doc_id <> i.doc_id),
-       |cand AS (
-       |  SELECT DISTINCT doc_id, idx_doc FROM (
-       |    SELECT doc_id, min(idx_doc) AS idx_doc
-       |    FROM hits
-       |    GROUP BY doc_id, band, key, idx_doc % ${Dedup.ProbeCandPerBucket})),
-       |probe AS (
-       |  SELECT c.doc_id, min(c.idx_doc) AS dup_of
-       |  FROM cand c
-       |  JOIN art ga ON c.doc_id = ga.doc_id
-       |  JOIN art gb ON c.idx_doc = gb.doc_id
-       |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-       |        / (len(ga.grams) + len(gb.grams)
-       |           - len(list_intersect(ga.grams, gb.grams))) >= 0.5
-       |  GROUP BY c.doc_id),
-       |inh AS (
-       |  SELECT bl.label, min(p.dup_of) AS anchor
-       |  FROM btlabels bl LEFT JOIN probe p USING (doc_id)
-       |  GROUP BY 1),
-       |fin AS (
-       |  SELECT i.label, i.anchor,
-       |    COALESCE(a.split,
-       |      CASE WHEN ${graft.GoldenHash.bucketSql("i.label", 10)} = 0
-       |           THEN 'val' ELSE 'train' END) AS split
-       |  FROM inh i LEFT JOIN atsplit a ON a.doc_id = i.anchor)
-       |SELECT bl.doc_id, bl.label AS batch_cluster, f.anchor AS anchor_doc, f.split
-       |FROM btlabels bl JOIN fin f USING (label)
-       |ORDER BY bl.doc_id""".stripMargin
+       |${splitProbeAssignCtes("p1", "bt", s"($b20) <> 7", "atsplit")}
+       |${splitFinalSelect("p1", "bt")}""".stripMargin
+  }
+
+  /** [[Dedup.splitAssignDelta2]] replayed END-TO-END from the pinned
+    * full-corpus index and the documents table alone: the at-rest
+    * closure (buckets ∉ {7, 11}), generation 1 (batch A's closure +
+    * probe + anchor inheritance), the FOLD (anchored A rows adopt the
+    * anchor's at-rest label, unanchored ones their batch label), and
+    * generation 2 (batch B's closure + probe against at-rest ∪ A +
+    * lookup in the grown table) — every fragment built by the same
+    * builders as the generation-1 oracle. The engine's grown-split
+    * artifact is never read; a fold or append bug diverges the
+    * compare. Same SCALE NOTE as [[minhashDedup]]: closure cost is
+    * |component|²; large-SF rehearsals use
+    * `tools/uf_check_split_delta2.py`.
+    */
+  lazy val splitAssignDelta2: String = {
+    val b20 = graft.GoldenHash.bucketSql("doc_id", 20)
+    s"""WITH RECURSIVE
+       |$splitArtCtes,
+       |${splitClosureCtes("r", s"($b20) NOT IN (7, 11)")},
+       |atsplit AS (
+       |  SELECT doc_id, label,
+       |    CASE WHEN ${graft.GoldenHash.bucketSql("label", 10)} = 0
+       |         THEN 'val' ELSE 'train' END AS split
+       |  FROM rlabels),
+       |${splitClosureCtes("a", s"($b20) = 7")},
+       |${splitProbeAssignCtes("pa", "a", s"($b20) NOT IN (7, 11)", "atsplit")},
+       |aassign AS (
+       |  SELECT al.doc_id,
+       |    COALESCE(ats.label, al.label) AS label,
+       |    f.split
+       |  FROM alabels al
+       |  JOIN pafin f USING (label)
+       |  LEFT JOIN atsplit ats ON ats.doc_id = f.anchor),
+       |grown AS (
+       |  SELECT doc_id, label, split FROM atsplit
+       |  UNION ALL
+       |  SELECT doc_id, label, split FROM aassign),
+       |${splitClosureCtes("bt", s"($b20) = 11")},
+       |${splitProbeAssignCtes("p2", "bt", s"($b20) <> 11", "grown")}
+       |${splitFinalSelect("p2", "bt")}""".stripMargin
   }
 
   /** [[Dedup.dedupClusterStats]]: the minhash closure oracle as a

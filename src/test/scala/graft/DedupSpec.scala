@@ -107,6 +107,42 @@ class DedupSpec extends SparkSpec {
     assert(byId(67L) == ((67L, 67L, None, "train")))
   }
 
+  test("gen-2 split: batch B inherits through batch A's folded assignment") {
+    // Fixture slices by id%20 (Gamma ≡ 1 mod 20): at rest {20 (val
+    // cluster — 20%10=0), 41}, batch A {27 ≈ 20, 47 fresh cluster P},
+    // batch B {31 ≈ the T texts, 51 ≈ P, 71 lone}. The pair that only
+    // a second generation can get right is 51: its sole near-dup 47
+    // arrived IN BATCH A — an unfolded split table or unappended index
+    // would leave 51 unanchored. And 31 must land 'val' though its own
+    // hash says train (31%10=1) — transitive leakage prevention.
+    val T  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val T2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val T3 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda xi"
+    val P  = "orange banana cherry grape melon peach plum apricot fig date kiwi lime"
+    val P2 = "orange banana cherry grape melon peach plum apricot fig date kiwi lemon"
+    val docs = Seq(
+      (20L, T, "en", "s", 60L),
+      (41L, "completely different text about query engines and shuffle joins okay", "en", "s", 60L),
+      (27L, T2, "en", "s", 60L),
+      (47L, P, "en", "s", 60L),
+      (31L, T3, "en", "s", 60L),
+      (51L, P2, "en", "s", 60L),
+      (71L, "yet another unrelated document mentioning windows and watermarks here", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-split2").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.splitAssignDelta2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+    assert(out.map(_._1).toSet == Set(31L, 51L, 71L), out.toSeq.toString)
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(31L) == ((31L, 31L, Some(20L), "val")),
+      s"gen-2 paraphrase of the val cluster must inherit val: ${out.toSeq}")
+    assert(byId(51L) == ((51L, 51L, Some(47L), "train")),
+      s"anchor arrived in batch A — requires the fold + append: ${out.toSeq}")
+    assert(byId(71L) == ((71L, 71L, None, "train")))
+  }
+
   test("substring spans: shared verbatim passage found, merged, unique text unflagged") {
     // Docs 0 and 1 embed the same 120-char passage at DIFFERENT,
     // non-congruent offsets inside otherwise-unrelated text (the case
