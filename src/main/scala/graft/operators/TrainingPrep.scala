@@ -752,6 +752,52 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** Epochs materialized by [[epochShuffle]]. */
+  val EpochCount = 3
+
+  /** Deterministic multi-epoch training-order assignment
+    * (`q_epoch_shuffle`) — the global reshuffle a training run performs
+    * between epochs, emitted as an explicit manifest: for each epoch,
+    * every document gets a shard and an in-shard position, so the data
+    * loader reads shard files in position order and the whole run is
+    * bit-reproducible from the corpus alone (no RNG state, the
+    * [[graft.GoldenHash]] stance). The per-epoch permutation key is
+    * `(doc_id mod P) · M_e mod P` with P prime
+    * ([[graft.GoldenHash.CutSampleMod]]) and M_e an epoch-dependent
+    * multiplier (`(2·epoch + 1) · Γ mod P`): any nonzero multiplier is
+    * a bijection on Z_P, so epochs are genuinely different
+    * permutations, not rotations of one order — an ADDITIVE salt
+    * (`key + epoch·c mod P`) only rotates the order, and consecutive
+    * epochs would replay near-identical neighborhoods. All factors are
+    * reduced mod P (≤ 10^6) before multiplying, so the arithmetic
+    * never overflows int64 at any corpus size.
+    *
+    * Scale shape: one shuffle per epoch (the hash sort), which IS the
+    * operation's definition — epoch reshuffling at 100 TB is a
+    * full-corpus shuffle by design, run once per epoch as a batch
+    * manifest job. Keys are golden-hash uniform, so the sort
+    * range-partitions without skew and shards balance multinomially;
+    * the per-(epoch, shard) position window is the shard-manifest
+    * writer's task (shard count is deployment-sized — the fixture's
+    * [[NumShards]] stands in for the fleet's thousands, keeping each
+    * window partition at file-sized rows).
+    */
+  def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    val P = graft.GoldenHash.CutSampleMod
+    val g = graft.GoldenHash.Gamma % P
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0L), lit(EpochCount - 1L))).as("epoch"))
+      .withColumn("okey",
+        ((col("doc_id") % P) * (((col("epoch") * 2 + 1) * g) % P)) % P)
+      .withColumn("shard", col("okey") % NumShards)
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("okey"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"), col("n_chars"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
   // lazy: oracle objects reference operator constants (e.g. DedupOracles
   // .spanCtes -> Dedup.SpanLen), so an eager defs -- which reads the oracle
   // object back -- would deadlock-null mid-initialization when a composed
@@ -786,6 +832,7 @@ object TrainingPrep {
       headline = false),
     "q_corpus_prep_delta2" -> QueryDef(corpusPrepDelta2, Some(TrainingOracles.corpusPrepDelta2)),
     "q_token_shards"      -> QueryDef(tokenShards, Some(TrainingOracles.tokenShards)),
+    "q_epoch_shuffle"     -> QueryDef(epochShuffle, Some(TrainingOracles.epochShuffle)),
     "q_corpus_prep3"      -> QueryDef(corpusPrep3, Some(TrainingOracles.corpusPrep3),
       headline = false),
     // verified-not-benched since r14: same output, same oracle as
@@ -1313,6 +1360,27 @@ object TrainingOracles {
        |       ELSE ${s2 - 1} - phase END AS shard
        |FROM r
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[TrainingPrep.epochShuffle]]: identical permutation-key algebra
+    * (all factors pre-reduced mod the prime so both engines compute in
+    * int64), identical shard and position rules.
+    */
+  val epochShuffle: String = {
+    val p = graft.GoldenHash.CutSampleMod
+    val g = graft.GoldenHash.Gamma % p
+    s"""WITH e AS (
+       |  SELECT unnest(generate_series(0, ${TrainingPrep.EpochCount - 1})) AS epoch),
+       |k AS (
+       |  SELECT d.doc_id, d.n_chars, e.epoch,
+       |    ((d.doc_id % $p) * (((e.epoch * 2 + 1) * $g) % $p)) % $p AS okey
+       |  FROM documents d, e)
+       |SELECT epoch, okey % ${TrainingPrep.NumShards} AS shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, okey % ${TrainingPrep.NumShards}
+       |    ORDER BY okey, doc_id) AS INT) AS pos,
+       |  doc_id, n_chars
+       |FROM k
+       |ORDER BY epoch, shard, pos""".stripMargin
   }
 
   /** [[TrainingPrep.corpusPrepDelta]] replayed end-to-end: quality

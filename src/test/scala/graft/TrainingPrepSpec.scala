@@ -248,6 +248,36 @@ class TrainingPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("epochShuffle: per-epoch permutations, genuinely reshuffled, shards balanced") {
+    val out = TrainingPrep.epochShuffle(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.count() == nDocs * TrainingPrep.EpochCount)
+    // each epoch covers every doc exactly once
+    val perEpoch = out.groupBy("epoch").agg(
+      countDistinct("doc_id").as("d"), count(lit(1)).as("n")).collect()
+    assert(perEpoch.length == TrainingPrep.EpochCount)
+    perEpoch.foreach(r => assert(r.getLong(1) == nDocs && r.getLong(2) == nDocs))
+    // positions are contiguous 1..n within every (epoch, shard)
+    val posOk = out.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(posOk.count() == 0, "non-contiguous shard positions")
+    // epochs are DIFFERENT permutations: the same doc must not keep the
+    // same (shard, pos) across epochs for more than a sliver of docs
+    val stuck = out.groupBy("doc_id")
+      .agg(countDistinct(concat_ws(":", col("shard"), col("pos"))).as("orders"))
+      .filter(col("orders") === 1).count()
+    assert(stuck < nDocs / 10, s"$stuck/$nDocs docs never moved across epochs")
+    // multinomial shard balance per epoch (hash-uniform keys)
+    val counts = out.groupBy("epoch", "shard").count().collect().map(_.getLong(2))
+    val (mx, mn) = (counts.max.toDouble, counts.min.toDouble)
+    assert(mx / mn < 1.6, s"shard skew $mx/$mn")
+    // determinism: a second invocation is byte-identical
+    val again = TrainingPrep.epochShuffle(spark, sf).collect().map(_.toSeq).toSeq
+    assert(again == out.orderBy("epoch", "shard", "pos").collect().map(_.toSeq).toSeq)
+    out.unpersist()
+  }
+
   test("corpusPrepDelta2: append-then-probe equals rebuild-then-probe") {
     // the engine admits B against the INCREMENTALLY APPENDED index;
     // truth is a from-scratch index over at-rest ∪ admitted(A) — the
