@@ -75,6 +75,56 @@ object Graph {
     */
   val ComponentsProbeRounds: Int = 6
 
+  /** Row bound (per frame: vertices, then edges) under which
+    * [[components]] solves the graph with a driver-local union-find
+    * instead of the distributed loop. The loop's floor is ~1.4 s of
+    * pure job-scheduling latency at ANY small size (two materialized
+    * rounds × per-hop shuffles — see [[propagateLoop]]'s profiling
+    * notes); a bounded collect + path-compressed union-find answers
+    * the same graph in ~0.1 s. The regime this serves is exactly the
+    * steady state of the incremental operators: batch-internal
+    * closures ([[Dedup.splitAssignDelta]]'s per-ingest components) are
+    * candidate-bounded ∝ batch, not corpus. The bound is enforced by
+    * `limit(cutoff + 1)` BEFORE the collect — an over-bound graph
+    * costs one truncated probe job and falls through to the
+    * distributed plan (the sf1 rehearsal's 823k-edge corpus graph
+    * stays on the loop), so driver memory is capped by construction
+    * (the [[Similarity]] 200k-cap stance). GraphSpec pins
+    * driver-vs-distributed label equality on a seeded graph; the
+    * escalation specs pass `driverCutoff = 0` to keep the distributed
+    * composition pinned.
+    */
+  val DriverUfMaxRows: Int = 262144
+
+  /** Exact min-label components via driver union-find, or None if
+    * either frame exceeds `cutoff` rows. Labels cover the VERTEX set
+    * (edge endpoints absent from it still conduct minimums, matching
+    * the loop's symmetrize-and-propagate semantics).
+    */
+  private def driverComponents(vertices: DataFrame, edges: DataFrame,
+      cutoff: Int): Option[DataFrame] = {
+    val vRows = vertices.select(col("id")).limit(cutoff + 1).collect()
+    if (vRows.length > cutoff) return None
+    val eRows = edges.select(col("src"), col("dst")).limit(cutoff + 1).collect()
+    if (eRows.length > cutoff) return None
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    eRows.foreach { e =>
+      val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val s = vertices.sparkSession
+    import s.implicits._
+    Some(vRows.map(v => (v.getLong(0), find(v.getLong(0)))).toSeq
+      .toDF("id", "component"))
+  }
+
   /** Auto-selecting exact connected components — the plan choice the
     * r11 verdict asked the OPERATOR to own instead of its callers:
     * propagation rounds scale with component diameter (best plan for
@@ -100,10 +150,21 @@ object Graph {
     * ≈ propagation; the escalation exists for the deep-component
     * regime (GraphSpec plants diameter-59 chains), where the probe's
     * bounded waste buys an O(log² n)-round finish instead of rounds ∝
-    * diameter.
+    * diameter. A THIRD tier sits in front of both since round 14:
+    * graphs whose vertex and edge frames each fit under
+    * [[DriverUfMaxRows]] rows are solved exactly by a driver-local
+    * union-find (see the constant's scaladoc for the regime and the
+    * bound-by-construction argument).
     */
   def components(vertices: DataFrame, edges: DataFrame,
-      probeRounds: Int = ComponentsProbeRounds, maxRounds: Int = 50): DataFrame = {
+      probeRounds: Int = ComponentsProbeRounds, maxRounds: Int = 50,
+      driverCutoff: Int = DriverUfMaxRows): DataFrame = {
+    if (driverCutoff > 0) {
+      driverComponents(vertices, edges, driverCutoff) match {
+        case Some(labels) => return labels
+        case None =>
+      }
+    }
     val (labels, changed, _) = propagate(vertices, edges, probeRounds)
     if (changed == 0) labels
     else {

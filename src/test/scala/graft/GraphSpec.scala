@@ -82,7 +82,7 @@ class GraphSpec extends SparkSpec {
     val n = 64L
     val vertices = (0L until n).toDF("id")
     val edges = (1L until n).map(i => (i, i - 1)).toDF("src", "dst")
-    val got = Graph.components(vertices, edges, probeRounds = 2)
+    val got = Graph.components(vertices, edges, probeRounds = 2, driverCutoff = 0)
       .as[(Long, Long)].collect()
     assert(got.length == n.toInt && got.forall(_._2 == 0L),
       got.filter(_._2 != 0L).mkString(","))
@@ -90,7 +90,8 @@ class GraphSpec extends SparkSpec {
     // the auto path is plain propagation (same exact labels)
     val sv = (0L to 9L).toDF("id")
     val se = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("src", "dst")
-    val sGot = Graph.components(sv, se).as[(Long, Long)].collect().toMap
+    val sGot = Graph.components(sv, se, driverCutoff = 0)
+      .as[(Long, Long)].collect().toMap
     assert(sGot == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 9L), sGot.toString)
   }
@@ -107,7 +108,7 @@ class GraphSpec extends SparkSpec {
     val shallow = Seq.fill(60)((rnd.nextLong(100).abs, rnd.nextLong(100).abs))
       .filter { case (a, b) => a != b }
     val edges = (chain ++ shallow).toDF("src", "dst")
-    val auto = Graph.components(vertices, edges, probeRounds = 2)
+    val auto = Graph.components(vertices, edges, probeRounds = 2, driverCutoff = 0)
       .as[(Long, Long)].collect().toMap
     val prop = Graph.connectedComponents(vertices, edges)
       .as[(Long, Long)].collect().toMap
@@ -115,6 +116,32 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(auto == prop && auto == lss,
       s"auto vs direct disagreements: ${auto.collect { case (k, v) if prop(k) != v => (k, v, prop(k)) }}")
+  }
+
+  test("driver union-find tier matches the distributed loop exactly") {
+    // seeded mixed graph (trees, cycles, a deep chain, singletons):
+    // the default call lands on the driver tier (under DriverUfMaxRows);
+    // driverCutoff = 0 forces the distributed plan — labels must be
+    // byte-identical, including vertices absent from any edge and the
+    // deep chain the probe budget alone would not collapse
+    val rnd = new scala.util.Random(77)
+    val n = 300L
+    val vertices = (0L until n).toDF("id")
+    val chain = (201L until 260L).map(i => (i, i - 1))
+    val rand = Seq.fill(150)((rnd.nextLong(200).abs, rnd.nextLong(200).abs))
+      .filter { case (a, b) => a != b }
+    val edges = (chain ++ rand).toDF("src", "dst")
+    val driver = Graph.components(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = Graph.components(vertices, edges, probeRounds = 2, driverCutoff = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist,
+      s"disagreements: ${driver.collect { case (k, v) if dist(k) != v => (k, v, dist(k)) }}")
+    // over-bound frames fall through to the distributed plan (cutoff 1
+    // truncates the probe at 2 rows) and still label exactly
+    val small = Graph.components(vertices, edges, driverCutoff = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(small == dist)
   }
 
   test("both propagation styles agree on a seeded random graph") {
