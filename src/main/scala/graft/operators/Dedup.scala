@@ -517,15 +517,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Pinned copy of the GROWN split table (at-rest rows ∪ generation-1
-    * batch rows) — [[splitAssignDelta2]]'s generation-2 lookup state.
-    * Pinned for reuse across invocations in one session; the ORACLE
-    * never reads it (it re-derives both generations from the pinned
-    * minhash index and raw text, so a fold bug diverges the compare).
+  /** Persist the stored split table (doc_id, label, split) BUCKETED on
+    * doc_id beside the dedup index's band/gram/digest tables — the
+    * at-rest state the incremental split assignment probes and
+    * [[foldSplitAssign]] grows. Bucketing on doc_id makes the
+    * anchored-lookup join index-side-shuffle-free, the
+    * [[writeDedupIndex]] stance applied to the split artifact.
     */
-  val Split2GrownPath: String = graft.Artifacts.path("split2_grown")
+  def writeSplitTable(atSplit: DataFrame, prefix: String, buckets: Int = 8): Unit =
+    graft.storage.LogStore.writeBucketed(
+      atSplit.select(col("doc_id"), col("label"), col("split")),
+      s"${prefix}_split", "doc_id", buckets)
 
-  private val split2GrownCache = new graft.SessionCache[String, DataFrame]()
+  /** The fold after one batch's split assignment — the split-table
+    * sibling of [[appendDedupIndex]]'s "caller's follow-up write":
+    * register each assigned batch row in the stored `${prefix}_split`
+    * table so the NEXT batch inherits through it. An anchored row
+    * adopts its anchor's stored cluster label (later generations see
+    * ONE label per merged cluster); an unanchored one registers its
+    * batch label — the same label [[splitLeakageFree]] would mint for
+    * a fresh cluster. The rows are materialized (localCheckpoint)
+    * before the append because they are DERIVED from a read of the
+    * very table being appended to. Cost ∝ batch. ONE body shared by
+    * [[splitAssignDelta2]]'s generation-1 fold and the streaming twin
+    * ([[graft.streaming.StreamPipelines.streamingSplitAssign]]), so
+    * the served path cannot drift from the oracle-verified one.
+    */
+  def foldSplitAssign(s: SparkSession, assigned: DataFrame, prefix: String): Unit = {
+    val cur = s.table(s"${prefix}_split")
+      .select(col("doc_id").as("anchor_doc"), col("label").as("a_label"))
+    val rows = assigned
+      .join(cur, Seq("anchor_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("a_label"), col("batch_cluster")).as("label"),
+        col("split"))
+      .localCheckpoint(true)
+    graft.storage.LogStore.appendBucketed(rows, s"${prefix}_split", "doc_id")
+  }
 
   /** Second-GENERATION incremental split assignment
     * (`q_split_assign_delta2`) — the query that proves the
@@ -567,35 +595,23 @@ object Dedup {
     graft.Artifacts.writeOnce(s, d, "split2_index") {
       val atRest = b20 =!= 7 && b20 =!= 11
       writeDedupIndex(docs.filter(atRest), "split2dx")
-      val atSplit = nearDupLabels(
+      writeSplitTable(nearDupLabels(
           docs.filter(atRest).select(col("doc_id").as("id")),
           index.filter(atRest))
-        .select(col("doc_id"), col("label"), splitOfLabel(col("label")).as("split"))
+        .select(col("doc_id"), col("label"), splitOfLabel(col("label")).as("split")),
+        "split2dx")
+      // generation 1: assign A against the frozen state, then fold its
+      // rows into the stored split table and append its index rows.
+      // The assignment materializes (localCheckpoint) BEFORE either
+      // write, so A's probe sees the pre-append (at-rest only) index.
+      val aAssign = splitAssignDeltaCore(s, docs.filter(b20 === 7),
+        s.table("split2dx_split"), "split2dx", Some(index.filter(b20 === 7)))
         .localCheckpoint(true)
-      val aAssign = splitAssignDeltaCore(s, docs.filter(b20 === 7), atSplit,
-        "split2dx", Some(index.filter(b20 === 7)))
-      // fold: anchored A rows adopt the anchor's at-rest cluster label
-      // (so later generations see ONE label per merged cluster),
-      // unanchored ones register their batch label — the same label
-      // splitLeakageFree would mint for a fresh cluster
-      val aRows = aAssign
-        .join(atSplit.select(col("doc_id").as("anchor_doc"), col("label").as("a_label")),
-          Seq("anchor_doc"), "left")
-        .select(col("doc_id"),
-          coalesce(col("a_label"), col("batch_cluster")).as("label"),
-          col("split"))
-      // the grown table materializes BEFORE the append below runs:
-      // the parquet write is the action that evaluates A's probe, so
-      // the probe still sees the pre-append (at-rest only) index
-      atSplit.select(col("doc_id"), col("label"), col("split"))
-        .unionByName(aRows)
-        .write.mode("overwrite").parquet(Split2GrownPath)
+      foldSplitAssign(s, aAssign, "split2dx")
       appendDedupIndex(docs.filter(b20 === 7).select(col("doc_id"), col("text")),
         "split2dx")
     }
-    val grown = split2GrownCache.getOrBuild(s, d)(
-      s.read.parquet(Split2GrownPath).localCheckpoint(true))
-    splitAssignDeltaCore(s, docs.filter(b20 === 11), grown,
+    splitAssignDeltaCore(s, docs.filter(b20 === 11), s.table("split2dx_split"),
       "split2dx", Some(index.filter(b20 === 11)))
   }
 

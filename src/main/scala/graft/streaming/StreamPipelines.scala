@@ -551,6 +551,54 @@ object StreamPipelines {
       }
       .start()
 
+  /** Streaming twin of [[graft.operators.Dedup.splitAssignDelta2]] —
+    * leakage-free split assignment at INGEST time, with the
+    * generation loop run per micro-batch: each batch of (doc_id,
+    * text) documents is assigned against the CURRENT stored split
+    * table and bucketed dedup index (shared
+    * [[graft.operators.Dedup.splitAssignDeltaCore]] body — the served
+    * path cannot drift from the oracle-verified one), the assignments
+    * go to the sink, and THEN the batch's rows are folded into the
+    * split table ([[graft.operators.Dedup.foldSplitAssign]]) and its
+    * index rows appended — so a later batch's paraphrase of an
+    * earlier batch's document inherits the split that document was
+    * assigned, exactly the generation-2 property the batch query
+    * proves once and this twin repeats per batch. Unlike the
+    * admission twins this one is deliberately STATEFUL-at-rest (the
+    * split table and index grow per batch — the operational artifacts
+    * a deployment stores anyway); per-batch cost stays ∝ batch
+    * because both grow by appends into bucketed tables that never
+    * reshuffle. Callers prepare the at-rest state once at wiring time
+    * ([[graft.operators.Dedup.writeDedupIndex]] +
+    * [[graft.operators.Dedup.writeSplitTable]]); StreamingSpec pins
+    * cross-batch inheritance adversarially and batch-path equality
+    * against [[graft.operators.Dedup.splitAssignDelta2]] on the same
+    * slices.
+    */
+  def streamingSplitAssign(
+      docs: DataFrame,
+      prefix: String,
+      sink: (DataFrame, Long) => Unit,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val assigned = graft.operators.Dedup.splitAssignDeltaCore(
+              s, batch, s.table(s"${prefix}_split"), prefix)
+            .localCheckpoint(true)
+          sink(assigned, id)
+          graft.operators.Dedup.foldSplitAssign(s, assigned, prefix)
+          graft.operators.Dedup.appendDedupIndex(
+            batch.select(col("doc_id"), col("text")), prefix)
+        }
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.Retrieval.bm25Indexed]] — the
     * retrieval SERVING path: a stream of (query_id, term) rows is
     * probed per micro-batch against the STATIC prebuilt inverted index

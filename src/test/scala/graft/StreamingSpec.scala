@@ -281,6 +281,67 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${sunk.size} verdicts != batch ${expected.size}")
   }
 
+  test("streaming split assignment inherits across micro-batches and matches the batch loop") {
+    import graft.operators.Dedup
+    // the gen-2 fixture from DedupSpec, sliced into two micro-batches:
+    // at rest {20 (val cluster), 41}; batch 1 {27 ≈ 20, 47 fresh P};
+    // batch 2 {31 ≈ T, 51 ≈ P, 71 lone}. 51's only near-dup (47)
+    // arrived in batch 1 — inheriting its split REQUIRES the per-batch
+    // fold + index append.
+    val T  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val T2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val T3 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda xi"
+    val P  = "orange banana cherry grape melon peach plum apricot fig date kiwi lime"
+    val P2 = "orange banana cherry grape melon peach plum apricot fig date kiwi lemon"
+    val atRest = Seq(
+      (20L, T, "en", "s", 60L),
+      (41L, "completely different text about query engines and shuffle joins okay", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Dedup.writeDedupIndex(atRest, "streamsplit")
+    Dedup.writeSplitTable(
+      Seq((20L, 20L, "val"), (41L, 41L, "train")).toDF("doc_id", "label", "split"),
+      "streamsplit")
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val sunk = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, (Long, Long, Option[Long], String))]
+    val cp = java.nio.file.Files.createTempDirectory("graft-splitassign-cp").toString
+    val q = StreamPipelines.streamingSplitAssign(
+      mem.toDF().toDF("doc_id", "text"), "streamsplit",
+      (df, id) => sunk.synchronized {
+        sunk ++= df.collect().map(r => id -> ((r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))))
+      }, cp)
+    mem.addData((27L, T2), (47L, P))
+    q.processAllAvailable()
+    mem.addData((31L, T3), (51L, P2),
+      (71L, "yet another unrelated document mentioning windows and watermarks here"))
+    q.processAllAvailable()
+    q.stop()
+    val byId = sunk.map { case (_, t) => t._1 -> t }.toMap
+    assert(byId(27L) == ((27L, 27L, Some(20L), "val")), sunk.toString)
+    assert(byId(47L) == ((47L, 47L, None, "train")), sunk.toString)
+    assert(byId(31L)._4 == "val", s"gen-2 paraphrase must stay val: $sunk")
+    assert(byId(51L) == ((51L, 51L, Some(47L), "train")),
+      s"cross-batch inheritance through the fold failed: $sunk")
+    assert(byId(71L) == ((71L, 71L, None, "train")), sunk.toString)
+
+    // the streamed second batch equals the batch gen-2 query on the
+    // same slices (shared chain body + shared fold)
+    val dir = java.nio.file.Files.createTempDirectory("graft-splitassign").toString
+    val all = atRest.unionByName(Seq(
+      (27L, T2, "en", "s", 60L), (47L, P, "en", "s", 60L),
+      (31L, T3, "en", "s", 60L), (51L, P2, "en", "s", 60L),
+      (71L, "yet another unrelated document mentioning windows and watermarks here", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    all.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch2 = sunk.collect { case (id, t) if id == 1L => t }.toSet
+    val viaBatch = Dedup.splitAssignDelta2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))).toSet
+    assert(batch2 == viaBatch, s"streamed $batch2 != batch $viaBatch")
+  }
+
   test("streaming BM25 probe is batch-boundary-invariant against the batch path") {
     import graft.operators.Retrieval
     val (postings, termStats, stats) = Retrieval.bm25IndexFrames(spark, sf)
