@@ -517,6 +517,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Split-stability audit across a corpus version bump
+    * (`q_split_drift`) — the governance query that quantifies the one
+    * risk the incremental assignment path deliberately carries:
+    * [[splitAssignDelta]] NEVER reassigns at-rest documents (stable
+    * splits are the point), but a delta BRIDGE document that near-dups
+    * into two different at-rest clusters merges them, and a full
+    * re-run ([[splitLeakageFree]] on the grown corpus) would relabel
+    * the merged cluster and may flip one side's split. This audit
+    * reports every at-rest document whose cluster or split differs
+    * between the frozen at-rest assignment and the full re-run — the
+    * set a deployment must either migrate or quarantine at the next
+    * version bump. Composition of two oracle-checked builders (the
+    * frozen [[atRestSplit]] and [[splitLeakageFree]] as the fresh
+    * side — shared bodies, so the audit cannot drift from either);
+    * verified-not-benched (both constituents' chains hold bench slots
+    * via q_minhash_dedup and q_split_assign_delta2's cold build).
+    *
+    * Scale note: this is the PER-CORPUS-VERSION audit (a full relabel
+    * is inherently corpus-scale), not a per-batch probe — the same
+    * amortization class as every index rebuild here.
+    */
+  def splitDrift(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
+    val fresh = splitLeakageFree(s, d)
+      .select(col("doc_id"), col("cluster_id").as("new_cluster"),
+        col("split").as("new_split"))
+    atRestSplit(s, d)
+      .select(col("doc_id"), col("label").as("old_cluster"),
+        col("split").as("old_split"))
+      .join(fresh, Seq("doc_id"))
+      .filter(col("old_cluster") =!= col("new_cluster") ||
+        col("old_split") =!= col("new_split"))
+      .select(col("doc_id"), col("old_cluster"), col("new_cluster"),
+        col("old_split"), col("new_split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Persist the stored split table (doc_id, label, split) BUCKETED on
     * doc_id beside the dedup index's band/gram/digest tables — the
     * at-rest state the incremental split assignment probes and
@@ -1131,6 +1168,10 @@ object Dedup {
       Some(DedupOracles.splitAssignDelta), headline = false),
     "q_split_assign_delta2" -> QueryDef(splitAssignDelta2,
       Some(DedupOracles.splitAssignDelta2)),
+    // verified-not-benched: composition of two chains that hold bench
+    // slots (q_minhash_dedup; the delta2 cold build's at-rest closure)
+    "q_split_drift" -> QueryDef(splitDrift,
+      Some(DedupOracles.splitDrift), headline = false),
     "q_minhash_decontaminate" -> QueryDef(minhashDecontaminate,
       Some(DedupOracles.minhashDecontaminate)),
     "q_simhash_dedup"   -> QueryDef(simhashDedup, Some(DedupOracles.simhashDedup)),
@@ -1523,6 +1564,31 @@ object DedupOracles {
        |${splitClosureCtes("bt", s"($b20) = 11")},
        |${splitProbeAssignCtes("p2", "bt", s"($b20) <> 11", "grown")}
        |${splitFinalSelect("p2", "bt")}""".stripMargin
+  }
+
+  /** [[Dedup.splitDrift]] replayed from the pinned index: the at-rest
+    * closure (the frozen assignment) and the FULL-corpus closure (the
+    * re-run) through the same parameterized builder, then the identical
+    * flip filter. Same closure SCALE NOTE as [[minhashDedup]].
+    */
+  lazy val splitDrift: String = {
+    val b20 = graft.GoldenHash.bucketSql("doc_id", 20)
+    def splitCase(lbl: String) =
+      s"CASE WHEN ${graft.GoldenHash.bucketSql(lbl, 10)} = 0 THEN 'val' ELSE 'train' END"
+    s"""WITH RECURSIVE
+       |$splitArtCtes,
+       |${splitClosureCtes("r", s"($b20) <> 7")},
+       |${splitClosureCtes("f", "TRUE")},
+       |oldsplit AS (
+       |  SELECT doc_id, label AS old_cluster, ${splitCase("label")} AS old_split
+       |  FROM rlabels),
+       |newsplit AS (
+       |  SELECT doc_id, label AS new_cluster, ${splitCase("label")} AS new_split
+       |  FROM flabels)
+       |SELECT o.doc_id, o.old_cluster, n.new_cluster, o.old_split, n.new_split
+       |FROM oldsplit o JOIN newsplit n USING (doc_id)
+       |WHERE o.old_cluster <> n.new_cluster OR o.old_split <> n.new_split
+       |ORDER BY o.doc_id""".stripMargin
   }
 
   /** [[Dedup.dedupClusterStats]]: the minhash closure oracle as a

@@ -143,6 +143,36 @@ class DedupSpec extends SparkSpec {
     assert(byId(71L) == ((71L, 71L, None, "train")))
   }
 
+  test("split drift: a delta bridge doc flips the absorbed cluster, stable docs stay out") {
+    // Two at-rest clusters below the 0.5 threshold against EACH OTHER:
+    // A {20, 40} (label 20 → val) and B {41, 61} (label 41 → train).
+    // The delta doc 27 (id%20 = 7) is a BRIDGE sharing its first 9
+    // words with A (jaccard ≈ 0.57) and its last 9 with B (≈ 0.58),
+    // while A and B themselves share only the 6 middle words (≈ 0.3):
+    // the full re-run merges everything under label 20 (val), so B's
+    // two docs flip train → val while A's keep their cluster and
+    // split. The isolated at-rest doc 62 must not appear.
+    val wBr = "ash birch cedar dogwood elm fir ginkgo hazel ivy juniper kale laurel"
+    val wA = "ash birch cedar dogwood elm fir ginkgo hazel ivy apple mango pear"
+    val wB = "tulip rose daisy dogwood elm fir ginkgo hazel ivy juniper kale laurel"
+    val docs = Seq(
+      (20L, wA, "en", "s", 60L),
+      (40L, wA + " extra", "en", "s", 60L),
+      (41L, wB, "en", "s", 60L),
+      (61L, wB + " extra", "en", "s", 60L),
+      (62L, "completely different text about query engines and shuffle joins okay", "en", "s", 60L),
+      (27L, wBr, "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.splitDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(out.keySet == Set(41L, 61L), s"drift rows: $out")
+    assert(out(41L) == ((41L, 20L, "train", "val")), out.toString)
+    assert(out(61L) == ((41L, 20L, "train", "val")), out.toString)
+  }
+
   test("substring spans: shared verbatim passage found, merged, unique text unflagged") {
     // Docs 0 and 1 embed the same 120-char passage at DIFFERENT,
     // non-congruent offsets inside otherwise-unrelated text (the case
