@@ -404,6 +404,58 @@ object BpeTrain {
       .orderBy(col("lang"))
   }
 
+  /** Tokenizer drift monitor (`q_vocab_drift`) — the
+    * [[AnnMaintain]]-style drift report applied to the FROZEN
+    * tokenizer: per language, the frozen merges' fertility on the
+    * at-rest corpus vs on the incoming delta batch (the standard
+    * bucket-7 slice), plus the batch's new-word occurrence rate
+    * (words absent from the at-rest distinct vocabulary — a frozen
+    * char-BPE always tokenizes them, it just tokenizes them WORSE,
+    * which is exactly what fertility measures). `retrain` flags a
+    * language whose batch fertility exceeds 1.1× its at-rest
+    * fertility or whose new-word rate exceeds 20% — the reproducible
+    * retrain trigger a deployment wires to the tokenizer-training
+    * job, the [[AnnMaintain]] drift-flag convention. The flag is
+    * computed by integer CROSS-MULTIPLICATION on the exact counters
+    * (widened to decimal/HUGEINT so it can never overflow), never by
+    * comparing rounded doubles — a ratio at the rounding boundary
+    * cannot flip it between engines. Scale shape: identical to
+    * [[bpeFertility]] (merge application amortized over the distinct-
+    * word table; one explode + broadcast join per slice) plus one
+    * vocab-bound anti-membership join.
+    */
+  def vocabDrift(s: SparkSession, d: String): DataFrame = {
+    ensureMergesPinned(s, d)
+    val isDelta = graft.GoldenHash.bucket(col("doc_id"), 20) === 7
+    val docs = Tables.documents(s, d)
+    def words(df: DataFrame) = df.select(col("lang"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    val wtc = wordTokenCounts(s, d)
+    val rest = words(docs.filter(!isDelta)).join(wtc, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("rest_words"), sum(col("n_tok")).as("rest_tokens"))
+    val restVocab = words(docs.filter(!isDelta)).select(col("word")).distinct()
+      .withColumn("known", lit(true))
+    val delta = words(docs.filter(isDelta)).join(wtc, Seq("word"))
+      .join(restVocab, Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("delta_words"), sum(col("n_tok")).as("delta_tokens"),
+        count(when(col("known").isNull, 1)).as("new_words"))
+    val dec = "decimal(38,0)"
+    rest.join(delta, Seq("lang"))
+      .select(col("lang"),
+        col("rest_words"), col("rest_tokens"),
+        col("delta_words"), col("delta_tokens"), col("new_words"),
+        round(col("rest_tokens") / col("rest_words").cast("double"), 4)
+          .as("rest_fertility"),
+        round(col("delta_tokens") / col("delta_words").cast("double"), 4)
+          .as("delta_fertility"),
+        (col("delta_tokens").cast(dec) * col("rest_words") * 10 >
+          col("rest_tokens").cast(dec) * col("delta_words") * 11 ||
+          col("new_words") * 5 > col("delta_words")).as("retrain"))
+      .orderBy(col("lang"))
+  }
+
   lazy val defs: Map[String, QueryDef] = Map(
     "q_bpe_train" -> QueryDef(bpeTrain, Some(BpeOracles.bpeTrain)),
     "q_bpe_train_deep" -> QueryDef(bpeTrainDeep, Some(BpeOracles.bpeTrainDeep)),
@@ -413,7 +465,11 @@ object BpeTrain {
     // prefix convention
     "q_bpe_apply" -> QueryDef(bpeApply, Some(BpeOracles.bpeApply),
       headline = false),
-    "q_bpe_fertility" -> QueryDef(bpeFertility, Some(BpeOracles.bpeFertility)))
+    "q_bpe_fertility" -> QueryDef(bpeFertility, Some(BpeOracles.bpeFertility)),
+    // verified-not-benched: the same amortized merge-application chain
+    // as q_bpe_fertility (which holds the bench slot), sliced twice
+    "q_vocab_drift" -> QueryDef(vocabDrift, Some(BpeOracles.vocabDrift),
+      headline = false))
 }
 
 /** DuckDB oracle: full independent replay of the BPE induction. The
@@ -519,6 +575,42 @@ object BpeOracles {
        |FROM docwords d JOIN final f USING (word)
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** [[BpeTrain.vocabDrift]] on the same [[applyCtes]] replay prefix:
+    * per-lang counters on each slice, the at-rest vocab membership
+    * probe, the identical rounded fertilities, and the retrain flag by
+    * the SAME exact integer cross-multiplication (HUGEINT here,
+    * decimal(38,0) in the engine — both exact).
+    */
+  val vocabDrift: String = {
+    val b20 = graft.GoldenHash.bucketSql("doc_id", 20)
+    s"""$applyCtes,
+       |rw AS (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS rest_words,
+       |    CAST(sum(f.n_tok) AS BIGINT) AS rest_tokens
+       |  FROM docwords d JOIN final f USING (word)
+       |  WHERE ($b20) <> 7
+       |  GROUP BY d.lang),
+       |restvocab AS (
+       |  SELECT DISTINCT word FROM docwords WHERE ($b20) <> 7),
+       |dw AS (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS delta_words,
+       |    CAST(sum(f.n_tok) AS BIGINT) AS delta_tokens,
+       |    CAST(count(*) FILTER (WHERE rv.word IS NULL) AS BIGINT) AS new_words
+       |  FROM docwords d
+       |  JOIN final f USING (word)
+       |  LEFT JOIN restvocab rv USING (word)
+       |  WHERE ($b20) = 7
+       |  GROUP BY d.lang)
+       |SELECT r.lang, rest_words, rest_tokens, delta_words, delta_tokens, new_words,
+       |  round(rest_tokens / (rest_words * 1e0), 4) AS rest_fertility,
+       |  round(delta_tokens / (delta_words * 1e0), 4) AS delta_fertility,
+       |  (CAST(delta_tokens AS HUGEINT) * rest_words * 10 >
+       |     CAST(rest_tokens AS HUGEINT) * delta_words * 11
+       |   OR new_words * 5 > delta_words) AS retrain
+       |FROM rw r JOIN dw USING (lang)
+       |ORDER BY r.lang""".stripMargin
+  }
 
   val bpeFertility: String =
     s"""$applyCtes

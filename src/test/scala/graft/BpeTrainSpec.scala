@@ -194,4 +194,23 @@ class BpeTrainSpec extends SparkSpec {
       assert(math.abs(cpt - c.toDouble / t) < 1e-3)
     }
   }
+
+  test("vocabDrift slices partition the fertility totals; flag matches the exact rule") {
+    val fert = BpeTrain.bpeFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val drift = BpeTrain.vocabDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(8)))
+    assert(drift.nonEmpty)
+    drift.foreach { case (lang, rw, rt, dw, dt, nw, retrain) =>
+      // at-rest + delta partition the corpus, so the counters must sum
+      // to the full-corpus fertility rollup
+      assert((rw + dw, rt + dt) == fert(lang), s"$lang counters don't partition")
+      assert(nw <= dw, "new-word occurrences bounded by batch occurrences")
+      // the flag re-derived from the exact counters (BigInt — the same
+      // cross-multiplication rule, no rounding anywhere)
+      val expected = BigInt(dt) * rw * 10 > BigInt(rt) * dw * 11 || nw * 5 > dw
+      assert(retrain == expected, s"$lang flag $retrain != recomputed $expected")
+    }
+  }
 }
