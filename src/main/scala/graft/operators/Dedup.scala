@@ -698,9 +698,18 @@ object Dedup {
       .filter(col("test_id").isNotNull)
       .distinct()
     val grams = index.select(col("doc_id"), col("grams"))
+    // the benchmark side BROADCASTS: a held-out suite is fixed-size by
+    // construction (the same bound that lets ngramDecontaminate
+    // broadcast its gram set), so only the train-side gram attach
+    // shuffles — candidate pairs never re-exchange for the test arrays.
+    // A deployment whose "test" split were corpus-proportional would
+    // drop the broadcast() and revert to the shuffle join.
+    val gramsTest = broadcast(index
+      .filter(graft.GoldenHash.isTestDoc(col("doc_id")))
+      .select(col("doc_id").as("test_id"), col("grams").as("gt")))
     cand
       .join(grams, Seq("doc_id"))
-      .join(grams.select(col("doc_id").as("test_id"), col("grams").as("gt")), Seq("test_id"))
+      .join(gramsTest, Seq("test_id"))
       .withColumn("j",
         graft.functions.NgramJaccardFunctions.jaccardSorted(col("grams"), col("gt")))
       .filter(col("j") >= 0.5)
