@@ -228,14 +228,27 @@ object AnnMaintain {
     val q = assignCells(queries, cdf)
       .select(col("vec_id").as("query_id"), col("v"), col("cell"))
     val members = lists.select(col("vec_id").as("member_id"), col("cell"), col("codes"))
-    val adc = q.join(members, Seq("cell"))
-      .select(col("query_id"), col("member_id"), col("cell"), col("v"),
-        posexplode(split(col("codes"), "-")).as(Seq("m", "code")))
-      .withColumn("c", col("code").cast("int"))
-      .join(broadcast(bdf), Seq("m", "c"))
+    // the production-ADC table: sd2q depends only on (query, m, c), so
+    // it is computed ONCE per query × codebook entry (|batch| × M·K
+    // rows — the same round/quantize expressions as before, so scores
+    // are byte-identical) instead of once per query × member pair.
+    // The pair stage below then carries ONLY ids and joins this
+    // broadcast table — the raw query vector never rides the |batch| ×
+    // list-size explode and is never re-sliced per pair (measured 53 s
+    // → see BASELINE round-14 note — the sf1 gen-2 probe's whole cost
+    // was vector carry + per-pair slicing). At a batch size where the
+    // table outgrows a broadcast (~1M queries), drop broadcast() and
+    // the same plan shuffle-joins on query_id.
+    val qtab = q.select(col("query_id"), col("v")).crossJoin(broadcast(bdf))
       .withColumn("sub",
         slice(col("v"), col("m") * Similarity.PqSubDim + lit(1), lit(Similarity.PqSubDim)))
       .withColumn("sd2q", round(sqL2("sub", "centroid") * AdcQ).cast("long"))
+      .select(col("query_id"), col("m"), col("c"), col("sd2q"))
+    val adc = q.select(col("query_id"), col("cell")).join(members, Seq("cell"))
+      .select(col("query_id"), col("member_id"), col("cell"),
+        posexplode(split(col("codes"), "-")).as(Seq("m", "code")))
+      .withColumn("c", col("code").cast("int"))
+      .join(broadcast(qtab), Seq("query_id", "m", "c"))
       .groupBy(col("query_id"), col("member_id"), col("cell"))
       .agg(sum(col("sd2q")).as("adc_q"))
     adc
