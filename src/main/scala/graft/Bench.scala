@@ -65,13 +65,15 @@ object Bench {
     // quiet control does not certify a quiet suite), but a triple
     // brackets the window — any contention burst long enough to swell
     // the totals shows up in at least one sentinel.
+    // a broken control degrades to a null sentinel in the record
+    // instead of aborting the suite (ADVICE r14)
     def controlTime(): Option[Double] =
-      SparkEntry.queries.get("q1_lineitem_agg").map { fn =>
+      try SparkEntry.queries.get("q1_lineitem_agg").map { fn =>
         (1 to 2).map { _ =>
           val t0 = System.nanoTime(); fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }.min
-      }
+      } catch { case NonFatal(_) => errors += "control:q1_lineitem_agg"; None }
     val qseq = qs.toSeq
     val ctlStart = if (qseq.isEmpty) None else controlTime()
     var ctlMid: Option[Double] = None
@@ -99,9 +101,9 @@ object Bench {
       "q_bpe_train", "q_bpe_train_deep", "q_embedding_lsh", "q_embedding_ivf",
       "q_embedding_pq", "q_embedding_ivfpq", "q_ann_index_append", "q_ann_index_append2",
       "q_ann_index_drift",
-      "q_corpus_prep_delta", "q_corpus_prep_delta2", "q_bm25_indexed", "q_bm25_append",
+      "q_corpus_prep_delta", "q_corpus_prep_delta2", "q_bm25_indexed", "q_bm25_append2",
       "q_split_assign_delta",
-      "q_knn_classify_ivf", "q_pagerank")
+      "q_knn_classify_ivf", "q_pagerank", "q_rt_model_score")
     val cold = allTimes.collect {
       case (n, ts) if coldTracked(n) && ts.nonEmpty => n -> Some(ts.head)
     }

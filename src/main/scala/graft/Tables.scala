@@ -76,6 +76,47 @@ object Tables {
   def scanSpread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+
+  /** THE materialization barrier (VERDICT r14 item 3) — the one place
+    * the engine cuts lineage and pins an intermediate frame, replacing
+    * the ~20 raw `localCheckpoint(true)` calls that each site used to
+    * own.
+    *
+    * Local mode (default): an eager `localCheckpoint` — blocks live on
+    * executors, which on local[n] is the driver JVM; correct and the
+    * fastest barrier there is. On a REAL cluster an executor loss (or
+    * dynamic-allocation scale-in) makes a locally-checkpointed frame
+    * unrecoverable mid-job, so a deployment sets
+    * `graft.barrier.mode=reliable` (plus
+    * `sparkContext.setCheckpointDir` to durable storage) and every
+    * barrier becomes a RELIABLE eager checkpoint — same semantics,
+    * fault-tolerant blocks — with no call-site changes. Sites whose
+    * pinned frame must outlive the session entirely use
+    * [[graft.Artifacts.writeOnce]] instead (the parquet pin).
+    *
+    * `bound` documents the INPUT-CARDINALITY BOUND that keeps the
+    * pinned frame small (vocab-bound, batch-bound, k-bound, …): every
+    * barrier must state why its materialization cannot grow with the
+    * corpus — frames without such a bound have no business being
+    * pinned and should stay lazy plans. The string is kept (not just a
+    * comment) so misuse reads loud at the call site.
+    *
+    * `eager = false` is the lazy variant ([[graft.storage.LogStore]]'s
+    * read-isolation cut: lineage truncation only, materialized by the
+    * caller's next action).
+    */
+  def barrier(df: DataFrame, bound: String, eager: Boolean = true): DataFrame = {
+    require(bound.nonEmpty, "state the input-cardinality bound")
+    if (df.sparkSession.conf.getOption("graft.barrier.mode").contains("reliable"))
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+  }
+
+  /** Chainable form of [[barrier]] (`import graft.Tables.BarrierOps`). */
+  implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
+    def barrier(bound: String, eager: Boolean = true): DataFrame =
+      Tables.barrier(df, bound, eager)
+  }
 }
 
 /** One engine query: a Spark DataFrame builder plus (when SQL-expressible)

@@ -22,6 +22,7 @@ object ResponseTimePipeline {
   val NumericCols: Seq[String] = Seq("request_length", "hour_of_day", "status_code")
   val LabelCol = "request_time_seconds"
   val Seed = 42L
+  val NumTrees = 20
 
   /** Feature projection from the parsed+derived log frame — the
     * reference's training SQL (A4,
@@ -30,11 +31,11 @@ object ResponseTimePipeline {
     * endpoint. The reference's Python-precedence filter bug (:171,
     * SURVEY.md §0.1(4)) is fixed to the intended conjunction.
     */
-  def features(parsed: DataFrame): DataFrame =
+  def features(parsed: DataFrame, keep: Seq[String] = Nil): DataFrame =
     parsed
       .filter(col("endpoint") =!= "" &&
         col("request_time_seconds").isNotNull && col("request_time_seconds") > 0)
-      .select(
+      .select(keep.map(col) ++ Seq(
         col("endpoint"),
         col("request_method"),
         when(col("geoip2_country_code").isNull || col("geoip2_country_code") === "",
@@ -42,10 +43,10 @@ object ResponseTimePipeline {
         expr("try_cast(request_length AS FLOAT)").as("request_length"),
         hour(col("timestamp")).as("hour_of_day"),
         col("status_code"),
-        col(LabelCol))
+        col(LabelCol)): _*)
 
   /** M1-M4 assembled into a Pipeline (M5). */
-  def build(numTrees: Int = 20, maxDepth: Int = 5): Pipeline = {
+  def build(numTrees: Int = NumTrees, maxDepth: Int = 5): Pipeline = {
     val indexers = CategoricalCols.map { c =>
       new StringIndexer().setInputCol(c).setOutputCol(s"${c}_index")
         .setHandleInvalid("keep")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.Tables.BarrierOps
 
 /** Incremental ANN index maintenance (ADVICE r9 item 4) — the at-rest
   * index operation a 100 TB vector pipeline runs between rebuilds:
@@ -205,7 +206,7 @@ object AnnMaintain {
       val vecs = Similarity.vecs(s, d).select(col("vec_id"), col("v"))
       encodeBatch(vecs.filter(!isDelta && !isQueryB), cdf, bdf)
         .unionByName(encodeBatch(vecs.filter(isDelta), cdf, bdf))
-        .localCheckpoint(true)
+        .barrier("one M-byte PQ code row per vector — the at-rest encoded lists")
     }
 
   /** IVF-PQ probe of a (vec_id, v) query batch against inverted lists

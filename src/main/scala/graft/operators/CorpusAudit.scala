@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GoldenHash, QueryDef, Tables}
+import graft.Tables.BarrierOps
 
 /** Corpus-management operators: the planning and versioning surface a
   * training-data platform runs BETWEEN pipeline runs — temperature-
@@ -243,7 +244,7 @@ object CorpusAudit {
            |  cast(0 as bigint), (h, c) -> (h * 31 + c) % 2147483648) % $DsirDim""".stripMargin)
         .cast("int"))
       .drop("bg")
-      .localCheckpoint(true)
+      .barrier("one hashed-bigram bucket row per doc bigram")
     // ONE scan fits both distributions (conditional counts per bucket
     // — the full-outer join of two separate scans computed identical
     // rows at twice the bigram-expansion cost, which dominated the

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.Tables.BarrierOps
 
 /** Distributed connected components — min-label propagation run to
   * convergence, extracted from the MinHash dedup pipeline
@@ -96,16 +97,23 @@ object Graph {
     */
   val DriverUfMaxRows: Int = 262144
 
-  /** Exact min-label components via driver union-find, or None if
-    * either frame exceeds `cutoff` rows. Labels cover the VERTEX set
-    * (edge endpoints absent from it still conduct minimums, matching
-    * the loop's symmetrize-and-propagate semantics).
+  /** Exact components via driver union-find, or None if either frame
+    * exceeds `cutoff` rows. Mirrors [[propagateLoop]]'s semantics
+    * EXACTLY (ADVICE r14): labels are vertex-seeded — the component
+    * label is the minimum VERTEX id reachable, never a bare edge
+    * endpoint's id — and the output row set is the loop's fixpoint row
+    * set: all vertices, plus every edge endpoint whose component
+    * contains at least one vertex (endpoints in vertex-free components
+    * never acquire a label in the loop and are likewise absent here).
+    * Ids are cast to long before collect so IntegerType frames take
+    * this tier as safely as the loop (ADVICE r14).
     */
   private def driverComponents(vertices: DataFrame, edges: DataFrame,
       cutoff: Int): Option[DataFrame] = {
-    val vRows = vertices.select(col("id")).limit(cutoff + 1).collect()
+    val vRows = vertices.select(col("id").cast("long")).limit(cutoff + 1).collect()
     if (vRows.length > cutoff) return None
-    val eRows = edges.select(col("src"), col("dst")).limit(cutoff + 1).collect()
+    val eRows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(cutoff + 1).collect()
     if (eRows.length > cutoff) return None
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
@@ -119,10 +127,25 @@ object Graph {
       val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
+    // vertex-seeded labels: min VERTEX id per root (a smaller non-vertex
+    // endpoint id must NOT become a label — the loop never emits one)
+    val vIds = vRows.map(_.getLong(0))
+    val minVertex = scala.collection.mutable.LongMap.empty[Long]
+    vIds.foreach { v =>
+      val r = find(v)
+      if (minVertex.getOrElse(r, Long.MaxValue) > v) minVertex(r) = v
+    }
+    // loop row set: vertices ∪ endpoints reachable from any vertex
+    val out = scala.collection.mutable.LongMap.empty[Long]
+    vIds.foreach(v => out(v) = minVertex(find(v)))
+    eRows.foreach { e =>
+      Seq(e.getLong(0), e.getLong(1)).foreach { n =>
+        if (!out.contains(n)) minVertex.get(find(n)).foreach(out(n) = _)
+      }
+    }
     val s = vertices.sparkSession
     import s.implicits._
-    Some(vRows.map(v => (v.getLong(0), find(v.getLong(0)))).toSeq
-      .toDF("id", "component"))
+    Some(out.toSeq.map { case (id, c) => (id, c) }.toDF("id", "component"))
   }
 
   /** Auto-selecting exact connected components — the plan choice the
@@ -243,7 +266,7 @@ object Graph {
       vertices.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong,
       undirectedRaw.count() / 65536L + 1L)).toInt
     val undirected = undirectedRaw.repartition(loopParts, col("dst"))
-      .localCheckpoint(true)
+      .barrier("2|E|+|V| loop-pinned edge rows")
     undirectedRaw.unpersist(false)
 
     // one hop, label frame referenced once (linear stacking)
@@ -319,7 +342,7 @@ object Graph {
       labels.unpersist(false)
       labels = next
       if (rounds % 4 == 0) {
-        val pinned = labels.localCheckpoint(true)
+        val pinned = labels.barrier("|V| label rows (lineage cut every 4th round)")
         labels.unpersist(false)
         labels = pinned
       }
@@ -328,7 +351,7 @@ object Graph {
     // frame into larger plans, which must not depend on loop-scoped
     // cache entries (checkpointed inside the pinned-width scope so the
     // pinning job is also one job)
-    val out = labels.localCheckpoint(true)
+    val out = labels.barrier("|V| label rows")
     labels.unpersist(false)
     labels = out
     } finally {
@@ -376,7 +399,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .barrier("|E| canonical edge rows")
 
     // large-star: over the SYMMETRIZED neighbor list, every vertex a
     // links its larger neighbors to m = min(N(a) ∪ {a}). One groupBy +
@@ -414,7 +437,7 @@ object Graph {
     var changed = true
     while (changed && rounds < maxRounds) {
       rounds += 1
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).barrier("<=|E| rewritten edges per star round")
       // fixpoint = identical canonical edge sets (both are distinct
       // (u,v) with u<v, so two anti-joins decide set equality)
       changed = next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
@@ -541,7 +564,7 @@ object Graph {
       val loopParts = math.max(1L, math.min(
         s.conf.get("spark.sql.shuffle.partitions").toLong,
         withDegRaw.count() / 65536L + 1L)).toInt
-      val edges = withDegRaw.repartition(loopParts, col("src")).localCheckpoint(true)
+      val edges = withDegRaw.repartition(loopParts, col("src")).barrier("|E| loop-pinned weighted edges")
       withDegRaw.unpersist(false)
       val n = edges.select(col("src")).distinct().count() // loop constant
       val base = 3L * PrScale / (20L * n)
@@ -566,7 +589,7 @@ object Graph {
         .reduce(_ unionByName _)
         .select(col("iter"), col("node"), col("q"),
           round(col("q") / lit(PrScale.toDouble), 6).as("score"))
-        .localCheckpoint(true) // the one build job; round caches fill inside it
+        .barrier("|V| x iters score rows") // the one build job; round caches fill inside it
       frames.foreach(_.unpersist(false))
       out
     }

@@ -6,6 +6,7 @@ import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables.BarrierOps
 
 /** A media record: opaque binary payload + typed metadata. At rest this
   * is a parquet BINARY column beside its metadata — the idiomatic Spark
@@ -363,7 +364,7 @@ object Multimodal {
   def mediaPipeline(s: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(syntheticMedia(s, 300)).toDF()
       .drop("feature") // per-item embedding: spec-checked, not rollup input
-      .localCheckpoint(true)
+      .barrier("fixture-bound media items (300)")
     graft.Artifacts.writeOnce(s, d, "media_features") {
       feats.write.mode("overwrite").parquet(MediaFeaturesPath)
     }
@@ -500,7 +501,7 @@ object Multimodal {
           it.flatMap(m => ImageIoCodec.decode(m.bytes).map(img => (m.media_id, aHash(img))))
         }
         .toDF("media_id", "phash")
-        .localCheckpoint(true)
+        .barrier("one 64-bit phash row per image")
     }
 
   private def ensureImagePhashPinned(s: SparkSession, d: String): Unit =
@@ -554,7 +555,7 @@ object Multimodal {
         .mapPartitions(it =>
           it.flatMap(m => AudioCodec.aHash(m.bytes).map(h => (m.media_id, h))))
         .toDF("media_id", "phash")
-        .localCheckpoint(true)
+        .barrier("one 64-bit phash row per audio clip")
     }
 
   private def ensureAudioPhashPinned(s: SparkSession, d: String): Unit =

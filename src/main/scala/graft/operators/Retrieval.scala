@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GoldenHash, QueryDef, Tables}
+import graft.Tables.BarrierOps
 import graft.functions.VectorFunctions
 
 /** Retrieval / classification / distributional-statistics operators —
@@ -300,6 +301,97 @@ object Retrieval {
     bm25ProbeBatch(BmQueries.toDF("query_id", "term"), postings, termStats, stats)
   }
 
+  // ------------------------------------ BM25 gen-2 append (VERDICT r14)
+
+  /** Pinned artifacts for the SECOND-generation append: the gen-2 base
+    * (neither ingest bucket), batch A (bucket 7), batch B (bucket 11) —
+    * six tables, self-pinned so `q_bm25_append2` verifies standalone
+    * (the SPARK_GRAFT_ONLY subset rule). The oracle re-derives BOTH
+    * generations' statistics from the raw pins (never the engine's
+    * folded counters), the `q_corpus_prep_delta2` stance.
+    */
+  val Bm25G2BasePostingsPath: String = graft.Artifacts.path("bm25_g2_base_postings")
+  val Bm25G2BaseDoclensPath: String = graft.Artifacts.path("bm25_g2_base_doclens")
+  val Bm25G2APostingsPath: String = graft.Artifacts.path("bm25_g2_a_postings")
+  val Bm25G2ADoclensPath: String = graft.Artifacts.path("bm25_g2_a_doclens")
+  val Bm25G2BPostingsPath: String = graft.Artifacts.path("bm25_g2_b_postings")
+  val Bm25G2BDoclensPath: String = graft.Artifacts.path("bm25_g2_b_doclens")
+
+  private val bm25G2Cache =
+    new graft.SessionCache[String, (Bm25Index, Bm25Index, Bm25Index)]()
+
+  /** One postings-fold generation — the grown index after admitting one
+    * ingest batch: postings by append (at 100 TB: rows into the
+    * term-bucketed postings table, the base side never reshuffles),
+    * df(t) and the (N, Σdl) counters by COUNTER ADDITION against the
+    * STORED values, never re-derived from at-rest rows. The counters
+    * stay exact longs across generations; avgdl is derived once at
+    * probe time from the final pair, so the double math is
+    * bit-identical to an avg over the unioned doclens at any
+    * generation depth. State is (postings, termStats(term, df),
+    * counters(n, sdl)).
+    */
+  private def foldBm25(g: (DataFrame, DataFrame, DataFrame),
+      delta: Bm25Index): (DataFrame, DataFrame, DataFrame) = {
+    val (p0, ts0, c0) = g
+    val postings = p0.unionByName(delta.postings)
+    // vocab-bound full-outer merge — the same shape as gen-1's
+    // bm25AppendedFrames, but consuming the PRIOR FOLD's df values
+    val termStats = ts0.select(col("term"), col("df").as("df_0"))
+      .join(delta.termStats.select(col("term"), col("df").as("df_d")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_0"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"))
+    val dc = delta.doclens.agg(count(lit(1)).as("n_d"),
+      coalesce(sum(col("dl")), lit(0L)).as("sdl_d"))
+    val counters = c0.crossJoin(dc)
+      .select((col("n") + col("n_d")).as("n"), (col("sdl") + col("sdl_d")).as("sdl"))
+    (postings, termStats, counters)
+  }
+
+  /** Second-generation probe-after-append (`q_bm25_append2`): batch A
+    * folds into the at-rest postings (gen 1), then batch B folds into
+    * the GROWN index — the gen-2 fold consumes gen-1's FOLDED df/N/Σdl,
+    * so any fold that silently leaned on raw base statistics breaks
+    * here (and breaks the oracle, which re-derives both generations
+    * from the three raw pins). Because base ∪ A ∪ B partitions the
+    * corpus, the probe must equal [[bm25Indexed]] row for row —
+    * RetrievalSpec pins that two-generation append==rebuild invariance.
+    */
+  /** The gen-2 folded frames (postings, termStats, stats) — shared by
+    * the batch probe below and the streaming twin's wiring, so the
+    * served path cannot drift from the oracle-verified one.
+    */
+  private[graft] def bm25Append2Frames(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val bucket = GoldenHash.bucket(col("doc_id"), 20)
+    val docs = Tables.documents(s, d)
+    val (base, dA, dB) = bm25G2Cache.getOrBuild(s, d)((
+      bm25IndexOf(docs.filter(bucket =!= 7 && bucket =!= 11)),
+      bm25IndexOf(docs.filter(bucket === 7)),
+      bm25IndexOf(docs.filter(bucket === 11))))
+    graft.Artifacts.writeOnce(s, d, "bm25_append2") {
+      base.postings.write.mode("overwrite").parquet(Bm25G2BasePostingsPath)
+      base.doclens.write.mode("overwrite").parquet(Bm25G2BaseDoclensPath)
+      dA.postings.write.mode("overwrite").parquet(Bm25G2APostingsPath)
+      dA.doclens.write.mode("overwrite").parquet(Bm25G2ADoclensPath)
+      dB.postings.write.mode("overwrite").parquet(Bm25G2BPostingsPath)
+      dB.doclens.write.mode("overwrite").parquet(Bm25G2BDoclensPath)
+    }
+    val g0 = (base.postings, base.termStats,
+      base.doclens.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sdl")))
+    val g2 = foldBm25(foldBm25(g0, dA), dB)
+    (g2._1, g2._2, g2._3.select(col("n"),
+      (col("sdl").cast("double") / col("n")).as("avgdl")))
+  }
+
+  def bm25Append2Probe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (postings, termStats, stats) = bm25Append2Frames(s, d)
+    bm25ProbeBatch(BmQueries.toDF("query_id", "term"), postings, termStats, stats)
+  }
+
   // ----------------------------------------------------------------- kNN
 
   val KnnK = 5
@@ -448,7 +540,7 @@ object Retrieval {
       // differ only by a null-filter that Catalyst pushes BELOW the
       // aggregate, which defeats exchange reuse and would re-run the
       // corpus explode per consumer
-      .localCheckpoint(true)
+      .barrier("vocab-bound term stats")
     val pairs = counted.filter(col("w2").isNotNull)
       .select(col("w1"), col("w2"), col("cnt").as("c_ab"))
     val uni = counted.filter(col("w2").isNull)
@@ -511,7 +603,13 @@ object Retrieval {
     "q_bm25_topk"       -> QueryDef(bm25TopK, Some(RetrievalOracles.bm25TopK),
       headline = false),
     "q_bm25_indexed"    -> QueryDef(bm25Indexed, Some(RetrievalOracles.bm25Indexed)),
-    "q_bm25_append"     -> QueryDef(bm25AppendProbe, Some(RetrievalOracles.bm25Appended)),
+    // headline slot passed to the gen-2 probe (the bench roster
+    // convention: the single-generation prefix demotes in the SAME
+    // commit its successor lands, so the shared chain isn't double-
+    // billed); still oracle-checked every round
+    "q_bm25_append"     -> QueryDef(bm25AppendProbe, Some(RetrievalOracles.bm25Appended),
+      headline = false),
+    "q_bm25_append2"    -> QueryDef(bm25Append2Probe, Some(RetrievalOracles.bm25Appended2)),
     // verified-not-benched since r14: exact-vote baseline of the
     // benched IVF sibling
     "q_knn_classify"    -> QueryDef(knnClassify, Some(RetrievalOracles.knnClassify),
@@ -611,6 +709,38 @@ object RetrievalOracles {
        |  SELECT doc_id, dl FROM read_parquet('${Retrieval.Bm25BaseDoclensPath}/*.parquet')
        |  UNION ALL
        |  SELECT doc_id, dl FROM read_parquet('${Retrieval.Bm25DeltaDoclensPath}/*.parquet')),
+       |stats AS (
+       |  SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM p GROUP BY term),
+       |tf AS (
+       |  SELECT doc_id, dl, term, tf FROM p
+       |  WHERE term IN (SELECT DISTINCT term FROM q)),
+       |$bm25TailSql""".stripMargin
+
+  /** Replays [[Retrieval.bm25Append2Probe]] over the SIX raw pins:
+    * base ∪ A ∪ B unioned, df and N/avgdl re-derived from the 3-way
+    * union — DuckDB never sees a folded counter, so a counter-addition
+    * bug in EITHER generation's fold breaks this compare (the
+    * corpusPrepDelta2 stance: the oracle derives gen-1 state itself).
+    */
+  val bm25Appended2: String =
+    s"""WITH q(query_id, term) AS (VALUES ${queriesValues}),
+       |p AS (
+       |  SELECT term, doc_id, dl, tf
+       |  FROM read_parquet('${Retrieval.Bm25G2BasePostingsPath}/*.parquet')
+       |  UNION ALL
+       |  SELECT term, doc_id, dl, tf
+       |  FROM read_parquet('${Retrieval.Bm25G2APostingsPath}/*.parquet')
+       |  UNION ALL
+       |  SELECT term, doc_id, dl, tf
+       |  FROM read_parquet('${Retrieval.Bm25G2BPostingsPath}/*.parquet')),
+       |dls AS (
+       |  SELECT doc_id, dl FROM read_parquet('${Retrieval.Bm25G2BaseDoclensPath}/*.parquet')
+       |  UNION ALL
+       |  SELECT doc_id, dl FROM read_parquet('${Retrieval.Bm25G2ADoclensPath}/*.parquet')
+       |  UNION ALL
+       |  SELECT doc_id, dl FROM read_parquet('${Retrieval.Bm25G2BDoclensPath}/*.parquet')),
        |stats AS (
        |  SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
        |dfreq AS (

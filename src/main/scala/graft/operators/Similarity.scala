@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
+import graft.Tables.BarrierOps
 import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (ARRAY<FLOAT>, dim 64).
@@ -139,7 +140,7 @@ object Similarity {
     val keyed = lshKeyCache.getOrBuild(s, (d, bands, bitsPerBand))(
       vecs(s, d).select(col("vec_id"),
         VectorFunctions.lshBandKeys(col("v"), bands, bitsPerBand).as("bands"))
-        .localCheckpoint(true))
+        .barrier("one packed-long band array per vector"))
     // only the default (16, 8) parameterization — the query surface —
     // pins its keys for the oracle
     if (bands == 16 && bitsPerBand == 8)
@@ -659,7 +660,7 @@ object Similarity {
 
   def embeddingPca(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     val proj = pcaCache.getOrBuild(s, (d, k))(
-      embeddingPcaProjected(s, d, k).localCheckpoint(true))
+      embeddingPcaProjected(s, d, k).barrier("k floats per vector — the PCA projection"))
     graft.Artifacts.writeOnce(s, d, "pca_proj") {
       proj.write.mode("overwrite").parquet(PcaProjPath)
     }

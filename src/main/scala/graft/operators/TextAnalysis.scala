@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.Tables.BarrierOps
 
 /** Text-analysis operators for an LLM-training-data pipeline, over the
   * `documents` fixture table: token counting, quality scoring, language
@@ -221,7 +222,7 @@ object TextAnalysis {
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("quality_logit").as("ql"),
         (col("lang") === "en").as("is_en"))
-      .localCheckpoint(true)
+      .barrier("two scalars per doc (logit, is_en)")
     val cutCols = (1 to 9).map(k =>
       round(expr(s"percentile(ql, 0.$k)"), 6).as(s"c$k"))
     // K-bounded golden-hash cut sample — per-document input, the
@@ -562,7 +563,7 @@ object TextAnalysis {
             (coalesce(col("c1"), lit(0L)) + col("v"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), round(avg(col("ll")), 4).as("avg_ll"))
-        .localCheckpoint(true)
+        .barrier("one LL rollup row per doc")
     }
 
   private def lmToks(s: SparkSession, d: String): DataFrame =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.Tables.BarrierOps
 
 /** Training-data preparation operators — the corpus-shaping steps a
   * large-scale LLM data pipeline runs between raw ingest and
@@ -254,7 +255,7 @@ object TrainingPrep {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .barrier("doc x distinct-term TF rows, shared by both consumers")
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
@@ -703,7 +704,7 @@ object TrainingPrep {
       val admittedA = batchA.join(
         deltaAdmissionChain(s, d, batchA, "delta2dx").select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text")).localCheckpoint(true)
+        .select(col("doc_id"), col("text")).barrier("admitted batch-A docs")
       Dedup.appendDedupIndex(admittedA, "delta2dx")
     }
     deltaAdmissionChain(s, d, batchB, "delta2dx")
@@ -1466,7 +1467,8 @@ object TrainingOracles {
        |  FROM cand_$tag c
        |  JOIN art ga ON c.doc_id = ga.doc_id
        |  JOIN art gb ON c.idx_doc = gb.doc_id
-       |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |  WHERE ${DedupOracles.sizeRatioSql("ga.grams", "gb.grams")}
+       |    AND CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
        |        / (len(ga.grams) + len(gb.grams)
        |           - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
        |e3_$tag AS (

@@ -2,6 +2,7 @@ package graft.storage
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables.BarrierOps
 
 /** Columnar at-rest storage for log/event tables.
   *
@@ -243,7 +244,7 @@ object LogStore {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__side")
-      .localCheckpoint()
+      .barrier("compacted table rows — lineage cut only", eager = false)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.Row
 import graft.parse.LogParse
+import graft.Tables.BarrierOps
 
 /** Structured Streaming surface: sources (S4), watermarked tumbling
   * windows (A5), foreachBatch sinks (K1-K5, U2), and the streaming
@@ -590,11 +591,23 @@ object StreamPipelines {
           val s = batch.sparkSession
           val assigned = graft.operators.Dedup.splitAssignDeltaCore(
               s, batch, s.table(s"${prefix}_split"), prefix)
-            .localCheckpoint(true)
+            .barrier("one row per micro-batch doc")
           sink(assigned, id)
-          graft.operators.Dedup.foldSplitAssign(s, assigned, prefix)
+          // replay guard (ADVICE r14): Structured Streaming retries a
+          // micro-batch at-least-once, and a crash between sink() and
+          // the folds re-delivers it too — so each at-rest append is
+          // guarded by THE TARGET TABLE'S OWN membership (anti-join on
+          // doc_id), making retried folds no-ops per table even when a
+          // prior attempt died between the two appends. The guard scans
+          // one bucketed id column per batch; the probe itself already
+          // reads the same tables.
+          val seenSplit = s.table(s"${prefix}_split").select(col("doc_id"))
+          graft.operators.Dedup.foldSplitAssign(s,
+            assigned.join(seenSplit, Seq("doc_id"), "left_anti"), prefix)
+          val seenIdx = s.table(s"${prefix}_grams").select(col("doc_id"))
           graft.operators.Dedup.appendDedupIndex(
-            batch.select(col("doc_id"), col("text")), prefix)
+            batch.select(col("doc_id"), col("text"))
+              .join(seenIdx, Seq("doc_id"), "left_anti"), prefix)
         }
       }
       .start()
@@ -1079,7 +1092,12 @@ class BucketRepProcessor(threshold: Double, ttl: Option[java.time.Duration])
       if (!rep.exists()) rep.update((docId, grams))
       else {
         val (repId, repGrams) = rep.get()
-        if (repId != docId) {
+        // size-ratio prefilter (the batch-side [[graft.operators.Dedup]]
+        // convention): J ≥ t needs min·1 ≥ t·max over cardinalities, so
+        // refuted pairs skip the merge-intersect — result-invariant
+        val (lo, hi) = (math.min(repGrams.length, grams.length).toDouble,
+          math.max(repGrams.length, grams.length).toDouble)
+        if (repId != docId && lo >= threshold * hi) {
           val j = graft.functions.GramHash.jaccardSorted(repGrams, grams)
           if (j >= threshold) out += NearDupHit(docId, repId, j)
         }

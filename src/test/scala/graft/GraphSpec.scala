@@ -144,6 +144,38 @@ class GraphSpec extends SparkSpec {
     assert(small == dist)
   }
 
+  test("driver tier mirrors loop semantics for out-of-vertex endpoints") {
+    // ADVICE r14: endpoint 1 is NOT in the vertex set and is SMALLER
+    // than every vertex in its component {1,5,9} — the loop never emits
+    // a non-vertex id as a label, so the component label must be 5 (min
+    // VERTEX), not 1; and the loop's fixpoint row set includes the
+    // non-vertex endpoint itself. Edge (100,101) checks a non-vertex
+    // endpoint LARGER than its component's vertex, and the vertex-free
+    // edge (200,201) must produce NO rows on either plan.
+    val vertices = Seq(5L, 9L, 12L, 100L).toDF("id")
+    val edges = Seq((1L, 5L), (1L, 9L), (100L, 101L), (200L, 201L))
+      .toDF("src", "dst")
+    val driver = Graph.components(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = Graph.components(vertices, edges, driverCutoff = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist,
+      s"driver=$driver dist=$dist")
+    assert(driver(1L) == 5L && driver(5L) == 5L && driver(9L) == 5L)
+    assert(driver(12L) == 12L && driver(100L) == 100L && driver(101L) == 100L)
+    assert(!driver.contains(200L) && !driver.contains(201L))
+  }
+
+  test("driver tier accepts IntegerType id frames") {
+    // ADVICE r14: Row.getLong on an int column threw ClassCastException;
+    // the tier now casts before collect, matching the loop's tolerance
+    val vertices = Seq(1, 2, 3, 4).toDF("id")
+    val edges = Seq((1, 2), (3, 4)).toDF("src", "dst")
+    val driver = Graph.components(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("both propagation styles agree on a seeded random graph") {
     // 120 vertices, 90 random edges (seeded) → a mix of small trees,
     // cycles, and singletons; the two algorithms must produce identical

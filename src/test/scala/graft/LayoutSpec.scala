@@ -10,6 +10,26 @@ import graft.storage.LogStore
   */
 class LayoutSpec extends SparkSpec {
 
+  test("barrier pins a frame in both modes and cuts lineage") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("id").withColumn("x", col("id") * 2)
+    // local mode (default): same rows, truncated plan
+    val local = Tables.barrier(df, "100 fixture rows")
+    assert(local.count() == 100 &&
+      local.queryExecution.optimizedPlan.collectLeaves().size == 1)
+    // reliable mode: eager checkpoint to the configured dir — the
+    // cluster-mode stance (fault-tolerant blocks), no call-site change
+    val dir = java.nio.file.Files.createTempDirectory("graft-barrier").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("graft.barrier.mode", "reliable")
+    try {
+      val reliable = Tables.barrier(df, "100 fixture rows")
+      assert(reliable.count() == 100)
+      assert(new java.io.File(dir).listFiles().nonEmpty, "checkpoint dir empty")
+    } finally spark.conf.unset("graft.barrier.mode")
+    intercept[IllegalArgumentException](Tables.barrier(df, ""))
+  }
+
   test("date-partitioned store prunes partitions on a date predicate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString + "/logs"
     val df = Tables.events(spark, sf).withColumnRenamed("ts", "timestamp")

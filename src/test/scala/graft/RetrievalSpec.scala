@@ -83,6 +83,21 @@ class RetrievalSpec extends SparkSpec {
     assert(n == Tables.documents(spark, sf).count())
   }
 
+  test("bm25 gen-2 append: two folded generations equal the full rebuild") {
+    // base ∪ A ∪ B partitions the corpus, so folding A (gen 1) and then
+    // B through the GROWN index (gen 2 — consuming gen 1's FOLDED
+    // df/N/Σdl, never raw base stats) must reproduce the from-scratch
+    // ranking row for row at both sf fixtures' scale
+    val g2 = Retrieval.bm25Append2Probe(spark, sf).collect().map(_.toSeq)
+    val indexed = Retrieval.bm25Indexed(spark, sf).collect().map(_.toSeq)
+    assert(g2.toSeq == indexed.toSeq)
+    // both ingest buckets are non-empty on the fixture, or the test
+    // would vacuously pass with an empty generation
+    val bucket = graft.GoldenHash.bucket(col("doc_id"), 20)
+    assert(Tables.documents(spark, sf).filter(bucket === 7).count() > 0)
+    assert(Tables.documents(spark, sf).filter(bucket === 11).count() > 0)
+  }
+
   test("knnClassify matches a plain-Scala k-NN vote") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))

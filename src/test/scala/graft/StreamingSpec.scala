@@ -395,6 +395,33 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${sunk.size} result rows != batch ${expected.size}")
   }
 
+  test("streaming BM25 probe serves the GEN-2 appended index") {
+    import graft.operators.Retrieval
+    // the serving twin of the two-generation postings story: queries
+    // stream against base ∪ A ∪ B with twice-folded stats — the same
+    // frames the gen-2 batch probe consumes (VERDICT r14 item 4)
+    val (postings, termStats, stats) = Retrieval.bm25Append2Frames(spark, sf)
+    val expected = Retrieval.bm25Append2Probe(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val mem = MemoryStream[(Int, String)](spark)
+    val sunk = scala.collection.mutable.Set.empty[(Int, Int, Long, Double)]
+    val cp = java.nio.file.Files.createTempDirectory("graft-bm25g2-cp").toString
+    val q = StreamPipelines.streamingBm25Probe(
+      mem.toDF().toDF("query_id", "term"), postings, termStats, stats,
+      (df, _) => sunk.synchronized {
+        sunk ++= df.as[(Int, Int, Long, Double)].collect()
+      }, cp)
+    val (b1, b2) = Retrieval.BmQueries.partition(_._1 < 2)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.toSet == expected,
+      s"streamed ${sunk.size} result rows != batch ${expected.size}")
+  }
+
   test("streaming corpus admission is batch-boundary-invariant against corpusPrepDelta") {
     import graft.operators.TrainingPrep
     // batch truth first (also builds + pins the frozen at-rest indexes)
