@@ -103,7 +103,8 @@ object Bench {
       "q_ann_index_drift",
       "q_corpus_prep_delta", "q_corpus_prep_delta2", "q_bm25_indexed", "q_bm25_append2",
       "q_split_assign_delta",
-      "q_knn_classify_ivf", "q_pagerank", "q_rt_model_score")
+      "q_knn_classify_ivf", "q_pagerank", "q_rt_model_score",
+      "q_unigram_lm_train", "q_unigram_lm_apply")
     val cold = allTimes.collect {
       case (n, ts) if coldTracked(n) && ts.nonEmpty => n -> Some(ts.head)
     }

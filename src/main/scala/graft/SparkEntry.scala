@@ -31,6 +31,7 @@ object SparkEntry {
     operators.CorpusAudit.defs,
     operators.Skew.defs,
     operators.Graph.defs,
+    operators.UnigramLm.defs,
     ml.MlScore.defs,
     sources.CatalogTables.defs,
     sources.FileFormats.defs)

@@ -327,10 +327,29 @@ object AnnMaintain {
     * index generation is currently live.
     */
   private[graft] def driftReport(
-      atRest: DataFrame, batch: DataFrame, cdf: DataFrame): DataFrame = {
-    val old = assignCells(atRest, cdf)
+      atRest: DataFrame, batch: DataFrame, cdf: DataFrame): DataFrame =
+    driftReportFromStats(atRestCellStats(atRest, cdf), batch, cdf)
+
+  /** The at-rest side of the drift report — per frozen cell, occupancy
+    * and mean squared-L2. This is the FROZEN-per-index-generation half:
+    * the streaming monitor computes it once at wiring time (it is a
+    * deterministic function of the at-rest table + centroid sidecar)
+    * and re-flags every micro-batch against it, so per-batch cost is
+    * batch-side only.
+    */
+  private[graft] def atRestCellStats(atRest: DataFrame, cdf: DataFrame): DataFrame =
+    assignCells(atRest, cdf)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_old"), round(avg(col("d2")), 4).as("mean_d2_old"))
+
+  /** The drift flags against PRECOMPUTED at-rest stats — the shared
+    * tail of [[driftReport]] and the per-micro-batch streaming monitor
+    * ([[graft.streaming.StreamPipelines.streamingAnnAppend]]'s
+    * driftSink), so the two paths cannot drift from each other.
+    */
+  private[graft] def driftReportFromStats(
+      oldStats: DataFrame, batch: DataFrame, cdf: DataFrame): DataFrame = {
+    val old = oldStats
     val neu = assignCells(batch, cdf)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_new"), round(avg(col("d2")), 4).as("mean_d2_new"))

@@ -736,6 +736,8 @@ object Dedup {
     */
   val DecontaminateBroadcastMaxRows: Long = 200000L
 
+  private val decontBroadcastFits = new graft.SessionCache[String, Boolean]()
+
   def minhashDecontaminate(s: SparkSession, d: String): DataFrame = {
     graft.functions.Registry.ensure(s)
     val index = minhashIndex(s, d)
@@ -774,10 +776,13 @@ object Dedup {
     val gramsTestRaw = index
       .filter(graft.GoldenHash.isTestDoc(col("doc_id")))
       .select(col("doc_id").as("test_id"), col("grams").as("gt"))
-    val gramsTest =
-      if (gramsTestRaw.limit(DecontaminateBroadcastMaxRows.toInt + 1).count()
-          <= DecontaminateBroadcastMaxRows) broadcast(gramsTestRaw)
-      else gramsTestRaw
+    // the bound probe is one cheap limit+count job over the checkpointed
+    // index, memoized per (session, corpus) so repeat probes (bench
+    // min-of-2, multi-query sessions) don't re-pay it
+    val fits = decontBroadcastFits.getOrBuild(s, d)(
+      gramsTestRaw.limit(DecontaminateBroadcastMaxRows.toInt + 1).count()
+        <= DecontaminateBroadcastMaxRows)
+    val gramsTest = if (fits) broadcast(gramsTestRaw) else gramsTestRaw
     cand
       .join(grams, Seq("doc_id"))
       .join(gramsTest, Seq("test_id"))
@@ -1098,6 +1103,18 @@ object Dedup {
     * scan.
     */
   private[graft] def incrementalNearDupsIdx(s: SparkSession, newIdx: DataFrame,
+      prefix: String): DataFrame =
+    verifiedProbePairs(s, newIdx, probeCandidates(s, newIdx, prefix), prefix)
+      .groupBy(col("doc_id"))
+      .agg(min(col("idx_doc")).as("dup_of"),
+        round(max(col("jaccard")), 4).as("max_jaccard"))
+      .orderBy(col("doc_id"))
+
+  /** The pruned (batch doc, at-rest candidate) id pairs of the
+    * incremental probe — shared by [[incrementalNearDupsIdx]] and
+    * [[splitBridgeMonitor]].
+    */
+  private def probeCandidates(s: SparkSession, newIdx: DataFrame,
       prefix: String): DataFrame = {
     // self-guard: if a batch id collides with an already-indexed id
     // (re-ingest, replay), the doc must not be flagged as a duplicate
@@ -1115,7 +1132,7 @@ object Dedup {
     // rows each paying a boxed eval). Plain min(when(...)) aggregates
     // fuse into the join's codegen stage, so bucket members stream
     // through registers and only ≤ K longs per group ever materialize.
-    val cand = hits
+    hits
       .groupBy(col("doc_id"), col("bkey"))
       .agg(
         min(when(pmod(col("idx_doc"), lit(ProbeCandPerBucket)) === 0, col("idx_doc"))).as("c0"),
@@ -1125,6 +1142,42 @@ object Dedup {
         (0 until ProbeCandPerBucket).map(r => col(s"c$r")): _*)).as("idx_doc"))
       .filter(col("idx_doc").isNotNull)
       .select(col("doc_id"), col("idx_doc")).distinct()
+  }
+
+  /** Per-batch split-BRIDGE monitor — the streaming-side early warning
+    * for the risk [[splitDrift]] audits per corpus version: a batch
+    * document whose VERIFIED near-dup anchors span two different
+    * at-rest clusters merges them, which is exactly the event that
+    * produces `q_split_drift` rows (cluster relabels, possible split
+    * flips) at the next full re-run. Emitted per micro-batch through
+    * [[graft.streaming.StreamPipelines.streamingSplitAssign]]'s
+    * driftSink: one row per batch doc with ≥1 verified anchor —
+    * distinct anchor clusters/splits and the `migrate` flag (spans ≥2
+    * clusters). Probe ∝ batch against the bucketed index + split
+    * table (the same [[verifiedProbePairs]] the admission gate runs);
+    * zero new streaming state.
+    */
+  def splitBridgeMonitor(s: SparkSession, batch: DataFrame,
+      prefix: String): DataFrame = {
+    val newIdx = minhashIndexOf(batch.select(col("doc_id"), col("text")))
+    verifiedProbePairs(s, newIdx, probeCandidates(s, newIdx, prefix), prefix)
+      .join(s.table(s"${prefix}_split")
+        .select(col("doc_id").as("idx_doc"), col("label"), col("split")),
+        Seq("idx_doc"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("label")).as("n_anchor_clusters"),
+        countDistinct(col("split")).as("n_anchor_splits"))
+      .withColumn("migrate", col("n_anchor_clusters") > 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The verified (batch doc, at-rest doc, jaccard) pair set of the
+    * incremental probe — the shared tail of [[incrementalNearDupsIdx]]
+    * and [[splitBridgeMonitor]], so the monitor can never disagree with
+    * the admission gate about which anchors verified.
+    */
+  private def verifiedProbePairs(s: SparkSession, newIdx: DataFrame,
+      cand: DataFrame, prefix: String): DataFrame =
     cand
       .join(newIdx.select(col("doc_id"), col("grams").as("gn")), Seq("doc_id"))
       .join(s.table(s"${prefix}_grams")
@@ -1137,11 +1190,7 @@ object Dedup {
       .withColumn("jaccard",
         graft.functions.NgramJaccardFunctions.jaccardSorted(col("gn"), col("gi")))
       .filter(col("jaccard") >= 0.5)
-      .groupBy(col("doc_id"))
-      .agg(min(col("idx_doc")).as("dup_of"),
-        round(max(col("jaccard")), 4).as("max_jaccard"))
-      .orderBy(col("doc_id"))
-  }
+      .select(col("doc_id"), col("idx_doc"), col("jaccard"))
 
   /** The caller's follow-up write after admission: append the admitted
     * batch's OWN index rows — fused band keys, gram sets, and text

@@ -1,0 +1,364 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Unigram-LM (SentencePiece-style) tokenizer induction beside
+  * [[BpeTrain]] — the OTHER tokenizer production pipelines train
+  * (VERDICT r14 item 6). Viterbi EM over the same distinct-word
+  * frequency table BPE trains on ([[BpeTrain.vocab]] — one corpus-scale
+  * shuffle, shared, so the two tokenizers' fertilities compare over one
+  * word definition):
+  *
+  *   - CANDIDATES (round 0): every substring of length 1..[[MaxPieceLen]]
+  *     of every vocab word, occurrence-counted (all positions,
+  *     freq-weighted); the top [[CandMax]] by (count DESC, piece ASC)
+  *     plus ALL single characters (kept unconditionally at every round,
+  *     so segmentation is total — no UNK).
+  *   - E-STEP: Viterbi-segment each DISTINCT word under the current
+  *     piece scores; per-word cost ∝ len × [[MaxPieceLen]], and the
+  *     whole step is vocab-bound, never corpus-bound.
+  *   - M-STEP: piece counts = freq-weighted usage sums; prune pieces
+  *     with zero usage (Viterbi-EM's prune-by-loss at threshold 0: an
+  *     unused piece contributes nothing to the corpus likelihood),
+  *     single characters exempt; re-derive scores from the new counts.
+  *
+  * DETERMINISM (the convention that makes a cross-engine oracle
+  * possible): scores are INTEGER-QUANTIZED log-likelihoods —
+  * `floor(1e6 · ln((cnt+1) / (total+pieces)))` as BIGINT (Laplace
+  * smoothing keeps zero-usage characters finite; floor, not round,
+  * because Java rounds half-up while DuckDB rounds half-away-from-zero
+  * on negatives) — so every Viterbi comparison is exact integer
+  * arithmetic and the argmax cannot drift between engines. Ties take
+  * the SMALLEST piece length at each DP cell (engine: ascending-k scan
+  * with strict improvement; oracle: ordered CASE), making the
+  * segmentation itself, not just its score, engine-identical.
+  *
+  * The EM runs DRIVER-SIDE over the collected vocab (the
+  * [[BpeTrain.learnMerges]] deep-rounds precedent and its
+  * [[BpeTrain.collectVocabCapped]] cap machinery): the frequency table
+  * is vocab-bound by construction, and R Viterbi-EM rounds as
+  * distributed jobs would pay scheduler latency per (round × DP depth)
+  * for aggregations orders of magnitude below corpus scale. The ONE
+  * corpus-scale job is the shared vocab scan. The oracle replays the
+  * ENTIRE induction from raw text alone — candidates, every round's
+  * forward DP (a recursive CTE carrying the last [[MaxPieceLen]] best
+  * scores as columns), the backtrace (a second recursive CTE choosing
+  * the smallest tie-breaking step), usage counts, prune, and
+  * requantization — with NO steering artifact: all arithmetic is
+  * integer except the single `floor(1e6·ln(rational))` per piece per
+  * round, the same ln-then-quantize exposure every lm/tfidf oracle in
+  * this repo carries.
+  *
+  * Reference anchor: the reference has no tokenizer surface at all; this
+  * extends the training-data-pipeline family (SURVEY §2.8) beside BPE.
+  */
+object UnigramLm {
+
+  /** Longest candidate piece. */
+  val MaxPieceLen = 4
+
+  /** Multi-char candidate budget (top by count, ties lexicographic). */
+  val CandMax = 1200
+
+  /** Viterbi-EM rounds after the count-initialized round 0. */
+  val EmRounds = 3
+
+  /** Fixed-point scale for quantized log-likelihoods. */
+  val Scale = 1e6
+
+  final case class Piece(piece: String, cnt: Long, logqZ: Long)
+
+  /** floor-quantized Laplace log-likelihood — THE one score definition,
+    * mirrored verbatim in the oracle SQL ([[UnigramOracles.lqSql]]).
+    */
+  private def logqZ(cnt: Long, total: Long, nPieces: Long): Long =
+    math.floor(Scale * math.log((cnt + 1).toDouble / (total + nPieces))).toLong
+
+  /** Viterbi segmentation under integer scores; ties take the smallest
+    * piece length (ascending-k scan, strict improvement). Total by
+    * construction: every single char of the word is in `logq`.
+    */
+  private[graft] def viterbi(w: String, logq: collection.Map[String, Long]): Seq[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Long.MinValue)
+    val bk = Array.fill(n + 1)(0)
+    best(0) = 0L
+    var p = 1
+    while (p <= n) {
+      var k = 1
+      val kMax = math.min(MaxPieceLen, p)
+      while (k <= kMax) {
+        if (best(p - k) != Long.MinValue) {
+          logq.get(w.substring(p - k, p)) match {
+            case Some(q) =>
+              val sc = best(p - k) + q
+              if (sc > best(p)) { best(p) = sc; bk(p) = k }
+            case None =>
+          }
+        }
+        k += 1
+      }
+      p += 1
+    }
+    require(best(n) != Long.MinValue, s"unsegmentable word '$w' — char pieces missing")
+    val out = List.newBuilder[String]
+    var q = n
+    val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (q > 0) { val k = bk(q); rev += w.substring(q - k, q); q -= k }
+    rev.reverseIterator.foreach(out += _)
+    out.result()
+  }
+
+  /** The driver-side EM core over a collected (word, freq) vocab —
+    * exposed for the spec's brute-force cross-check.
+    */
+  private[graft] def induceUnigram(words: Array[(String, Long)],
+      rounds: Int = EmRounds): Array[Piece] = {
+    // round 0: occurrence-counted substring candidates
+    val cnt0 = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        val lMax = math.min(MaxPieceLen, w.length - i)
+        while (l <= lMax) {
+          val p = w.substring(i, i + l)
+          cnt0(p) = cnt0.getOrElse(p, 0L) + f
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val top = cnt0.toArray.sortBy { case (p, c) => (-c, p) }.take(CandMax)
+    val chars = cnt0.filter(_._1.length == 1)
+    var state: Map[String, Long] = (top ++ chars).toMap // same (piece, cnt) pairs dedup
+    var r = 1
+    while (r <= rounds) {
+      val total = state.valuesIterator.sum
+      val n = state.size.toLong
+      val logq = state.map { case (p, c) => p -> logqZ(c, total, n) }
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, f) =>
+        viterbi(w, logq).foreach(p => usage(p) = usage.getOrElse(p, 0L) + f)
+      }
+      state = state.collect {
+        case (p, _) if usage.getOrElse(p, 0L) > 0L || p.length == 1 =>
+          p -> usage.getOrElse(p, 0L)
+      }
+      r += 1
+    }
+    val totalF = state.valuesIterator.sum
+    val nF = state.size.toLong
+    state.toArray.sortBy(_._1)
+      .map { case (p, c) => Piece(p, c, logqZ(c, totalF, nF)) }
+  }
+
+  private val emCache = new graft.SessionCache[String, Array[Piece]]()
+
+  private[graft] def trainedPieces(s: SparkSession, d: String): Array[Piece] =
+    emCache.getOrBuild(s, d) {
+      induceUnigram(BpeTrain.collectVocabCapped(
+        BpeTrain.vocab(s, d).select(col("word").as("seq"), col("freq")),
+        BpeTrain.DriverVocabCap))
+    }
+
+  /** `q_unigram_lm_train`: the final piece table (piece, cnt, logq_z)
+    * after [[EmRounds]] Viterbi-EM rounds. The oracle re-derives it
+    * END-TO-END from raw text (no pinned artifact).
+    */
+  def unigramTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainedPieces(s, d).toSeq.toDF("piece", "cnt", "logq_z")
+      .orderBy(col("piece"))
+  }
+
+  /** `q_unigram_lm_apply`: per-document tokenization accounting under
+    * the trained pieces — the SAME output shape as `q_bpe_apply`
+    * (n_words / tokens / letter chars), so the two tokenizers' corpus
+    * fertilities compare directly over the shared word definition. The
+    * per-word Viterbi runs once per DISTINCT word on the driver
+    * (vocab-bound); the corpus-scale side is one broadcast join of the
+    * word→token-count map against the word stream.
+    */
+  def unigramApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pieces = trainedPieces(s, d)
+    val logq: Map[String, Long] = pieces.map(p => p.piece -> p.logqZ).toMap
+    val vocabArr = BpeTrain.collectVocabCapped(
+      BpeTrain.vocab(s, d).select(col("word").as("seq"), col("freq")),
+      BpeTrain.DriverVocabCap)
+    val wordTok = vocabArr.map { case (w, _) => (w, viterbi(w, logq).length.toLong) }
+    val m = broadcast(wordTok.toSeq.toDF("word", "n_tok"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .join(m, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_unigram_tokens"),
+        sum(length(col("word")).cast("long")).as("n_letter_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_unigram_lm_train" -> QueryDef(unigramTrain, Some(UnigramOracles.unigramTrain)),
+    "q_unigram_lm_apply" -> QueryDef(unigramApply, Some(UnigramOracles.unigramApply)))
+}
+
+/** DuckDB replay of the unigram-LM induction from raw text alone —
+  * every EM round unrolled as (forward-DP recursive CTE, backtrace
+  * recursive CTE, usage rollup, prune+requantize), all integer
+  * arithmetic except the per-piece `floor(1e6·ln)` quantization.
+  */
+object UnigramOracles {
+
+  private val L = UnigramLm.MaxPieceLen
+
+  /** SQL mirror of the one score definition. */
+  private def lqSql(cntTable: String): String =
+    s"""SELECT piece, cnt,
+       |  CAST(floor(1e6 * ln(CAST(cnt + 1 AS DOUBLE)
+       |    / ((SELECT sum(cnt) FROM $cntTable) + (SELECT count(*) FROM $cntTable))))
+       |    AS BIGINT) AS logq
+       |FROM $cntTable""".stripMargin
+
+  /** Forward Viterbi DP over `vwords(word)` scored by `$lq(piece, logq)`
+    * — a recursive CTE carrying the last [[UnigramLm.MaxPieceLen]] best
+    * scores as columns (b1 = best(pos) … b4 = best(pos-3)); the
+    * accumulated rows ARE the best() table.
+    */
+  private def vitCtes(tag: String, lq: String): String = {
+    val sentinel = "-4611686018427387904" // never wins; keeps greatest() null-safe
+    def score(k: Int) = s"coalesce(w.b$k + p$k.logq, $sentinel)"
+    def join(k: Int) =
+      s"LEFT JOIN $lq p$k ON w.pos + 1 >= $k AND p$k.piece = substr(w.word, w.pos + ${2 - k}, $k)"
+    s"""vit_$tag AS (
+       |  SELECT word, 0 AS pos,
+       |    CAST(0 AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+       |    CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS b4
+       |  FROM vwords
+       |  UNION ALL
+       |  SELECT w.word, w.pos + 1,
+       |    greatest(${(1 to L).map(score).mkString(", ")}),
+       |    w.b1, w.b2, w.b3
+       |  FROM vit_$tag w
+       |  ${(1 to L).map(join).mkString("\n  ")}
+       |  WHERE w.pos < length(w.word)),
+       |fwd_$tag AS MATERIALIZED (SELECT word, pos, b1 AS best FROM vit_$tag)""".stripMargin
+  }
+
+  /** Backtrace over `fwd_$tag` + `$lq`: from pos = len(word) choose the
+    * SMALLEST k with best(pos-k) + logq(piece) = best(pos) (the engine's
+    * ascending-k strict-improvement tie-break), emitting the chosen
+    * piece per step.
+    */
+  private def traceCtes(tag: String, lq: String): String = {
+    def fj(k: Int) =
+      s"LEFT JOIN fwd_$tag f$k ON f$k.word = t.word AND f$k.pos = t.pos - $k"
+    def pj(k: Int) =
+      s"LEFT JOIN $lq q$k ON t.pos >= $k AND q$k.piece = substr(t.word, t.pos + ${1 - k}, $k)"
+    val kCase = (1 to L).map(k =>
+      s"WHEN f$k.best + q$k.logq = f0.best THEN $k").mkString(" ")
+    val pCase = (1 to L).map(k =>
+      s"WHEN f$k.best + q$k.logq = f0.best THEN substr(t.word, t.pos + ${1 - k}, $k)")
+      .mkString(" ")
+    s"""trace_$tag AS (
+       |  SELECT word, CAST(length(word) AS INT) AS pos, CAST(NULL AS VARCHAR) AS piece
+       |  FROM vwords
+       |  UNION ALL
+       |  SELECT t.word, t.pos - (CASE $kCase END),
+       |    CASE $pCase END
+       |  FROM trace_$tag t
+       |  JOIN fwd_$tag f0 ON f0.word = t.word AND f0.pos = t.pos
+       |  ${(1 to L).map(fj).mkString("\n  ")}
+       |  ${(1 to L).map(pj).mkString("\n  ")}
+       |  WHERE t.pos > 0)""".stripMargin
+  }
+
+  /** One EM round: segment under `lq_$prev`, roll up freq-weighted
+    * usage, prune zero-usage multi-char pieces (chars exempt, count 0),
+    * requantize → `cnt_$r` and `lq_$r`.
+    */
+  private def roundCtes(r: Int, prev: String): String =
+    s"""${vitCtes(s"r$r", s"lq_$prev")},
+       |${traceCtes(s"r$r", s"lq_$prev")},
+       |usage_r$r AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS u
+       |  FROM trace_r$r JOIN vocab USING (word)
+       |  WHERE piece IS NOT NULL
+       |  GROUP BY piece),
+       |cnt_r$r AS MATERIALIZED (
+       |  SELECT c.piece, coalesce(u.u, 0) AS cnt
+       |  FROM cnt_$prev c LEFT JOIN usage_r$r u USING (piece)
+       |  WHERE coalesce(u.u, 0) > 0 OR length(c.piece) = 1),
+       |lq_r$r AS MATERIALIZED (${lqSql(s"cnt_r$r")})""".stripMargin
+
+  /** Shared prefix: vocab, substring candidates, round-0 state. */
+  private val baseCtes: String =
+    s"""vocab AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |vwords AS MATERIALIZED (SELECT word FROM vocab),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS i
+       |        FROM vocab),
+       |    (SELECT unnest(generate_series(1, $L)) AS l)
+       |  WHERE i + l - 1 <= length(word)
+       |  GROUP BY 1),
+       |cnt_r0 AS MATERIALIZED (
+       |  -- top-C ∪ chars as ONE branch (rn <= C OR len = 1): under WITH
+       |  -- RECURSIVE, DuckDB 1.0 runs a two-branch UNION with recursive
+       |  -- machinery that emitted the char rows TWICE, and duplicate
+       |  -- pieces turn the DP joins into 2^len row multiplication
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM subs)
+       |  WHERE rn <= ${UnigramLm.CandMax} OR length(piece) = 1),
+       |lq_r0 AS MATERIALIZED (${lqSql("cnt_r0")})""".stripMargin
+
+  private def allRounds: String =
+    (1 to UnigramLm.EmRounds).map(r => roundCtes(r, s"r${r - 1}")).mkString(",\n")
+
+  val unigramTrain: String = {
+    val fr = s"r${UnigramLm.EmRounds}"
+    s"""WITH RECURSIVE
+       |$baseCtes,
+       |$allRounds
+       |SELECT piece, cnt, logq AS logq_z
+       |FROM lq_$fr
+       |ORDER BY piece""".stripMargin
+  }
+
+  /** Apply = one more forward/backtrace pass under the FINAL scores,
+    * per-word token counts, then the corpus join and per-doc rollup —
+    * the bpeApply accounting over the same word stream.
+    */
+  val unigramApply: String = {
+    val fr = s"r${UnigramLm.EmRounds}"
+    s"""WITH RECURSIVE
+       |$baseCtes,
+       |$allRounds,
+       |${vitCtes("ap", s"lq_$fr")},
+       |${traceCtes("ap", s"lq_$fr")},
+       |wordtok AS MATERIALIZED (
+       |  SELECT word, CAST(count(piece) AS BIGINT) AS n_tok
+       |  FROM trace_ap WHERE piece IS NOT NULL
+       |  GROUP BY word),
+       |docwords AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(w.n_tok) AS BIGINT) AS n_unigram_tokens,
+       |  CAST(sum(length(d.word)) AS BIGINT) AS n_letter_chars
+       |FROM docwords d JOIN wordtok w USING (word)
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+}

@@ -507,14 +507,28 @@ object StreamPipelines {
       codebooks: DataFrame,
       sink: (DataFrame, Long) => Unit,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
+      driftSink: Option[(DataFrame, Long) => Unit] = None,
+      atRestStats: Option[DataFrame] = None): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           sink(graft.operators.AnnMaintain.encodeBatch(batch, centroids, codebooks), id)
+          // per-batch drift flags (VERDICT r14 item 7): the batch's
+          // per-cell occupancy/distance vs the FROZEN at-rest stats
+          // (computed once at wiring time — a deterministic function of
+          // the at-rest table and the centroid sidecar), through the
+          // SAME driftReport tail the batch audit runs. Zero new
+          // streaming state; per-batch cost is batch-side only.
+          driftSink.foreach(ds => ds(graft.operators.AnnMaintain
+            .driftReportFromStats(atRestStats.getOrElse(sys.error(
+              "streamingAnnAppend: driftSink requires atRestStats " +
+                "(AnnMaintain.atRestCellStats at wiring time)")),
+              batch, centroids), id))
+        }
       }
       .start()
 
@@ -540,15 +554,24 @@ object StreamPipelines {
       sfDir: String,
       sink: (DataFrame, Long) => Unit,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
+      driftSink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
-          sink(graft.operators.TrainingPrep.deltaAdmissionChain(
-            batch.sparkSession, sfDir, batch), id)
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          sink(graft.operators.TrainingPrep.deltaAdmissionChain(s, sfDir, batch), id)
+          // per-batch tokenizer-drift flags (VERDICT r14 item 7): the
+          // batch's per-lang fertility under the FROZEN merges vs the
+          // cached at-rest counters — the SAME vocabDrift body and
+          // integer cross-multiplied retrain rule as the batch audit.
+          // Zero new streaming state; per-batch cost ∝ batch words.
+          driftSink.foreach(ds =>
+            ds(graft.operators.BpeTrain.vocabDriftOf(s, sfDir, batch), id))
+        }
       }
       .start()
 
@@ -581,7 +604,8 @@ object StreamPipelines {
       prefix: String,
       sink: (DataFrame, Long) => Unit,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("0 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
+      driftSink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -589,6 +613,13 @@ object StreamPipelines {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // per-batch split-bridge flags (VERDICT r14 item 7): batch
+          // docs whose verified anchors span ≥2 at-rest clusters — the
+          // event that becomes a q_split_drift row at the next version
+          // bump — flagged BEFORE the fold grows the state, from the
+          // same bucketed index + split table the assignment probes.
+          driftSink.foreach(ds =>
+            ds(graft.operators.Dedup.splitBridgeMonitor(s, batch, prefix), id))
           val assigned = graft.operators.Dedup.splitAssignDeltaCore(
               s, batch, s.table(s"${prefix}_split"), prefix)
             .barrier("one row per micro-batch doc")

@@ -81,6 +81,40 @@ class AnnMaintainSpec extends SparkSpec {
       s"streamed ${sunk.size} rows != batch ${expected.size}")
   }
 
+  test("streaming append emits per-batch drift flags matching the batch audit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // batch truth first (also pins the frozen sidecars)
+    val expected = operators.AnnMaintain.annIndexDrift(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val cdf = spark.read.parquet(AnnMaintain.CentroidsPath)
+    val bdf = spark.read.parquet(AnnMaintain.CodebooksPath)
+    // the frozen at-rest half, computed ONCE at wiring time
+    val atStats = AnnMaintain.atRestCellStats(vecs.filter(!isDelta), cdf)
+      .cache()
+    val deltaRows = vecs.filter(isDelta).as[(Long, Seq[Double])].collect().toSeq
+    assert(deltaRows.nonEmpty)
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val drift = scala.collection.mutable.Set.empty[Seq[Any]]
+    val cp = java.nio.file.Files.createTempDirectory("graft-anndrift-cp").toString
+    val q = graft.streaming.StreamPipelines.streamingAnnAppend(
+      mem.toDF().toDF("vec_id", "v"), cdf, bdf,
+      (_, _) => (), cp,
+      driftSink = Some((df, _) => drift.synchronized {
+        drift ++= df.collect().map(_.toSeq)
+      }),
+      atRestStats = Some(atStats))
+    // ONE micro-batch carrying the whole fixture delta slice: the
+    // per-batch flags must equal the batch audit's rows exactly (same
+    // stats, same tail, same thresholds)
+    mem.addData(deltaRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    atStats.unpersist()
+    assert(drift.toSet == expected,
+      s"streamed drift ${drift.size} rows != batch audit ${expected.size}")
+  }
+
   /** nprobe-cell IVF probe over an (vec_id, v, cell) assignment frame —
     * the spec's own copy of the probe so both index variants run the
     * identical search.

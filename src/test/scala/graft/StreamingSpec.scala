@@ -459,6 +459,108 @@ class StreamingSpec extends SparkSpec {
         s"missing=${(expected -- sunk).take(3)} extra=${(sunk.toSet -- expected).take(3)}")
   }
 
+  test("streaming admission emits per-batch vocab-drift flags matching the batch audit") {
+    import graft.operators.{BpeTrain, TrainingPrep}
+    // batch audit truth first (also trains + pins the frozen merges);
+    // admission artifacts for the chain the sink consumes
+    val expected = BpeTrain.vocabDrift(spark, sf).collect().map(_.toSeq).toSet
+    TrainingPrep.corpusPrepDelta(spark, sf).count()
+    val deltaRows = Tables.documents(spark, sf)
+      .filter(GoldenHash.bucket(col("doc_id"), 20) === 7)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    assert(deltaRows.nonEmpty)
+
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val drift = scala.collection.mutable.Set.empty[Seq[Any]]
+    val cp = java.nio.file.Files.createTempDirectory("graft-vdrift-cp").toString
+    val q = StreamPipelines.streamingCorpusAdmission(
+      mem.toDF().toDF("doc_id", "text", "lang"), sf,
+      (_, _) => (), cp,
+      driftSink = Some((df, _) => drift.synchronized {
+        drift ++= df.collect().map(_.toSeq)
+      }))
+    // ONE micro-batch carrying the whole fixture delta slice: per-batch
+    // flags must equal the batch audit exactly (same frozen merges,
+    // same cached at-rest counters, same cross-multiplied rule)
+    mem.addData(deltaRows.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(drift.toSet == expected,
+      s"streamed drift ${drift.size} rows != batch audit ${expected.size}")
+  }
+
+  test("streaming split assignment: bridge docs flag migrate; replayed batches are no-ops") {
+    import graft.operators.Dedup
+    // at rest: the SAME near-dup family registered under TWO different
+    // cluster labels with different splits — the pre-merge state
+    // q_split_drift audits per version; a batch doc near both anchors
+    // is exactly the bridge event the per-batch monitor must flag
+    val T  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val T2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val T3 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda xi"
+    val atRest = Seq((20L, T), (22L, T2)).toDF("doc_id", "text")
+    Dedup.writeDedupIndex(atRest, "streambridge")
+    Dedup.writeSplitTable(
+      Seq((20L, 20L, "val"), (22L, 22L, "train")).toDF("doc_id", "label", "split"),
+      "streambridge")
+    // batch-side truth BEFORE the stream grows the state
+    val batchDf = Seq((30L, T3),
+      (40L, "wholly unrelated content about brokers and offsets and lag"))
+      .toDF("doc_id", "text")
+    val direct = Dedup.splitBridgeMonitor(spark, batchDf, "streambridge")
+      .collect().map(_.toSeq).toSet
+
+    val assignedRows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    def stream(data: Seq[(Long, String)]): Set[Seq[Any]] = {
+      val mem = MemoryStream[(Long, String)](spark)
+      val drift = scala.collection.mutable.Set.empty[Seq[Any]]
+      val cp = java.nio.file.Files.createTempDirectory("graft-bridge-cp").toString
+      val q = StreamPipelines.streamingSplitAssign(
+        mem.toDF().toDF("doc_id", "text"), "streambridge",
+        (df, _) => assignedRows.synchronized {
+          assignedRows ++= df.collect().map(_.toSeq)
+        }, cp,
+        driftSink = Some((df, _) => drift.synchronized {
+          drift ++= df.collect().map(_.toSeq)
+        }))
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      q.stop()
+      drift.toSet
+    }
+    val streamed = stream(Seq((30L, T3),
+      (40L, "wholly unrelated content about brokers and offsets and lag")))
+    assert(streamed == direct, s"streamed $streamed != direct $direct")
+    val bridge = streamed.find(_.head == 30L).get
+    assert(bridge(1) == 2L && bridge(2) == 2L && bridge(3) == true,
+      s"doc 30 must bridge 2 clusters / 2 splits: $bridge")
+    assert(!streamed.exists(r => r.head == 40L && r(3) == true), streamed.toString)
+
+    // replay idempotency (ADVICE r14): re-delivering the same batch must
+    // leave the at-rest split table and index untouched (the per-table
+    // anti-join guards), even though the sink re-fires.
+    // refreshTable: the pre-stream splitBridgeMonitor call cached this
+    // session's relation (file-list snapshot); the streaming clone's
+    // appends don't invalidate another session's metadata cache —
+    // standard Spark semantics for externally-appended tables
+    spark.catalog.refreshTable("streambridge_split")
+    spark.catalog.refreshTable("streambridge_grams")
+    val splitN = spark.table("streambridge_split").count()
+    val gramsN = spark.table("streambridge_grams").count()
+    assert(splitN == 4L, // 2 at-rest + 2 batch
+      s"fold after first batch: $splitN; assigned=$assignedRows; " +
+        s"table=${spark.table("streambridge_split").collect().toSeq}")
+    stream(Seq((30L, T3),
+      (40L, "wholly unrelated content about brokers and offsets and lag")))
+    spark.catalog.refreshTable("streambridge_split")
+    spark.catalog.refreshTable("streambridge_grams")
+    assert(spark.table("streambridge_split").count() == splitN,
+      "replayed batch re-folded into the split table")
+    assert(spark.table("streambridge_grams").count() == gramsN,
+      "replayed batch re-appended index rows")
+  }
+
   test("ingest with dedupe window drops replayed duplicate request_ids") {
     val mem = MemoryStream[String](spark)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.UnigramLm
+
+class UnigramLmSpec extends SparkSpec {
+
+  test("viterbi reaches the brute-force-optimal score and is total") {
+    // tiny score table: chars cheap-ish, 'ab' and 'abc' attractive
+    val logq = Map("a" -> -10L, "b" -> -12L, "c" -> -11L,
+      "ab" -> -15L, "bc" -> -14L, "abc" -> -16L, "cab" -> -18L)
+    def brute(w: String): Long = {
+      def go(i: Int): Long =
+        if (i == w.length) 0L
+        else (1 to math.min(UnigramLm.MaxPieceLen, w.length - i)).flatMap { k =>
+          logq.get(w.substring(i, i + k)).flatMap { q =>
+            val rest = go(i + k)
+            if (rest == Long.MinValue) None else Some(q + rest)
+          }
+        }.foldLeft(Long.MinValue)(math.max)
+      go(0)
+    }
+    Seq("abc", "abcabc", "cabcab", "aabbcc", "a", "bcbcbc").foreach { w =>
+      val seg = UnigramLm.viterbi(w, logq)
+      assert(seg.mkString("") == w, s"not a segmentation of $w: $seg")
+      val score = seg.map(logq).sum
+      assert(score == brute(w), s"$w: viterbi $score != brute ${brute(w)}")
+    }
+  }
+
+  test("tie-break takes the smallest piece at each cell") {
+    // 'ab' costs exactly a+b: the two segmentations of "ab" tie, and the
+    // ascending-k scan must keep the char-by-char path
+    val logq = Map("a" -> -10L, "b" -> -10L, "ab" -> -20L)
+    assert(UnigramLm.viterbi("ab", logq) == Seq("a", "b"))
+  }
+
+  test("EM keeps a planted frequent piece and drops unused candidates") {
+    // 'xyzw' dominates the corpus: after EM it must survive as one piece
+    // and its words must segment to ~len/4 tokens, not chars
+    val words = Array(("xyzw", 500L), ("xyzwxyzw", 300L), ("q", 5L), ("qr", 3L))
+    val pieces = UnigramLm.induceUnigram(words)
+    val byPiece = pieces.map(p => p.piece -> p).toMap
+    assert(byPiece.contains("xyzw") && byPiece("xyzw").cnt >= 800L,
+      pieces.toSeq.toString)
+    // every single char present (totality), zero-usage multi-char pruned
+    Seq("x", "y", "z", "w", "q", "r").foreach(c => assert(byPiece.contains(c)))
+    assert(pieces.filter(p => p.piece.length > 1 && p.cnt == 0L).isEmpty)
+    // the trained scores segment the dominant word as one piece
+    val logq = pieces.map(p => p.piece -> p.logqZ).toMap
+    assert(UnigramLm.viterbi("xyzwxyzw", logq) == Seq("xyzw", "xyzw"))
+  }
+
+  test("apply accounting: totals close over the corpus word stream") {
+    val out = UnigramLm.unigramApply(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_unigram_tokens")),
+        sum(col("n_letter_chars")))
+      .collect().head
+    val (nw, nt, nc) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    // token count bounded by chars (every piece >= 1 char) and by words
+    // (every word >= 1 piece); strict compression must show up
+    assert(nw > 0 && nt >= nw && nt <= nc, s"nw=$nw nt=$nt nc=$nc")
+    assert(nt < nc, "no compression at all — EM learned nothing")
+    // letter accounting exact: sum over the word stream
+    val directChars = Tables.documents(spark, sf)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .agg(sum(length(col("w")))).collect().head.getLong(0)
+    assert(nc == directChars)
+  }
+}
