@@ -207,11 +207,16 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions", shuf0)
       parseJson + anomalyJson
     }
+    // the streaming benches run AFTER ctlEnd, so they get their own
+    // closing sentinel — the throughput pair carries the same ambient
+    // self-certification as the batch total (VERDICT r14 item 8)
+    val ctlStream = if (streamJson.isEmpty) None else controlTime()
 
     val controlJson =
       if (ctlStart.isEmpty && ctlEnd.isEmpty) ""
       else s""""control":{"start":${ctlStart.fold("null")(fmt)},""" +
-        s""""mid":${ctlMid.fold("null")(fmt)},"end":${ctlEnd.fold("null")(fmt)}},"""
+        s""""mid":${ctlMid.fold("null")(fmt)},"end":${ctlEnd.fold("null")(fmt)},""" +
+        s""""stream_end":${ctlStream.fold("null")(fmt)}},"""
     val full = line(qJson(results.toSeq),
       s""""n_queries":${results.size},"cold_start":${qJson(cold.toSeq)},$controlJson$streamJson""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -747,25 +747,31 @@ object Dedup {
     val bucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("key"))
     val byId = bucket.orderBy(col("doc_id"))
-    // each test pick carries its gram COUNT beside its id (struct
-    // ordering is lexicographic and doc_id leads, so min(struct) is
-    // still the minimum test ID with its count riding along) — the
-    // size-ratio prefilter then runs before any gram array attaches
-    // (VERDICT r14 items 1-2/4)
-    val testPick = when(col("is_t"), struct(col("doc_id").as("tid"), col("ng").as("tn")))
+    val testId = when(col("is_t"), col("doc_id"))
+    // size-ratio prefilter (VERDICT r14 item 2): the TRAIN side's gram
+    // count rides the banded row (minhashBanded's ng carry); the TEST
+    // side's attaches via a broadcast (test_id, count) sidecar — two
+    // ints per held-out doc, bounded by the same argument as the gram
+    // broadcast below — so impossible pairs die before any gram ARRAY
+    // attaches. (A first cut carried the test counts as STRUCT window
+    // values beside the ids; struct-valued running windows leave
+    // whole-stage codegen and measured 3× the long-window form at the
+    // sf1 rehearsal — the counts join is the cheap path.)
     val cand = banded
-      .withColumn("prev_t", last(testPick, ignoreNulls = true)
+      .withColumn("prev_t", last(testId, ignoreNulls = true)
         .over(byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("next_t", first(testPick, ignoreNulls = true)
+      .withColumn("next_t", first(testId, ignoreNulls = true)
         .over(byId.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .withColumn("min_t", min(testPick).over(bucket))
+      .withColumn("min_t", min(testId).over(bucket))
       .filter(!col("is_t"))
       .select(col("doc_id"), col("ng"),
         explode(array_distinct(array(col("prev_t"), col("next_t"), col("min_t"))))
-          .as("t"))
-      .filter(col("t").isNotNull)
-      .select(col("doc_id"), col("ng"), col("t.tid").as("test_id"), col("t.tn").as("tn"))
+          .as("test_id"))
+      .filter(col("test_id").isNotNull)
       .distinct()
+      .join(broadcast(index.filter(graft.GoldenHash.isTestDoc(col("doc_id")))
+        .select(col("doc_id").as("test_id"), size(col("grams")).as("tn"))),
+        Seq("test_id"))
       .filter(sizeRatioOk(col("ng"), col("tn")))
       .select(col("doc_id"), col("test_id"))
     val grams = index.select(col("doc_id"), col("grams"))

@@ -599,7 +599,9 @@ object Retrieval {
   lazy val defs: Map[String, QueryDef] = Map(
     // verified-not-benched since r14 (the q_embedding_neardup
     // precedent): the flat rebuild-per-query baseline whose scale-path
-    // siblings q_bm25_indexed + q_bm25_append keep the bench slots
+    // verified-not-benched since r15 (VERDICT r14 item 1c): the
+    // from-scratch prefix of q_bm25_indexed, which spec-pins row-for-row
+    // equality — benching both timed the same ranking twice
     "q_bm25_topk"       -> QueryDef(bm25TopK, Some(RetrievalOracles.bm25TopK),
       headline = false),
     "q_bm25_indexed"    -> QueryDef(bm25Indexed, Some(RetrievalOracles.bm25Indexed)),
