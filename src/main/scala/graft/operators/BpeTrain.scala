@@ -584,8 +584,12 @@ object BpeOracles {
     * different rollup tails to the SAME prefix, so the two accountings
     * cannot drift.
     */
-  private val applyCtes: String =
-    s"""WITH RECURSIVE m AS (
+  /** The CTE LIST (no WITH prefix) so composed oracles
+    * ([[UnigramOracles.tokenizerCompare]]) can splice it beside their
+    * own chains under one `WITH RECURSIVE`.
+    */
+  private[operators] val applyCtesBody: String =
+    s"""m AS (
        |  SELECT merge_round, lft, rgt
        |  FROM read_parquet('${BpeTrain.MergesPath}/*.parquet')),
        |base AS (
@@ -609,6 +613,8 @@ object BpeOracles {
        |docwords AS (
        |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |  FROM documents)""".stripMargin
+
+  private val applyCtes: String = s"WITH RECURSIVE $applyCtesBody"
 
   val bpeApply: String =
     s"""$applyCtes

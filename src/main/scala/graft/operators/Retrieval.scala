@@ -362,6 +362,9 @@ object Retrieval {
     * the batch probe below and the streaming twin's wiring, so the
     * served path cannot drift from the oracle-verified one.
     */
+  private val bm25G2FoldedCache =
+    new graft.SessionCache[String, (DataFrame, DataFrame, DataFrame)]()
+
   private[graft] def bm25Append2Frames(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val bucket = GoldenHash.bucket(col("doc_id"), 20)
@@ -370,6 +373,8 @@ object Retrieval {
       bm25IndexOf(docs.filter(bucket =!= 7 && bucket =!= 11)),
       bm25IndexOf(docs.filter(bucket === 7)),
       bm25IndexOf(docs.filter(bucket === 11))))
+    // pin OUTSIDE the cache builds (the r12 convention): a session-cache
+    // hit after Artifacts.cleanAll must still re-pin
     graft.Artifacts.writeOnce(s, d, "bm25_append2") {
       base.postings.write.mode("overwrite").parquet(Bm25G2BasePostingsPath)
       base.doclens.write.mode("overwrite").parquet(Bm25G2BaseDoclensPath)
@@ -378,12 +383,20 @@ object Retrieval {
       dB.postings.write.mode("overwrite").parquet(Bm25G2BPostingsPath)
       dB.doclens.write.mode("overwrite").parquet(Bm25G2BDoclensPath)
     }
-    val g0 = (base.postings, base.termStats,
-      base.doclens.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("sdl")))
-    val g2 = foldBm25(foldBm25(g0, dA), dB)
-    (g2._1, g2._2, g2._3.select(col("n"),
-      (col("sdl").cast("double") / col("n")).as("avgdl")))
+    // the folded state IS the at-rest index a deployment stores — fold
+    // once per (session, corpus) generation and pin the vocab-bound
+    // sidecars so repeat probes pay the probe, not the folds
+    bm25G2FoldedCache.getOrBuild(s, d) {
+      val g0 = (base.postings, base.termStats,
+        base.doclens.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("sdl")))
+      val g2 = foldBm25(foldBm25(g0, dA), dB)
+      (g2._1,
+        g2._2.barrier("vocab-bound folded df sidecar"),
+        g2._3.select(col("n"),
+          (col("sdl").cast("double") / col("n")).as("avgdl"))
+          .barrier("one folded stats row"))
+    }
   }
 
   def bm25Append2Probe(s: SparkSession, d: String): DataFrame = {

@@ -182,29 +182,74 @@ object UnigramLm {
     * (vocab-bound); the corpus-scale side is one broadcast join of the
     * word→token-count map against the word stream.
     */
-  def unigramApply(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val pieces = trainedPieces(s, d)
-    val logq: Map[String, Long] = pieces.map(p => p.piece -> p.logqZ).toMap
-    val vocabArr = BpeTrain.collectVocabCapped(
-      BpeTrain.vocab(s, d).select(col("word").as("seq"), col("freq")),
-      BpeTrain.DriverVocabCap)
-    val wordTok = vocabArr.map { case (w, _) => (w, viterbi(w, logq).length.toLong) }
-    val m = broadcast(wordTok.toSeq.toDF("word", "n_tok"))
+  /** The per-DISTINCT-word unigram token table (word, n_tok) under the
+    * trained pieces — the unigram twin of [[BpeTrain.wordTokenCounts]],
+    * cached per (session, corpus); both accounting queries join the
+    * corpus word stream to this one vocab-bound map.
+    */
+  private val uniTokCache = new graft.SessionCache[String, DataFrame]()
+  private def uniWordTok(s: SparkSession, d: String): DataFrame =
+    uniTokCache.getOrBuild(s, d) {
+      import s.implicits._
+      val logq: Map[String, Long] =
+        trainedPieces(s, d).map(p => p.piece -> p.logqZ).toMap
+      BpeTrain.collectVocabCapped(
+        BpeTrain.vocab(s, d).select(col("word").as("seq"), col("freq")),
+        BpeTrain.DriverVocabCap)
+        .map { case (w, _) => (w, viterbi(w, logq).length.toLong) }
+        .toSeq.toDF("word", "n_tok")
+    }
+
+  def unigramApply(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-      .join(m, Seq("word"))
+      .join(broadcast(uniWordTok(s, d)), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tok")).as("n_unigram_tokens"),
         sum(length(col("word")).cast("long")).as("n_letter_chars"))
       .orderBy(col("doc_id"))
+
+  /** `q_tokenizer_compare`: per-language fertility of the frozen BPE
+    * merges vs the trained unigram LM over the SAME corpus word stream
+    * — the deliverable the shared word table exists for ("fertility
+    * comparable against BPE's", VERDICT r14 item 6): one row per
+    * language with both token totals and both fertilities, so a
+    * tokenizer choice is a SELECT, not a re-run. Scale shape: both
+    * per-word token tables are vocab-bound broadcasts; the corpus pays
+    * one explode + two broadcast joins. The oracle replays BOTH
+    * tokenizers — the BPE merge recursion from its pinned artifact and
+    * the unigram EM from raw text — under one WITH RECURSIVE.
+    */
+  def tokenizerCompare(s: SparkSession, d: String): DataFrame = {
+    BpeTrain.ensureMergesPinned(s, d)
+    val bpe = BpeTrain.wordTokenCounts(s, d)
+      .select(col("word"), col("n_tok").as("bpe_tok"))
+    val uni = uniWordTok(s, d).select(col("word"), col("n_tok").as("uni_tok"))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .join(broadcast(bpe), Seq("word"))
+      .join(broadcast(uni), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("bpe_tok")).as("n_bpe_tokens"),
+        sum(col("uni_tok")).as("n_unigram_tokens"),
+        round(sum(col("bpe_tok")) / count(lit(1)).cast("double"), 4)
+          .as("bpe_fertility"),
+        round(sum(col("uni_tok")) / count(lit(1)).cast("double"), 4)
+          .as("unigram_fertility"))
+      .orderBy(col("lang"))
   }
 
   val defs: Map[String, QueryDef] = Map(
     "q_unigram_lm_train" -> QueryDef(unigramTrain, Some(UnigramOracles.unigramTrain)),
-    "q_unigram_lm_apply" -> QueryDef(unigramApply, Some(UnigramOracles.unigramApply)))
+    "q_unigram_lm_apply" -> QueryDef(unigramApply, Some(UnigramOracles.unigramApply)),
+    // verified-not-benched: the same two amortized word-table joins the
+    // train/apply pair already times, sliced per lang
+    "q_tokenizer_compare" -> QueryDef(tokenizerCompare,
+      Some(UnigramOracles.tokenizerCompare), headline = false))
 }
 
 /** DuckDB replay of the unigram-LM induction from raw text alone —
@@ -360,5 +405,37 @@ object UnigramOracles {
        |FROM docwords d JOIN wordtok w USING (word)
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** [[UnigramLm.tokenizerCompare]]: BOTH tokenizers replayed under one
+    * `WITH RECURSIVE` — the BPE merge recursion over its pinned
+    * artifact ([[BpeOracles.applyCtesBody]]: m/base/states/final +
+    * lang-bearing docwords) spliced beside the full unigram EM chain
+    * (no name collisions by construction), then one per-lang rollup
+    * joining the word stream to both per-word token tables.
+    */
+  val tokenizerCompare: String = {
+    val fr = s"r${UnigramLm.EmRounds}"
+    s"""WITH RECURSIVE
+       |${BpeOracles.applyCtesBody},
+       |$baseCtes,
+       |$allRounds,
+       |${vitCtes("ap", s"lq_$fr")},
+       |${traceCtes("ap", s"lq_$fr")},
+       |wordtok AS MATERIALIZED (
+       |  SELECT word, CAST(count(piece) AS BIGINT) AS n_tok
+       |  FROM trace_ap WHERE piece IS NOT NULL
+       |  GROUP BY word)
+       |SELECT d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(f.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(u.n_tok) AS BIGINT) AS n_unigram_tokens,
+       |  round(sum(f.n_tok) / (count(*) * 1e0), 4) AS bpe_fertility,
+       |  round(sum(u.n_tok) / (count(*) * 1e0), 4) AS unigram_fertility
+       |FROM docwords d
+       |JOIN final f USING (word)
+       |JOIN wordtok u USING (word)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
   }
 }

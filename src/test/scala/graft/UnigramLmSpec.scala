@@ -51,6 +51,22 @@ class UnigramLmSpec extends SparkSpec {
     assert(UnigramLm.viterbi("xyzwxyzw", logq) == Seq("xyzw", "xyzw"))
   }
 
+  test("tokenizer compare: per-lang slices partition both tokenizers' totals") {
+    import graft.operators.BpeTrain
+    val cmp = UnigramLm.tokenizerCompare(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens")), sum(col("n_unigram_tokens")))
+      .collect().head
+    // the per-lang rollup must partition exactly the per-doc accountings
+    // both constituent queries already oracle-check
+    val uniTotal = UnigramLm.unigramApply(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_unigram_tokens"))).collect().head
+    val bpeTotal = BpeTrain.bpeApply(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens"))).collect().head
+    assert(cmp.getLong(0) == uniTotal.getLong(0) && cmp.getLong(0) == bpeTotal.getLong(0))
+    assert(cmp.getLong(1) == bpeTotal.getLong(1))
+    assert(cmp.getLong(2) == uniTotal.getLong(1))
+  }
+
   test("apply accounting: totals close over the corpus word stream") {
     val out = UnigramLm.unigramApply(spark, sf)
       .agg(sum(col("n_words")), sum(col("n_unigram_tokens")),
