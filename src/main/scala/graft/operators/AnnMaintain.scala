@@ -439,7 +439,12 @@ object AnnMaintain {
   }
 
   lazy val defs: Map[String, QueryDef] = Map(
-    "q_ann_index_append" -> QueryDef(annIndexAppend, Some(AnnMaintainOracles.append)),
+    // verified-not-benched since r16 (VERDICT r15 finding 3): the
+    // compositional PREFIX of q_ann_index_append2, whose oracle
+    // re-derives generation 1 itself — the q_bm25_topk/delta2
+    // precedent; still oracle-checked by Verify every round
+    "q_ann_index_append" -> QueryDef(annIndexAppend, Some(AnnMaintainOracles.append),
+      headline = false),
     "q_ann_index_append2" -> QueryDef(annIndexAppend2, Some(AnnMaintainOracles.append2)),
     "q_ann_index_drift" -> QueryDef(annIndexDrift, Some(AnnMaintainOracles.drift)))
 

@@ -172,6 +172,21 @@ object BpeTrain {
     * The frequency histogram collected to choose the threshold is
     * distinct-FREQUENCY-bound (≪ vocab), never vocab-bound.
     */
+  /** Strict variant for consumers whose math is cap-SENSITIVE: the
+    * unigram EM (ADVICE r15) — a pruned hapax tail changes substring
+    * counts and the Laplace total/nPieces denominators, so BPE's
+    * "hapax words cannot change merges" argument does not transfer.
+    * Collect the full vocab or fail loudly; never prune.
+    */
+  private[graft] def collectVocabAll(v: DataFrame,
+      cap: Int): Array[(String, Long)] = {
+    val head = v.select(col("seq"), col("freq")).limit(cap + 1).collect()
+    require(head.length <= cap,
+      s"vocab exceeds the driver cap $cap and this consumer cannot prune " +
+        "without changing its result (unigram EM denominators); raise the cap")
+    head.map(r => (r.getString(0), r.getLong(1)))
+  }
+
   private[graft] def collectVocabCapped(v: DataFrame,
       cap: Int): Array[(String, Long)] = {
     val vf = v.select(col("seq"), col("freq"))
@@ -446,14 +461,15 @@ object BpeTrain {
     */
   private val restStatsCache =
     new graft.SessionCache[String, (DataFrame, DataFrame)]()
-  private def restVocabStats(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    restStatsCache.getOrBuild(s, d) {
+  private def restVocabStats(s: SparkSession, d: String, kind: String,
+      wtc: DataFrame): (DataFrame, DataFrame) =
+    restStatsCache.getOrBuild(s, s"$d#$kind") {
       import graft.Tables.BarrierOps
       val isDelta = graft.GoldenHash.bucket(col("doc_id"), 20) === 7
       val restWords = Tables.documents(s, d).filter(!isDelta)
         .select(col("lang"),
           explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-      val stats = restWords.join(wordTokenCounts(s, d), Seq("word"))
+      val stats = restWords.join(wtc, Seq("word"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("rest_words"), sum(col("n_tok")).as("rest_tokens"))
         .barrier("one counter row per language")
@@ -475,8 +491,19 @@ object BpeTrain {
   private[graft] def vocabDriftOf(s: SparkSession, d: String,
       batchDocs: DataFrame): DataFrame = {
     ensureMergesPinned(s, d)
-    val (rest, restVocab) = restVocabStats(s, d)
-    val wtc = wordTokenCounts(s, d)
+    tokenizerDriftOf(s, d, batchDocs, "bpe", wordTokenCounts(s, d))
+  }
+
+  /** The tokenizer-AGNOSTIC drift body: the monitor is a function of a
+    * frozen per-word token table, not of how that table was trained —
+    * so the BPE monitor ([[vocabDriftOf]]) and the unigram twin
+    * ([[UnigramLm.unigramDriftOf]], VERDICT r15 item 4) share every
+    * counter, both fertilities, and the integer cross-multiplied
+    * retrain rule, and a third tokenizer costs one more call.
+    */
+  private[operators] def tokenizerDriftOf(s: SparkSession, d: String,
+      batchDocs: DataFrame, kind: String, wtc: DataFrame): DataFrame = {
+    val (rest, restVocab) = restVocabStats(s, d, kind, wtc)
     val delta = batchDocs
       .select(col("lang"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))

