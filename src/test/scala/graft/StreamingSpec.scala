@@ -593,6 +593,119 @@ class StreamingSpec extends SparkSpec {
       "replayed batch re-appended index rows")
   }
 
+  test("unified corpus ingest equals the three standalone loops on the same slices") {
+    import graft.operators.{AnnMaintain, Dedup, TrainingPrep}
+    // frozen artifacts both wirings consume: admission chain artifacts
+    // + ANN quantizer sidecars + at-rest cell stats
+    TrainingPrep.corpusPrepDelta(spark, sf).count()
+    AnnMaintain.annIndexAppend(spark, sf).count()
+    val cdf = spark.read.parquet(AnnMaintain.CentroidsPath)
+    val bdf = spark.read.parquet(AnnMaintain.CodebooksPath)
+    val vecsAll = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val atStats = AnnMaintain.atRestCellStats(
+      vecsAll.filter(GoldenHash.bucket(col("vec_id"), 20) =!= 7), cdf).cache()
+
+    // the split test's gen-2 doc fixture + real-dimension embeddings
+    val T  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val T2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val T3 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda xi"
+    val P  = "orange banana cherry grape melon peach plum apricot fig date kiwi lime"
+    val P2 = "orange banana cherry grape melon peach plum apricot fig date kiwi lemon"
+    val U  = "yet another unrelated document mentioning windows and watermarks here"
+    val emb = vecsAll.orderBy(col("vec_id")).limit(5)
+      .select(col("v")).as[Seq[Double]].collect()
+    val slice1 = Seq((27L, T2, "en", emb(0)), (47L, P, "en", emb(1)))
+    val slice2 = Seq((31L, T3, "en", emb(2)), (51L, P2, "en", emb(3)),
+      (71L, U, "en", emb(4)))
+    val atRest = Seq((20L, T), (41L, "completely different text about query engines and shuffle joins okay"))
+      .toDF("doc_id", "text")
+    def initState(p: String): Unit = {
+      Dedup.writeDedupIndex(atRest, p)
+      Dedup.writeSplitTable(
+        Seq((20L, 20L, "val"), (41L, 41L, "train")).toDF("doc_id", "label", "split"), p)
+    }
+
+    final class Cap {
+      val sets = Array.fill(7)(scala.collection.mutable.Set.empty[Seq[Any]])
+      def sink(i: Int): (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (df, _) => sets.synchronized { sets(i) ++= df.collect().map(_.toSeq) }
+      def opt(i: Int) = Some(sink(i))
+    }
+
+    // standalone wiring: three independent loops fed the same slices
+    val sep = new Cap
+    initState("uingestsep")
+    locally {
+      val memA = MemoryStream[(Long, String, String)](spark)
+      val memS = MemoryStream[(Long, String)](spark)
+      val memV = MemoryStream[(Long, Seq[Double])](spark)
+      val qa = StreamPipelines.streamingCorpusAdmission(
+        memA.toDF().toDF("doc_id", "text", "lang"), sf, sep.sink(0),
+        java.nio.file.Files.createTempDirectory("graft-ui-a").toString,
+        driftSink = sep.opt(3), uniDriftSink = sep.opt(4))
+      val qs = StreamPipelines.streamingSplitAssign(
+        memS.toDF().toDF("doc_id", "text"), "uingestsep", sep.sink(1),
+        java.nio.file.Files.createTempDirectory("graft-ui-s").toString,
+        driftSink = sep.opt(5))
+      val qv = StreamPipelines.streamingAnnAppend(
+        memV.toDF().toDF("vec_id", "v"), cdf, bdf, sep.sink(2),
+        java.nio.file.Files.createTempDirectory("graft-ui-v").toString,
+        driftSink = sep.opt(6), atRestStats = Some(atStats))
+      for (slice <- Seq(slice1, slice2)) {
+        memA.addData(slice.map(r => (r._1, r._2, r._3)): _*)
+        memS.addData(slice.map(r => (r._1, r._2)): _*)
+        memV.addData(slice.map(r => (r._1, r._4)): _*)
+        qa.processAllAvailable(); qs.processAllAvailable(); qv.processAllAvailable()
+      }
+      qa.stop(); qs.stop(); qv.stop()
+    }
+
+    // unified wiring: ONE ingest over the full-width rows
+    val uni = new Cap
+    initState("uingestuni")
+    val cp = java.nio.file.Files.createTempDirectory("graft-ui-u").toString
+    locally {
+      val mem = MemoryStream[(Long, String, String, Seq[Double])](spark)
+      val q = StreamPipelines.streamingCorpusIngest(
+        mem.toDF().toDF("doc_id", "text", "lang", "v"), sf, "uingestuni",
+        cdf, bdf, uni.sink(0), uni.sink(1), uni.sink(2), cp,
+        vocabDriftSink = uni.opt(3), uniDriftSink = uni.opt(4),
+        splitDriftSink = uni.opt(5), annDriftSink = uni.opt(6),
+        atRestStats = Some(atStats))
+      mem.addData(slice1: _*); q.processAllAvailable()
+      mem.addData(slice2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    val names = Seq("admitted", "assigned", "encoded",
+      "vocab drift", "unigram drift", "split-bridge drift", "ann drift")
+    for (i <- names.indices)
+      assert(uni.sets(i).toSet == sep.sets(i).toSet,
+        s"unified ${names(i)} (${uni.sets(i).size}) != standalone (${sep.sets(i).size})")
+
+    // replay idempotence carries over: redelivering both slices through
+    // a FRESH unified query leaves every at-rest table untouched
+    spark.catalog.refreshTable("uingestuni_split")
+    spark.catalog.refreshTable("uingestuni_grams")
+    spark.catalog.refreshTable("uingestuni_digests")
+    val n0 = Seq("uingestuni_split", "uingestuni_grams", "uingestuni_digests")
+      .map(t => spark.table(t).count())
+    locally {
+      val mem = MemoryStream[(Long, String, String, Seq[Double])](spark)
+      val q = StreamPipelines.streamingCorpusIngest(
+        mem.toDF().toDF("doc_id", "text", "lang", "v"), sf, "uingestuni",
+        cdf, bdf, (_, _) => (), (_, _) => (), (_, _) => (),
+        java.nio.file.Files.createTempDirectory("graft-ui-r").toString)
+      mem.addData(slice1 ++ slice2: _*); q.processAllAvailable(); q.stop()
+    }
+    Seq("uingestuni_split", "uingestuni_grams", "uingestuni_digests")
+      .foreach(spark.catalog.refreshTable)
+    val n1 = Seq("uingestuni_split", "uingestuni_grams", "uingestuni_digests")
+      .map(t => spark.table(t).count())
+    assert(n1 == n0, s"replayed slices mutated at-rest tables: $n0 -> $n1")
+    atStats.unpersist()
+  }
+
   test("ingest with dedupe window drops replayed duplicate request_ids") {
     val mem = MemoryStream[String](spark)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
