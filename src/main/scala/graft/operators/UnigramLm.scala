@@ -200,8 +200,14 @@ object UnigramLm {
       BpeTrain.collectVocabAll(
         BpeTrain.vocab(s, d).select(col("word").as("seq"), col("freq")),
         BpeTrain.DriverVocabCap)
-        .map { case (w, _) => (w, viterbi(w, logq).length.toLong) }
-        .toSeq.toDF("word", "n_tok")
+        .map { case (w, _) =>
+          val pieces = viterbi(w, logq)
+          // n_tok feeds the fertility accounting; sum_logq (the word's
+          // total quantized log-likelihood under the trained pieces)
+          // feeds the perplexity filter — ONE Viterbi pass serves both
+          (w, pieces.length.toLong, pieces.map(logq).sum)
+        }
+        .toSeq.toDF("word", "n_tok", "sum_logq")
     }
 
   def unigramApply(s: SparkSession, d: String): DataFrame =
@@ -247,6 +253,45 @@ object UnigramLm {
       .orderBy(col("lang"))
   }
 
+  /** Keep threshold for [[unigramPplFilter]]: 8.0 nats per token in the
+    * quantized micro-nat domain the trained scores already live in
+    * (`floor(1e6·ln)`), so the keep rule is EXACT integer arithmetic on
+    * both engines — the CCNet-style convention of cutting the
+    * high-perplexity tail under a small corpus LM.
+    */
+  val KeepNllMicroPerTok: Long = 8000000L
+
+  /** `q_unigram_ppl_filter` — CCNet-style perplexity quality filter:
+    * per document, the negative log-likelihood per token under the
+    * TRAINED unigram LM (the standard corpus-curation gate: a document
+    * the corpus LM finds surprising is boilerplate, another language,
+    * or noise). All arithmetic stays in the integer micro-nat domain
+    * the quantized scores define: `total_logq` is an exact BIGINT sum,
+    * `nll_micro_per_tok` an exact nonnegative integer division (both
+    * engines floor it identically for nonnegative operands), and `keep`
+    * an integer cross-multiplication against [[KeepNllMicroPerTok]] —
+    * no float can flip a verdict. Scale shape: the per-word
+    * (n_tok, sum_logq) table is vocab-bound and broadcast
+    * ([[uniWordTok]] — ONE shared Viterbi pass with the fertility
+    * accounting); the corpus pays one explode + broadcast join, same
+    * as `q_unigram_lm_apply`. The oracle replays the ENTIRE EM from
+    * raw text, then scores the trace pieces against the final lq table.
+    */
+  def unigramPplFilter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .join(broadcast(uniWordTok(s, d)), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("sum_logq")).as("total_logq"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("total_logq"),
+        expr("(-total_logq) DIV n_tokens").as("nll_micro_per_tok"),
+        (col("total_logq") + lit(KeepNllMicroPerTok) * col("n_tokens") >= 0)
+          .as("keep"))
+      .orderBy(col("doc_id"))
+
   /** Unigram twin of [[BpeTrain.vocabDrift]] (`q_unigram_drift`,
     * VERDICT r15 item 4): the FROZEN trained piece table's fertility on
     * the at-rest corpus vs the incoming delta batch (the standard
@@ -280,7 +325,12 @@ object UnigramLm {
     // verified-not-benched: the q_vocab_drift convention — the same
     // amortized word-table joins as the benched apply, sliced twice
     "q_unigram_drift" -> QueryDef(unigramDrift,
-      Some(UnigramOracles.unigramDrift), headline = false))
+      Some(UnigramOracles.unigramDrift), headline = false),
+    // verified-not-benched per the frozen roster policy: the same
+    // amortized word-table chain as the benched apply (one extra
+    // broadcast column), so benching it would double-bill the chain
+    "q_unigram_ppl_filter" -> QueryDef(unigramPplFilter,
+      Some(UnigramOracles.unigramPplFilter), headline = false))
 }
 
 /** DuckDB replay of the unigram-LM induction from raw text alone —
@@ -445,6 +495,42 @@ object UnigramOracles {
     * (no name collisions by construction), then one per-lang rollup
     * joining the word stream to both per-word token tables.
     */
+  /** [[UnigramLm.unigramPplFilter]]: the full EM replay + one apply
+    * pass, then each traced piece scored against the FINAL lq table and
+    * rolled up per word and per document — exact BIGINT sums, exact
+    * nonnegative integer division (`//` floors, DIV truncates; equal on
+    * nonnegative operands), exact integer keep rule.
+    */
+  val unigramPplFilter: String = {
+    val fr = s"r${UnigramLm.EmRounds}"
+    s"""WITH RECURSIVE
+       |$baseCtes,
+       |$allRounds,
+       |${vitCtes("ap", s"lq_$fr")},
+       |${traceCtes("ap", s"lq_$fr")},
+       |wordsc AS MATERIALIZED (
+       |  SELECT t.word, CAST(count(t.piece) AS BIGINT) AS n_tok,
+       |    CAST(sum(q.logq) AS BIGINT) AS sum_logq
+       |  FROM trace_ap t JOIN lq_$fr q ON q.piece = t.piece
+       |  WHERE t.piece IS NOT NULL
+       |  GROUP BY t.word),
+       |docwords AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(w.n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(w.sum_logq) AS BIGINT) AS total_logq,
+       |  CAST((-CAST(sum(w.sum_logq) AS BIGINT)) // CAST(sum(w.n_tok) AS BIGINT)
+       |    AS BIGINT) AS nll_micro_per_tok,
+       |  (CAST(sum(w.sum_logq) AS HUGEINT)
+       |     + ${UnigramLm.KeepNllMicroPerTok} * CAST(sum(w.n_tok) AS HUGEINT) >= 0)
+       |    AS keep
+       |FROM docwords d JOIN wordsc w USING (word)
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** [[UnigramLm.unigramDrift]]: the full EM replay + one apply pass
     * (the `q_unigram_lm_apply` prefix, shared verbatim), then the
     * [[BpeOracles.vocabDrift]] tail re-expressed over the unigram

@@ -84,6 +84,28 @@ class UnigramLmSpec extends SparkSpec {
     assert(nc == directChars)
   }
 
+  test("perplexity filter: integer keep rule, positive nll, totals equal apply's accounting") {
+    val rows = UnigramLm.unigramPplFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, tl) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("total_logq"))
+      val nll = r.getAs[Long]("nll_micro_per_tok")
+      assert(tl < 0 && nll > 0 && nll == (-tl) / nt, r.toString)
+      assert(r.getAs[Boolean]("keep") ==
+        (tl + UnigramLm.KeepNllMicroPerTok * nt >= 0), r.toString)
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")), "filter dropped the whole corpus")
+    // per-doc word/token accounting must equal unigramApply's (same
+    // word stream, same tokenizer, one shared Viterbi pass)
+    val apply = UnigramLm.unigramApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (nw, nt) = apply(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == nw && r.getAs[Long]("n_tokens") == nt,
+        r.toString)
+    }
+  }
+
   test("unigram drift: counters partition apply's totals and retrain matches the exact rule") {
     val rows = UnigramLm.unigramDrift(spark, sf).collect()
     assert(rows.nonEmpty)
