@@ -488,13 +488,6 @@ object UnigramOracles {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  /** [[UnigramLm.tokenizerCompare]]: BOTH tokenizers replayed under one
-    * `WITH RECURSIVE` — the BPE merge recursion over its pinned
-    * artifact ([[BpeOracles.applyCtesBody]]: m/base/states/final +
-    * lang-bearing docwords) spliced beside the full unigram EM chain
-    * (no name collisions by construction), then one per-lang rollup
-    * joining the word stream to both per-word token tables.
-    */
   /** [[UnigramLm.unigramPplFilter]]: the full EM replay + one apply
     * pass, then each traced piece scored against the FINAL lq table and
     * rolled up per word and per document — exact BIGINT sums, exact
@@ -581,6 +574,13 @@ object UnigramOracles {
        |ORDER BY r.lang""".stripMargin
   }
 
+  /** [[UnigramLm.tokenizerCompare]]: BOTH tokenizers replayed under one
+    * `WITH RECURSIVE` — the BPE merge recursion over its pinned
+    * artifact ([[BpeOracles.applyCtesBody]]: m/base/states/final +
+    * lang-bearing docwords) spliced beside the full unigram EM chain
+    * (no name collisions by construction), then one per-lang rollup
+    * joining the word stream to both per-word token tables.
+    */
   val tokenizerCompare: String = {
     val fr = s"r${UnigramLm.EmRounds}"
     s"""WITH RECURSIVE
