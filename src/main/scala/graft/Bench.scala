@@ -25,6 +25,42 @@ import org.apache.spark.sql.SparkSession
   * times only those (dev loop); no args = full suite (driver contract).
   */
 object Bench {
+  /** Committed per-query minima (the standing `bench_out.json` record,
+    * regenerated whenever a new record is committed — see BASELINE.md).
+    * Baseline for the end-of-suite outlier re-measure pass: the r16
+    * driver record was inflated 4.4× by a transient I/O window hitting
+    * exactly two write-heavy queries 10–16× (VERDICT r16 finding 1), and
+    * a record that one bad window can own is not self-certifying.
+    * Resource absent / unparseable degrades to an empty map (no
+    * re-measure pass) rather than failing the bench.
+    */
+  def committedMin: Map[String, Double] = {
+    val in = Option(getClass.getResourceAsStream("/graft/bench_committed_min.json"))
+    in.fold(Map.empty[String, Double]) { s =>
+      try {
+        val txt = scala.io.Source.fromInputStream(s, "UTF-8").mkString
+        val P = """"([^"]+)":([0-9][0-9.Ee+-]*)""".r
+        P.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } finally s.close()
+    }
+  }
+
+  /** Which queries the end-of-suite pass re-times: suite min-of-2 above
+    * `factor`× the committed minimum AND more than `minExcessSec` over it
+    * (the absolute floor keeps ambient jitter on sub-0.3 s queries from
+    * triggering re-runs that can't move the headline). Queries with no
+    * committed minimum (new this round) and erroring queries are skipped.
+    * Pure — spec-covered in BenchSpec.
+    */
+  def outliersToRemeasure(
+      results: Map[String, Option[Double]],
+      committed: Map[String, Double],
+      factor: Double = 3.0,
+      minExcessSec: Double = 0.75): Seq[String] =
+    results.toSeq.collect {
+      case (n, Some(t)) if committed.get(n).exists(m => t > factor * m && t - m > minExcessSec) => n
+    }.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -74,12 +110,39 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.min
       } catch { case NonFatal(_) => errors += "control:q1_lineitem_agg"; None }
+    // Disk sentinel (VERDICT r16 item 1b): the CPU-bound control quad is
+    // blind to I/O contention — in the r16 driver run it read 0.27 while
+    // write-heavy chains ran 16× slow. A fixed ~50 MB parquet write+read
+    // (incompressible sha2 hex payload, built once and cached so the
+    // timed work is parquet encode + filesystem, not expression eval)
+    // timed at suite start/mid/end makes write-path contention visible
+    // in the committed record itself. Full-suite runs only — the dev
+    // loop doesn't need the ~1-2 s per probe.
+    lazy val diskDf = {
+      val df = spark.range(0L, 400000L, 1L, 8)
+        .selectExpr("id", "sha2(cast(id as string), 256) as h1",
+          "sha2(concat(cast(id as string), 'x'), 256) as h2")
+        .cache()
+      df.count(); df
+    }
+    lazy val diskDir = java.nio.file.Files.createTempDirectory("graft-bench-disk").toString
+    def diskTime(): Option[Double] =
+      if (args.nonEmpty) None
+      else try {
+        diskDf // force the cache build outside the timed window
+        val t0 = System.nanoTime()
+        diskDf.write.mode("overwrite").parquet(diskDir)
+        spark.read.parquet(diskDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case NonFatal(_) => errors += "disk_sentinel"; None }
     val qseq = qs.toSeq
     val ctlStart = if (qseq.isEmpty) None else controlTime()
+    val diskStart = if (qseq.isEmpty) None else diskTime()
     var ctlMid: Option[Double] = None
+    var diskMid: Option[Double] = None
     val half = qseq.size / 2
     val allTimes = qseq.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == half && qseq.size > 1) ctlMid = controlTime()
+      if (i == half && qseq.size > 1) { ctlMid = controlTime(); diskMid = diskTime() }
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -88,8 +151,36 @@ object Bench {
       name -> times
     }.toMap
     val ctlEnd = if (qseq.isEmpty) None else controlTime()
-    val results = allTimes.map { case (n, ts) =>
+    val diskEnd = if (qseq.isEmpty) None else diskTime()
+    val suiteResults = allTimes.map { case (n, ts) =>
       n -> (if (ts.nonEmpty) Some(ts.min) else None)
+    }
+    // End-of-suite outlier re-measure (VERDICT r16 item 1a): any query
+    // whose suite min-of-2 blew past 3× its committed minimum gets ONE
+    // more timed run after the suite, and the recorded value is the min
+    // across all passes — a transient contention window concentrated on
+    // a few queries can no longer own the headline. Both numbers are
+    // kept in the record (`remeasure` map) so the run self-documents
+    // what happened. Full-suite runs only (a dev-loop subset has no
+    // headline to defend).
+    val remeasureTargets =
+      if (args.nonEmpty) Seq.empty[String]
+      else outliersToRemeasure(suiteResults, committedMin)
+    val remeasured: Map[String, (Double, Option[Double])] = remeasureTargets.flatMap { n =>
+      qs.get(n).flatMap { fn =>
+        suiteResults(n).map { suiteMin =>
+          val post =
+            try { val t0 = System.nanoTime(); fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case NonFatal(_) => errors += s"remeasure:$n"; None }
+          n -> (suiteMin, post)
+        }
+      }
+    }.toMap
+    val results = suiteResults.map { case (n, t) =>
+      n -> (remeasured.get(n) match {
+        case Some((s, Some(p))) => Some(math.min(s, p))
+        case _                  => t
+      })
     }
     // Artifact-backed queries measure a WARM pinned index by design
     // (min-of-2 + writeOnce memo); their first timed run at sfDir is
@@ -217,8 +308,17 @@ object Bench {
       else s""""control":{"start":${ctlStart.fold("null")(fmt)},""" +
         s""""mid":${ctlMid.fold("null")(fmt)},"end":${ctlEnd.fold("null")(fmt)},""" +
         s""""stream_end":${ctlStream.fold("null")(fmt)}},"""
+    val diskJson =
+      if (diskStart.isEmpty && diskEnd.isEmpty) ""
+      else s""""disk":{"start":${diskStart.fold("null")(fmt)},""" +
+        s""""mid":${diskMid.fold("null")(fmt)},"end":${diskEnd.fold("null")(fmt)}},"""
+    val remeasureJson =
+      if (remeasured.isEmpty) ""
+      else remeasured.toSeq.sortBy(_._1).map { case (n, (s, p)) =>
+        "\"" + n + "\":{\"suite\":" + fmt(s) + ",\"post\":" + p.fold("null")(fmt) + "}"
+      }.mkString("\"remeasure\":{", ",", "},")
     val full = line(qJson(results.toSeq),
-      s""""n_queries":${results.size},"cold_start":${qJson(cold.toSeq)},$controlJson$streamJson""")
+      s""""n_queries":${results.size},"cold_start":${qJson(cold.toSeq)},$controlJson$diskJson$remeasureJson$streamJson""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -229,7 +329,7 @@ object Bench {
     val slowest = results.toSeq
       .sortBy(-_._2.getOrElse(Double.MaxValue)).take(25)
     println(line(qJson(slowest),
-      s""""n_queries":${results.size},"queries_shown":${slowest.size},$controlJson"full_record":"bench_out.json","""))
+      s""""n_queries":${results.size},"queries_shown":${slowest.size},$controlJson$diskJson$remeasureJson"full_record":"bench_out.json","""))
     spark.stop()
   }
 }

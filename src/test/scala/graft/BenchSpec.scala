@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench harness's self-defending logic (VERDICT r16 item 1):
+  * the end-of-suite outlier re-measure decision and the committed-minima
+  * resource it reads. Pure-function tests — no SparkSession.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("committed-minima resource loads, is large, and is all-positive") {
+    val m = Bench.committedMin
+    assert(m.size >= 100, s"expected the full committed roster, got ${m.size}")
+    assert(m.values.forall(_ > 0.0))
+    // a couple of queries that have been on the roster since round 1
+    assert(m.contains("q_traffic_stats"))
+    assert(m.contains("q_minhash_dedup"))
+  }
+
+  test("a 10-16x blowup on a write-heavy chain is flagged (the r16 driver-run shape)") {
+    val committed = Map("q_split_assign_delta2" -> 1.449, "q_corpus_prep_delta2" -> 1.393)
+    val results = Map(
+      "q_split_assign_delta2" -> Some(29.53),
+      "q_corpus_prep_delta2" -> Some(14.39))
+    assert(Bench.outliersToRemeasure(results, committed) ===
+      Seq("q_corpus_prep_delta2", "q_split_assign_delta2"))
+  }
+
+  test("ambient jitter on a cheap query is NOT flagged (absolute floor)") {
+    // 0.10 -> 0.35 is >3x but only +0.25 s — re-running it cannot move a
+    // 40 s headline and a busy window would trigger dozens of such re-runs
+    val committed = Map("q_cheap" -> 0.10)
+    assert(Bench.outliersToRemeasure(Map("q_cheap" -> Some(0.35)), committed).isEmpty)
+    // just over the absolute floor but under the factor: also not flagged
+    assert(Bench.outliersToRemeasure(Map("q_cheap" -> Some(0.29)), committed).isEmpty)
+  }
+
+  test("sub-3x swells, new queries, and erroring queries are skipped") {
+    val committed = Map("q_known" -> 1.0)
+    // 2.9x: under the factor
+    assert(Bench.outliersToRemeasure(Map("q_known" -> Some(2.9)), committed).isEmpty)
+    // no committed minimum (new this round): skipped
+    assert(Bench.outliersToRemeasure(Map("q_new" -> Some(50.0)), committed).isEmpty)
+    // erroring query (None): skipped — errors[] already carries it
+    assert(Bench.outliersToRemeasure(Map("q_known" -> None), committed).isEmpty)
+  }
+
+  test("boundary: flagged exactly when BOTH factor and absolute-excess trip") {
+    val committed = Map("q_x" -> 1.0)
+    assert(Bench.outliersToRemeasure(Map("q_x" -> Some(3.01)), committed) === Seq("q_x"))
+    // factor trips but excess of exactly minExcessSec does not (strict >)
+    assert(Bench.outliersToRemeasure(Map("q_x" -> Some(1.75)), committed,
+      factor = 1.5, minExcessSec = 0.75).isEmpty)
+    assert(Bench.outliersToRemeasure(Map("q_x" -> Some(1.76)), committed,
+      factor = 1.5, minExcessSec = 0.75) === Seq("q_x"))
+  }
+}
