@@ -261,6 +261,16 @@ object UnigramLm {
     */
   val KeepNllMicroPerTok: Long = 8000000L
 
+  /** Per-character UNK floor for out-of-vocab words, in the same integer
+    * micro-nat domain: the MINIMUM trained single-char piece score (the
+    * SentencePiece unk-penalty convention — an unseen word can never
+    * score better than its length times the worst trained character).
+    * Derived from the trained table, so it is the same exact integer on
+    * both engines (`min(logq) WHERE length(piece) = 1` in the oracle).
+    */
+  private[graft] def unkCharLogqMicro(s: SparkSession, d: String): Long =
+    trainedPieces(s, d).iterator.filter(_.piece.length == 1).map(_.logqZ).min
+
   /** `q_unigram_ppl_filter` — CCNet-style perplexity quality filter:
     * per document, the negative log-likelihood per token under the
     * TRAINED unigram LM (the standard corpus-curation gate: a document
@@ -276,12 +286,34 @@ object UnigramLm {
     * accounting); the corpus pays one explode + broadcast join, same
     * as `q_unigram_lm_apply`. The oracle replays the ENTIRE EM from
     * raw text, then scores the trace pieces against the final lq table.
+    *
+    * OUT-OF-VOCAB semantics (VERDICT r16 finding 2): a word absent from
+    * the trained word table — impossible on the training corpus the
+    * vocab was built from, but the normal case on a DELTA batch, which
+    * is what a production perplexity gate scores — pays the per-char
+    * UNK floor ([[unkCharLogqMicro]]): n_tok = its length, sum_logq =
+    * length × the floor. A gibberish document of unseen words therefore
+    * scores as maximally SURPRISING (keep = false), never as empty; the
+    * oracle mirrors the same left join + floor, and the planted-OOV
+    * spec in UnigramLmSpec pins the delta-batch behavior.
     */
   def unigramPplFilter(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    unigramPplFilterOf(s, d, Tables.documents(s, d))
+
+  /** Shared body scoring an ARBITRARY document frame under the corpus
+    * `d`'s trained LM — the production delta-batch entry point.
+    */
+  private[graft] def unigramPplFilterOf(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame = {
+    val unk = unkCharLogqMicro(s, d)
+    docs
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-      .join(broadcast(uniWordTok(s, d)), Seq("word"))
+      .join(broadcast(uniWordTok(s, d)), Seq("word"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), length(col("word")).cast("long")).as("n_tok"),
+        coalesce(col("sum_logq"),
+          length(col("word")).cast("long") * lit(unk)).as("sum_logq"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tok")).as("n_tokens"),
@@ -291,6 +323,7 @@ object UnigramLm {
         (col("total_logq") + lit(KeepNllMicroPerTok) * col("n_tokens") >= 0)
           .as("keep"))
       .orderBy(col("doc_id"))
+  }
 
   /** Unigram twin of [[BpeTrain.vocabDrift]] (`q_unigram_drift`,
     * VERDICT r15 item 4): the FROZEN trained piece table's fertility on
@@ -492,7 +525,10 @@ object UnigramOracles {
     * pass, then each traced piece scored against the FINAL lq table and
     * rolled up per word and per document — exact BIGINT sums, exact
     * nonnegative integer division (`//` floors, DIV truncates; equal on
-    * nonnegative operands), exact integer keep rule.
+    * nonnegative operands), exact integer keep rule. Words with no
+    * trained segmentation (impossible on the training corpus, the delta
+    * case in production) pay the engine's per-char UNK floor: the
+    * minimum single-char logq — the same LEFT JOIN + coalesce shape.
     */
   val unigramPplFilter: String = {
     val fr = s"r${UnigramLm.EmRounds}"
@@ -507,21 +543,28 @@ object UnigramOracles {
        |  FROM trace_ap t JOIN lq_$fr q ON q.piece = t.piece
        |  WHERE t.piece IS NOT NULL
        |  GROUP BY t.word),
+       |unkc AS MATERIALIZED (
+       |  SELECT CAST(min(logq) AS BIGINT) AS c FROM lq_$fr WHERE length(piece) = 1),
        |docwords AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |  FROM documents)
-       |SELECT d.doc_id,
+       |  FROM documents),
+       |scored AS (
+       |  SELECT d.doc_id,
+       |    coalesce(w.n_tok, length(d.word)) AS n_tok,
+       |    coalesce(w.sum_logq, length(d.word) * u.c) AS sum_logq
+       |  FROM docwords d LEFT JOIN wordsc w USING (word) CROSS JOIN unkc u)
+       |SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS n_words,
-       |  CAST(sum(w.n_tok) AS BIGINT) AS n_tokens,
-       |  CAST(sum(w.sum_logq) AS BIGINT) AS total_logq,
-       |  CAST((-CAST(sum(w.sum_logq) AS BIGINT)) // CAST(sum(w.n_tok) AS BIGINT)
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(sum_logq) AS BIGINT) AS total_logq,
+       |  CAST((-CAST(sum(sum_logq) AS BIGINT)) // CAST(sum(n_tok) AS BIGINT)
        |    AS BIGINT) AS nll_micro_per_tok,
-       |  (CAST(sum(w.sum_logq) AS HUGEINT)
-       |     + ${UnigramLm.KeepNllMicroPerTok} * CAST(sum(w.n_tok) AS HUGEINT) >= 0)
+       |  (CAST(sum(sum_logq) AS HUGEINT)
+       |     + ${UnigramLm.KeepNllMicroPerTok} * CAST(sum(n_tok) AS HUGEINT) >= 0)
        |    AS keep
-       |FROM docwords d JOIN wordsc w USING (word)
-       |GROUP BY d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** [[UnigramLm.unigramDrift]]: the full EM replay + one apply pass

@@ -106,6 +106,39 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("perplexity filter on a delta batch: planted OOV doc pays the UNK floor and is NOT kept") {
+    import spark.implicits._
+    // a delta batch the trained vocab has never seen: pure gibberish
+    // (chars exist in the corpus, the WORDS do not) plus one normal doc
+    // built from corpus words — the production shape VERDICT r16
+    // finding 2 names: a ppl gate applied to incoming documents
+    val corpusWord = graft.Tables.documents(spark, sf)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).count().orderBy(col("count").desc, col("w"))
+      .limit(8).collect().map(_.getString(0))
+    val gibberish = "zzxqj qjzzx xqjzz jzzxq zxqjz"
+    val normal = (corpusWord ++ corpusWord).mkString(" ")
+    val batch = Seq((900001L, gibberish), (900002L, normal))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.UnigramLm
+      .unigramPplFilterOf(spark, sf, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 2, "a delta doc was silently dropped")
+    val g = rows(900001L)
+    // every gibberish word is OOV: n_tok = total chars, sum_logq = chars × floor
+    val gibChars = gibberish.split(" ").map(_.length.toLong).sum
+    val unk = graft.operators.UnigramLm.unkCharLogqMicro(spark, sf)
+    assert(g.getAs[Long]("n_words") == 5L)
+    assert(g.getAs[Long]("n_tokens") == gibChars)
+    assert(g.getAs[Long]("total_logq") == gibChars * unk)
+    assert(!g.getAs[Boolean]("keep"),
+      "a document of unseen words must score as surprising, not empty")
+    // the in-vocab doc scores exactly as the trained table says and is kept
+    val n = rows(900002L)
+    assert(n.getAs[Boolean]("keep"), "frequent corpus words must pass the gate")
+    assert(n.getAs[Long]("n_words") == 16L)
+  }
+
   test("unigram drift: counters partition apply's totals and retrain matches the exact rule") {
     val rows = UnigramLm.unigramDrift(spark, sf).collect()
     assert(rows.nonEmpty)
