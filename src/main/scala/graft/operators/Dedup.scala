@@ -1217,8 +1217,12 @@ object Dedup {
     * write and no-ops the rest. A single batch-level guard on one table
     * cannot give that: keyed on grams, a crash between the grams and
     * digests appends plus redelivery would filter the docs out (already
-    * in grams) and permanently lose their digest rows. Each guard scans
-    * one bucketed key column; batch callers that own their delivery
+    * in grams) and permanently lose their digest rows. The grams and
+    * digests guards scan their target's BUCKET key column (bucket-
+    * prunable); the bands guard anti-joins on doc_id while the bands
+    * table is bucketed on bkey, so that one pays a full single-column
+    * scan per batch — semantics identical, and the column stays the
+    * narrow key either way. Batch callers that own their delivery
     * (run-once jobs) keep the unguarded default.
     */
   def appendDedupIndex(docs: DataFrame, prefix: String, buckets: Int = 8,

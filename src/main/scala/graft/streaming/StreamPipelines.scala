@@ -684,7 +684,12 @@ object StreamPipelines {
       uniDriftSink: Option[(DataFrame, Long) => Unit] = None,
       splitDriftSink: Option[(DataFrame, Long) => Unit] = None,
       annDriftSink: Option[(DataFrame, Long) => Unit] = None,
-      atRestStats: Option[DataFrame] = None): StreamingQuery =
+      atRestStats: Option[DataFrame] = None): StreamingQuery = {
+    // fail at WIRING time, not on the first non-empty batch (ADVICE
+    // r16): a mis-wired stream must not start cleanly and die later
+    require(annDriftSink.isEmpty || atRestStats.nonEmpty,
+      "streamingCorpusIngest: annDriftSink requires atRestStats " +
+        "(AnnMaintain.atRestCellStats at wiring time)")
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -722,12 +727,12 @@ object StreamPipelines {
           annSink(graft.operators.AnnMaintain.encodeBatch(vecs, centroids, codebooks), id)
           annDriftSink.foreach(ds => ds(graft.operators.AnnMaintain
             .driftReportFromStats(atRestStats.getOrElse(sys.error(
-              "streamingCorpusIngest: annDriftSink requires atRestStats " +
-                "(AnnMaintain.atRestCellStats at wiring time)")),
+              "unreachable: checked by require at wiring time")),
               vecs, centroids), id))
         }
       }
       .start()
+  }
 
   /** Streaming twin of [[graft.operators.Retrieval.bm25Indexed]] — the
     * retrieval SERVING path: a stream of (query_id, term) rows is

@@ -10,6 +10,15 @@ import graft.storage.LogStore
   */
 class LayoutSpec extends SparkSpec {
 
+  /** The JVM-shared SparkContext has no "unset checkpoint dir" API, so
+    * any test that points it at a per-test temp dir restores it to THIS
+    * known suite-level dir afterwards (ADVICE r16: restore-by-foreach
+    * silently leaked the temp dir into every later test when no prior
+    * dir was set).
+    */
+  private lazy val suiteCheckpointDir: String =
+    java.nio.file.Files.createTempDirectory("graft-suite-cp").toString
+
   test("barrier pins a frame in both modes and cuts lineage") {
     import spark.implicits._
     val df = (1L to 100L).toDF("id").withColumn("x", col("id") * 2)
@@ -26,7 +35,10 @@ class LayoutSpec extends SparkSpec {
       val reliable = Tables.barrier(df, "100 fixture rows")
       assert(reliable.count() == 100)
       assert(new java.io.File(dir).listFiles().nonEmpty, "checkpoint dir empty")
-    } finally spark.conf.unset("graft.barrier.mode")
+    } finally {
+      spark.conf.unset("graft.barrier.mode")
+      spark.sparkContext.setCheckpointDir(suiteCheckpointDir)
+    }
     intercept[IllegalArgumentException](Tables.barrier(df, ""))
   }
 
@@ -50,7 +62,6 @@ class LayoutSpec extends SparkSpec {
     graft.functions.Registry.ensure(s2)
     graft.functions.NgramJaccardFunctions.register(s2)
     val dir = java.nio.file.Files.createTempDirectory("graft-rb-dedup").toString
-    val prevCp = spark.sparkContext.getCheckpointDir
     s2.sparkContext.setCheckpointDir(dir)
     s2.conf.set("graft.barrier.mode", "reliable")
     try {
@@ -63,7 +74,9 @@ class LayoutSpec extends SparkSpec {
       assert(files > 0, "no reliable checkpoint file written by the chain")
     } finally {
       s2.conf.unset("graft.barrier.mode")
-      prevCp.foreach(spark.sparkContext.setCheckpointDir)
+      // s2 shares the JVM SparkContext: always park it on the known
+      // suite dir rather than trying to restore a maybe-absent previous
+      s2.sparkContext.setCheckpointDir(suiteCheckpointDir)
     }
   }
 
