@@ -32,6 +32,7 @@ object SparkEntry {
     operators.Skew.defs,
     operators.Graph.defs,
     operators.UnigramLm.defs,
+    operators.LshTuning.defs,
     ml.MlScore.defs,
     sources.CatalogTables.defs,
     sources.FileFormats.defs)
