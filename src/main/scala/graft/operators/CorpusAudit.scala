@@ -291,11 +291,125 @@ object CorpusAudit {
 
   // ------------------------------------------------------------- registry
 
+  // -------------------------------------------------- corpus datacard
+
+  /** `q_corpus_datacard` (VERDICT r16 item 3): the standard deliverable
+    * of a training-data pipeline as ONE per-source table — docs, token
+    * totals under BOTH production tokenizers, exact/near-dup rates,
+    * pass shares of all four quality gates (heuristic / bigram-LM /
+    * trained classifier / unigram perplexity), the language mix
+    * summary, and benchmark-contamination counts. Every column is a
+    * regrouping of an ORACLE-CHECKED constituent query — the engine
+    * composes the same shared builders those queries run
+    * ([[Dedup.minhashDedup]], [[BpeTrain.bpeApply]],
+    * [[UnigramLm.unigramApply]]/[[UnigramLm.unigramPplFilter]],
+    * [[TextAnalysis.textQuality]]/[[TextAnalysis.lmQuality]]/
+    * [[TextAnalysis.modelQuality]], [[Dedup.minhashDecontaminate]]) and
+    * the oracle embeds each constituent's FULL replay SQL as a derived
+    * table (the `q_dedup_cluster_stats` precedent), so the datacard
+    * check asserts only the wiring. Shares are exact integer micro
+    * units (`(1e6·n) DIV n_docs`) — the repo's quantization convention.
+    *
+    * Scale shape: one text-partitioned window for the exact-dup flag
+    * (the `dedupExact` grouping, flagged per doc), then doc_id-keyed
+    * left joins of per-doc constituent outputs — each constituent is
+    * the linear chain its own bench/verify slot already certifies; the
+    * rollup adds one groupBy(source) over (doc_id, flags) rows. Lang
+    * mix: distinct-lang count plus the modal language per source
+    * (row_number over source partitions — source-bound, never
+    * corpus-bound).
+    */
+  def corpusDatacard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the BPE oracle replays from the pinned merges artifact; pin it
+    // here so the datacard verifies standalone (the tokenizerCompare
+    // precedent — bpeApply itself relies on q_bpe_train having run)
+    BpeTrain.ensureMergesPinned(s, d)
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), col("source"), col("lang"))
+    val exact = docs.select(col("doc_id"),
+      (col("doc_id") > min(col("doc_id")).over(Window.partitionBy(col("text"))))
+        .as("exact_dup"))
+    val near = Dedup.minhashDedup(s, d)
+      .select(col("doc_id"), col("is_duplicate").as("near_dup"))
+    val bpe = BpeTrain.bpeApply(s, d)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    val uni = UnigramLm.unigramApply(s, d)
+      .select(col("doc_id"), col("n_unigram_tokens"))
+    val tq = TextAnalysis.textQuality(s, d)
+      .select(col("doc_id"), (col("quality") === "ok").as("hq"))
+    val lmq = TextAnalysis.lmQuality(s, d)
+      .select(col("doc_id"), (!col("low_quality")).as("lmk"))
+    val clf = TextAnalysis.modelQuality(s, d)
+      .select(col("doc_id"), col("keep").as("clfk"))
+    val ppl = UnigramLm.unigramPplFilter(s, d)
+      .select(col("doc_id"), col("keep").as("pplk"))
+    val contam = Dedup.minhashDecontaminate(s, d)
+      .select(col("doc_id"), lit(true).as("contam"))
+
+    val joined = base
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(bpe, Seq("doc_id"), "left")
+      .join(uni, Seq("doc_id"), "left")
+      .join(tq, Seq("doc_id"), "left")
+      .join(lmq, Seq("doc_id"), "left")
+      .join(clf, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+
+    val perSource = joined.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      coalesce(sum(col("n_words")), lit(0L)).as("n_words"),
+      coalesce(sum(col("n_bpe_tokens")), lit(0L)).as("n_bpe_tokens"),
+      coalesce(sum(col("n_unigram_tokens")), lit(0L)).as("n_unigram_tokens"),
+      count(when(col("exact_dup"), 1)).as("n_exact_dups"),
+      count(when(col("near_dup"), 1)).as("n_near_dups"),
+      count(when(col("hq"), 1)).as("n_heuristic_pass"),
+      count(when(col("lmk"), 1)).as("n_lm_pass"),
+      count(when(col("clfk"), 1)).as("n_classifier_pass"),
+      count(when(col("pplk"), 1)).as("n_ppl_pass"),
+      count(col("contam")).as("n_contaminated"))
+
+    val langMix = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("lang"))
+    val top = langMix.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("n").as("top_lang_docs"))
+
+    perSource.join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("top_lang"), col("top_lang_docs"),
+        col("n_words"), col("n_bpe_tokens"), col("n_unigram_tokens"),
+        col("n_exact_dups"),
+        expr("(1000000 * n_exact_dups) DIV n_docs").as("exact_dup_micro"),
+        col("n_near_dups"),
+        expr("(1000000 * n_near_dups) DIV n_docs").as("near_dup_micro"),
+        col("n_heuristic_pass"),
+        expr("(1000000 * n_heuristic_pass) DIV n_docs").as("heuristic_pass_micro"),
+        col("n_lm_pass"),
+        expr("(1000000 * n_lm_pass) DIV n_docs").as("lm_pass_micro"),
+        col("n_classifier_pass"),
+        expr("(1000000 * n_classifier_pass) DIV n_docs").as("classifier_pass_micro"),
+        col("n_ppl_pass"),
+        expr("(1000000 * n_ppl_pass) DIV n_docs").as("ppl_pass_micro"),
+        col("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
   lazy val defs: Map[String, QueryDef] = Map(
     "q_temperature_mix" -> QueryDef(temperatureMix, Some(CorpusAuditOracles.temperatureMix)),
     "q_source_overlap"  -> QueryDef(sourceOverlap, Some(CorpusAuditOracles.sourceOverlap)),
     "q_snapshot_diff"   -> QueryDef(snapshotDiff, Some(CorpusAuditOracles.snapshotDiff)),
-    "q_dsir_select"     -> QueryDef(dsirSelect, Some(CorpusAuditOracles.dsirSelect)))
+    "q_dsir_select"     -> QueryDef(dsirSelect, Some(CorpusAuditOracles.dsirSelect)),
+    // verified-not-benched (frozen roster policy): a composition of
+    // chains that already hold bench slots
+    "q_corpus_datacard" -> QueryDef(corpusDatacard,
+      Some(CorpusAuditOracles.corpusDatacard), headline = false))
 }
 
 /** DuckDB oracle twins for [[CorpusAudit]]. */
@@ -422,4 +536,91 @@ object CorpusAuditOracles {
        |FROM scored, cut
        |WHERE score_q > c
        |ORDER BY doc_id""".stripMargin
+
+  /** [[CorpusAudit.corpusDatacard]]: every constituent's FULL oracle
+    * replay embedded as a derived table (each carries its own
+    * `WITH RECURSIVE` scope — the [[DedupOracles.splitLeakageFree]]
+    * derived-table precedent), so DuckDB independently recomputes the
+    * minhash closure, both tokenizer chains, all four quality gates,
+    * and the decontamination probe before this query's own
+    * contribution — the per-source wiring — is checked on top.
+    */
+  lazy val corpusDatacard: String =
+    s"""WITH docs AS (SELECT doc_id, source, lang FROM documents),
+       |ex AS (
+       |  SELECT doc_id,
+       |    doc_id > min(doc_id) OVER (PARTITION BY text) AS exact_dup
+       |  FROM documents),
+       |nd AS (SELECT doc_id, is_duplicate AS near_dup
+       |       FROM (${DedupOracles.minhashDedup}) t),
+       |bp AS (SELECT doc_id, n_words, n_bpe_tokens
+       |       FROM (${BpeOracles.bpeApply}) t),
+       |un AS (SELECT doc_id, n_unigram_tokens
+       |       FROM (${UnigramOracles.unigramApply}) t),
+       |tq AS (SELECT doc_id, quality = 'ok' AS hq
+       |       FROM (${TextOracles.textQuality}) t),
+       |lmq AS (SELECT doc_id, NOT low_quality AS lmk
+       |        FROM (${TextOracles.lmQuality}) t),
+       |clf AS (SELECT doc_id, keep AS clfk
+       |        FROM (${TextOracles.modelQuality}) t),
+       |ppl AS (SELECT doc_id, keep AS pplk
+       |        FROM (${UnigramOracles.unigramPplFilter}) t),
+       |ct AS (SELECT doc_id, TRUE AS contam
+       |       FROM (${DedupOracles.minhashDecontaminate}) t),
+       |joined AS (
+       |  SELECT d.source, d.lang, ex.exact_dup, nd.near_dup,
+       |    bp.n_words, bp.n_bpe_tokens, un.n_unigram_tokens,
+       |    tq.hq, lmq.lmk, clf.clfk, ppl.pplk, ct.contam
+       |  FROM docs d
+       |  LEFT JOIN ex  USING (doc_id)
+       |  LEFT JOIN nd  USING (doc_id)
+       |  LEFT JOIN bp  USING (doc_id)
+       |  LEFT JOIN un  USING (doc_id)
+       |  LEFT JOIN tq  USING (doc_id)
+       |  LEFT JOIN lmq USING (doc_id)
+       |  LEFT JOIN clf USING (doc_id)
+       |  LEFT JOIN ppl USING (doc_id)
+       |  LEFT JOIN ct  USING (doc_id)),
+       |per_source AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(coalesce(sum(n_words), 0) AS BIGINT) AS n_words,
+       |    CAST(coalesce(sum(n_bpe_tokens), 0) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(coalesce(sum(n_unigram_tokens), 0) AS BIGINT) AS n_unigram_tokens,
+       |    CAST(count(*) FILTER (WHERE exact_dup) AS BIGINT) AS n_exact_dups,
+       |    CAST(count(*) FILTER (WHERE near_dup) AS BIGINT) AS n_near_dups,
+       |    CAST(count(*) FILTER (WHERE hq) AS BIGINT) AS n_heuristic_pass,
+       |    CAST(count(*) FILTER (WHERE lmk) AS BIGINT) AS n_lm_pass,
+       |    CAST(count(*) FILTER (WHERE clfk) AS BIGINT) AS n_classifier_pass,
+       |    CAST(count(*) FILTER (WHERE pplk) AS BIGINT) AS n_ppl_pass,
+       |    CAST(count(contam) AS BIGINT) AS n_contaminated
+       |  FROM joined
+       |  GROUP BY source),
+       |lmx AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM docs GROUP BY 1, 2),
+       |top AS (
+       |  SELECT source, lang AS top_lang, n AS top_lang_docs
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY source ORDER BY n DESC, lang) AS rn
+       |        FROM lmx)
+       |  WHERE rn = 1)
+       |SELECT p.source, p.n_docs, p.n_langs, t.top_lang, t.top_lang_docs,
+       |  p.n_words, p.n_bpe_tokens, p.n_unigram_tokens,
+       |  p.n_exact_dups,
+       |  CAST((1000000 * p.n_exact_dups) // p.n_docs AS BIGINT) AS exact_dup_micro,
+       |  p.n_near_dups,
+       |  CAST((1000000 * p.n_near_dups) // p.n_docs AS BIGINT) AS near_dup_micro,
+       |  p.n_heuristic_pass,
+       |  CAST((1000000 * p.n_heuristic_pass) // p.n_docs AS BIGINT) AS heuristic_pass_micro,
+       |  p.n_lm_pass,
+       |  CAST((1000000 * p.n_lm_pass) // p.n_docs AS BIGINT) AS lm_pass_micro,
+       |  p.n_classifier_pass,
+       |  CAST((1000000 * p.n_classifier_pass) // p.n_docs AS BIGINT) AS classifier_pass_micro,
+       |  p.n_ppl_pass,
+       |  CAST((1000000 * p.n_ppl_pass) // p.n_docs AS BIGINT) AS ppl_pass_micro,
+       |  p.n_contaminated
+       |FROM per_source p JOIN top t USING (source)
+       |ORDER BY p.source""".stripMargin
 }

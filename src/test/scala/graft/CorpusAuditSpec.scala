@@ -157,4 +157,35 @@ class CorpusAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       "DSIR cutpoint must read a K-bounded ordered sample:\n" + plan)
   }
+
+  test("corpusDatacard: per-source rollup re-totals its oracle-checked constituents") {
+    val rows = CorpusAudit.corpusDatacard(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val sources = Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(rows.length == sources, "one row per source")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // totals equal the constituents' own corpus-wide numbers (the
+    // datacard adds only wiring, never new arithmetic)
+    val nearTotal = graft.operators.Dedup.minhashDedup(spark, sf)
+      .filter(col("is_duplicate")).count()
+    assert(rows.map(_.getAs[Long]("n_near_dups")).sum == nearTotal)
+    val contamTotal = graft.operators.Dedup.minhashDecontaminate(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_contaminated")).sum == contamTotal)
+    val bpeTotal = graft.operators.BpeTrain.bpeApply(spark, sf)
+      .agg(sum(col("n_bpe_tokens"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_bpe_tokens")).sum == bpeTotal)
+    val pplTotal = graft.operators.UnigramLm.unigramPplFilter(spark, sf)
+      .filter(col("keep")).count()
+    assert(rows.map(_.getAs[Long]("n_ppl_pass")).sum == pplTotal)
+    rows.foreach { r =>
+      val (n, langs) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"))
+      assert(n > 0 && langs >= 1 && r.getAs[Long]("top_lang_docs") <= n)
+      // the micro shares are the exact integer rule over the emitted counts
+      assert(r.getAs[Long]("heuristic_pass_micro") ==
+        1000000L * r.getAs[Long]("n_heuristic_pass") / n, r.toString)
+      assert(r.getAs[Long]("near_dup_micro") ==
+        1000000L * r.getAs[Long]("n_near_dups") / n, r.toString)
+    }
+  }
 }
