@@ -706,6 +706,113 @@ class StreamingSpec extends SparkSpec {
     atStats.unpersist()
   }
 
+  test("unified corpus ingest recovers exactly-once at-rest state from a mid-loop crash") {
+    // VERDICT r16 item 5: the production property the parity +
+    // idempotence specs don't prove — a query KILLED between a batch's
+    // at-rest folds and its last sink, restarted from the same
+    // checkpoint, must redeliver the batch and leave the at-rest tables
+    // exactly as a never-crashed run would (the replay guards are the
+    // mechanism). A replayable FILE source feeds the ingest (the funnel
+    // restart precedent); the crash is injected in annSink, which runs
+    // AFTER the split fold + dedup-index appends — so the crashed
+    // batch's at-rest writes HAVE landed when the query dies.
+    import graft.operators.{AnnMaintain, Dedup, TrainingPrep}
+    TrainingPrep.corpusPrepDelta(spark, sf).count()
+    AnnMaintain.annIndexAppend(spark, sf).count()
+    val cdf = spark.read.parquet(AnnMaintain.CentroidsPath)
+    val bdf = spark.read.parquet(AnnMaintain.CodebooksPath)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(col("vec_id")).limit(5)
+      .select(col("v")).as[Seq[Double]].collect()
+
+    val T  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val T2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val P  = "orange banana cherry grape melon peach plum apricot fig date kiwi lime"
+    val P2 = "orange banana cherry grape melon peach plum apricot fig date kiwi lemon"
+    val slice1 = Seq((27L, T2, "en", emb(0)), (47L, P, "en", emb(1)))
+    val slice2 = Seq((31L, T, "en", emb(2)), (51L, P2, "en", emb(3)))
+    val atRest = Seq((20L, T)).toDF("doc_id", "text")
+    def initState(p: String): Unit = {
+      Dedup.writeDedupIndex(atRest, p)
+      Dedup.writeSplitTable(
+        Seq((20L, 20L, "val")).toDF("doc_id", "label", "split"), p)
+    }
+    val inDir = java.nio.file.Files.createTempDirectory("graft-cr-in")
+    def writeSlice(rows: Seq[(Long, String, String, Seq[Double])], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cr-w").toString
+      rows.toDF("doc_id", "text", "lang", "v")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      java.nio.file.Files.copy(part.toPath, inDir.resolve(name))
+      ()
+    }
+    writeSlice(slice1, "b1.json")
+    writeSlice(slice2, "b2.json")
+    def src() = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, v ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", "1")
+      .json(inDir.toString)
+
+    val annSeen = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val splitCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(prefix: String, cp: String, armed: Boolean): Unit = {
+      crashArmed.set(armed)
+      val q = StreamPipelines.streamingCorpusIngest(
+        src(), sf, prefix, cdf, bdf,
+        admitSink = (_, _) => (),
+        splitSink = (df, _) => { df.count(); splitCalls.incrementAndGet(); () },
+        annSink = (df, _) => {
+          // second batch, first delivery: die AFTER the split fold +
+          // index appends have executed, BEFORE this sink observes it
+          if (splitCalls.get() >= 2 && crashArmed.getAndSet(false))
+            sys.error("injected mid-loop crash")
+          annSeen.synchronized { annSeen ++= df.collect().map(_.toSeq) }; ()
+        },
+        checkpoint = cp)
+      try q.processAllAvailable()
+      catch { case e: Throwable => if (!armed) throw e } // armed: the injected crash
+      if (q.isActive) q.stop()
+    }
+
+    initState("uingestcr")
+    val cp = java.nio.file.Files.createTempDirectory("graft-cr-cp").toString
+    run("uingestcr", cp, armed = true)   // dies inside batch 2's annSink
+    val callsAtCrash = splitCalls.get()
+    assert(callsAtCrash >= 2, "crash batch never reached the split stage")
+    run("uingestcr", cp, armed = false)  // same checkpoint: redelivers batch 2
+    assert(splitCalls.get() > callsAtCrash,
+      "restart did not redeliver the uncommitted batch")
+
+    // reference: the same two batches through a never-crashed ingest
+    val annRef = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    initState("uingestrf")
+    locally {
+      val q = StreamPipelines.streamingCorpusIngest(
+        src(), sf, "uingestrf", cdf, bdf, (_, _) => (), (_, _) => (),
+        (df, _) => { annRef.synchronized { annRef ++= df.collect().map(_.toSeq) }; () },
+        java.nio.file.Files.createTempDirectory("graft-cr-cp2").toString)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // exactly-once at-rest state: every table equal to the no-crash run
+    for (t <- Seq("_split", "_grams", "_digests", "_bands")) {
+      Seq(s"uingestcr$t", s"uingestrf$t").foreach(spark.catalog.refreshTable)
+      val crash = spark.table(s"uingestcr$t").collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val ref = spark.table(s"uingestrf$t").collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(crash == ref, s"at-rest $t diverged after crash recovery")
+    }
+    // and the post-crash sink saw batch 2 exactly once (batch 1 + the
+    // single successful redelivery = the reference multiset)
+    assert(annSeen.groupBy(identity).view.mapValues(_.length).toMap ==
+      annRef.groupBy(identity).view.mapValues(_.length).toMap,
+      s"ann sink multiset diverged: ${annSeen.size} vs ${annRef.size}")
+  }
+
   test("ingest with dedupe window drops replayed duplicate request_ids") {
     val mem = MemoryStream[String](spark)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
