@@ -146,7 +146,7 @@ object MlScore {
       .orderBy(col("rid"))
   }
 
-  val defs: Map[String, QueryDef] = Map(
+  lazy val defs: Map[String, QueryDef] = Map(
     "q_rt_model_score" -> QueryDef(rtModelScore, Some(MlScoreOracles.rtModelScore)))
 }
 

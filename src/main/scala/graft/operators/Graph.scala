@@ -606,7 +606,7 @@ object Graph {
     traj.orderBy(col("iter"), col("node"))
   }
 
-  val defs: Map[String, QueryDef] = Map(
+  lazy val defs: Map[String, QueryDef] = Map(
     "q_doc_components" -> QueryDef(docComponents, Some(GraphOracles.docComponents)),
     "q_doc_components_lss" -> QueryDef(docComponentsLss, Some(GraphOracles.docComponents),
       headline = false),

@@ -348,7 +348,7 @@ object UnigramLm {
       batchDocs: DataFrame): DataFrame =
     BpeTrain.tokenizerDriftOf(s, d, batchDocs, "unigram", uniWordTok(s, d))
 
-  val defs: Map[String, QueryDef] = Map(
+  lazy val defs: Map[String, QueryDef] = Map(
     "q_unigram_lm_train" -> QueryDef(unigramTrain, Some(UnigramOracles.unigramTrain)),
     "q_unigram_lm_apply" -> QueryDef(unigramApply, Some(UnigramOracles.unigramApply)),
     // verified-not-benched: the same two amortized word-table joins the

@@ -35,6 +35,20 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("no oracle SQL or query builder is null (object-init cycle guard)") {
+    // Scala object-initialization cycles materialize as NULL vals, not
+    // errors: when a composed oracle (e.g. the datacard) forces an
+    // *Oracles object BEFORE its operator object, an EAGER `defs` val
+    // at the end of the operator object captures Some(null) for every
+    // oracle — which r17 hit the day the datacard landed (the full
+    // registry init order shifted and five unigram oracles went null,
+    // NPE-ing Verify). All defs are `lazy val` now; this pins it.
+    val nullOracles = SparkEntry.oracleSql.collect { case (k, null) => k }
+    assert(nullOracles.isEmpty, s"null oracle SQL (init cycle): $nullOracles")
+    val nullQueries = SparkEntry.queries.collect { case (k, null) => k }
+    assert(nullQueries.isEmpty, s"null query builder (init cycle): $nullQueries")
+  }
+
   test("round-7 additions keep their scale-critical plan properties") {
     // ngram decontamination: the benchmark gram side must be BROADCAST
     // (the training side streams; a shuffle join here would reshuffle
