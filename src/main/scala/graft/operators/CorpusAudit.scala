@@ -289,6 +289,76 @@ object CorpusAudit {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------- Moore-Lewis
+
+  /** Quantization scale for the per-word cross-entropy difference
+    * (micro-nats — the [[DsirQ]] convention).
+    */
+  val MlewQ = 1000000L
+
+  /** `q_moore_lewis_select` — cross-entropy-difference data selection
+    * (Moore & Lewis, ACL 2010 — the method the DSIR paper positions its
+    * hashed importance weights against): fit an add-one-smoothed
+    * word-unigram LM on the in-domain slice (`lang = 'en'`, the
+    * [[dsirSelect]] target) and another on the general remainder, both
+    * smoothed over the JOINT vocabulary, then score every candidate
+    * (non-`en`) document by Σ_w [ln P_in(w) − ln P_gen(w)] over its
+    * tokens and keep the documents whose PER-TOKEN average favors the
+    * in-domain model. The length-normalized criterion `avg > 0` is
+    * applied as the integer cross-multiplication `score_q > 0` (avg and
+    * sum share a sign; n_tokens > 0 by construction), so no float
+    * division can flip a verdict — the [[UnigramLm.unigramPplFilter]]
+    * keep-rule convention.
+    *
+    * Differences from [[dsirSelect]], which is this method's hashed
+    * descendant: per-WORD ratios instead of [[DsirDim]] hash buckets
+    * (no collision noise — the sidecar is vocab-bound, so the score
+    * join is a plain shuffle join on `word`, never an unconditional
+    * broadcast: at corpus scale the vocabulary is itself large), and an
+    * absolute threshold gate (avg LLR > 0) instead of a top-quantile
+    * cut — the selected share is a MEASUREMENT of domain match, not a
+    * preset budget, which is how Moore-Lewis is used to size a
+    * selection before committing to it.
+    *
+    * ln() portability: evaluated once per DISTINCT word (vocab-bound,
+    * never corpus-bound) and quantized to BIGINT micro-nats BEFORE the
+    * per-doc sum — integer sums are exact and order-free (the
+    * [[DsirQ]]/PcaQ convention, proven at three SFs on `q_dsir_select`).
+    * Documents with zero `[a-z]+` tokens have no rows to score and are
+    * absent from the output in both engines (the `unnest`-of-empty
+    * shape both sides share).
+    */
+  def mooreLewisSelect(s: SparkSession, d: String): DataFrame = {
+    val words = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    // one token-expansion scan feeds both LM fits and the scoring pass
+    // (the dsirSelect double-consumption stance)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(words).as("word"))
+      .barrier("one row per corpus token (the dsirSelect expansion bound)")
+    // ONE scan fits both distributions: conditional counts per word
+    val counts = toks.groupBy(col("word")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_w"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("r_w"))
+    val totals = counts.agg(
+      sum(col("t_w")).as("t_n"), sum(col("r_w")).as("r_n"),
+      count(lit(1)).as("v"))
+    val llr = counts.crossJoin(broadcast(totals))
+      .select(col("word"),
+        round((log((col("t_w") + 1).cast("double") / (col("t_n") + col("v"))) -
+               log((col("r_w") + 1).cast("double") / (col("r_n") + col("v")))) *
+          MlewQ).cast("long").as("llr_q"))
+    // every candidate word is in the joint vocab by construction (its
+    // own occurrences fed r_w), so the inner join is total
+    toks.filter(col("lang") =!= "en")
+      .join(llr, Seq("word"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("llr_q")).as("score_q"))
+      .withColumn("keep", col("score_q") > 0L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("score_q"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   // -------------------------------------------------- corpus datacard
@@ -406,6 +476,10 @@ object CorpusAudit {
     "q_source_overlap"  -> QueryDef(sourceOverlap, Some(CorpusAuditOracles.sourceOverlap)),
     "q_snapshot_diff"   -> QueryDef(snapshotDiff, Some(CorpusAuditOracles.snapshotDiff)),
     "q_dsir_select"     -> QueryDef(dsirSelect, Some(CorpusAuditOracles.dsirSelect)),
+    // verified-not-benched (frozen roster policy rule 1b: no slot to
+    // displace — the DSIR chain keeps the benched selection slot)
+    "q_moore_lewis_select" -> QueryDef(mooreLewisSelect,
+      Some(CorpusAuditOracles.mooreLewisSelect), headline = false),
     // verified-not-benched (frozen roster policy): a composition of
     // chains that already hold bench slots
     "q_corpus_datacard" -> QueryDef(corpusDatacard,
@@ -489,6 +563,40 @@ object CorpusAuditOracles {
     * BIGINT casts guard DuckDB's HUGEINT sum widening.
     */
   val dsirSelect: String = dsirSelectSql(CorpusAudit.DsirCutSample)
+
+  /** [[CorpusAudit.mooreLewisSelect]] replayed end-to-end: token
+    * expansion, both conditional word counts in one pass, joint-vocab
+    * add-one smoothing, per-word micro-nat LLR (same `round(ln(·)·1e6)`
+    * image as [[dsirSelect]]'s bucket LLR), integer per-doc sum, and
+    * the sign-of-sum keep rule.
+    */
+  val mooreLewisSelect: String =
+    s"""WITH dwr AS (
+       |  SELECT doc_id, lang,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |wc AS (
+       |  SELECT word,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_w,
+       |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS r_w
+       |  FROM dwr GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(t_w) AS BIGINT) AS t_n, CAST(sum(r_w) AS BIGINT) AS r_n,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM wc),
+       |llr AS (
+       |  SELECT word,
+       |    CAST(round((ln((t_w + 1) / ((t_n + v) * 1e0)) -
+       |                ln((r_w + 1) / ((r_n + v) * 1e0)))
+       |               * ${CorpusAudit.MlewQ}) AS BIGINT) AS llr_q
+       |  FROM wc, tot)
+       |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(llr_q) AS BIGINT) AS score_q,
+       |  CAST(sum(llr_q) AS BIGINT) > 0 AS keep
+       |FROM dwr JOIN llr USING (word)
+       |WHERE lang <> 'en'
+       |GROUP BY doc_id, lang
+       |ORDER BY doc_id""".stripMargin
 
   def dsirSelectSql(cutSample: Int): String =
     s"""WITH dwr AS (

@@ -188,4 +188,42 @@ class CorpusAuditSpec extends SparkSpec {
         1000000L * r.getAs[Long]("n_near_dups") / n, r.toString)
     }
   }
+
+  test("mooreLewisSelect matches a plain-Scala cross-entropy-difference replay") {
+    val langDocs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    def words(text: String): Seq[String] =
+      "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+    val all = langDocs.flatMap { case (id, lang, t) =>
+      words(t).map(w => (id, lang, w))
+    }
+    val tW = all.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val rW = all.filter(_._2 != "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val vocab = tW.keySet ++ rW.keySet
+    val (tN, rN, v) = (tW.values.sum, rW.values.sum, vocab.size.toLong)
+    val llrQ = vocab.map { w =>
+      w -> math.round((math.log((tW.getOrElse(w, 0L) + 1).toDouble / (tN + v)) -
+        math.log((rW.getOrElse(w, 0L) + 1).toDouble / (rN + v))) *
+        CorpusAudit.MlewQ)
+    }.toMap
+    val expected = all.filter(_._2 != "en").groupBy(t => (t._1, t._2)).view
+      .mapValues(rows => (rows.size.toLong, rows.map(t => llrQ(t._3)).sum))
+      .toSeq.map { case ((id, lang), (n, sc)) => (id, lang, n, sc, sc > 0L) }
+      .sortBy(_._1)
+    val got = CorpusAudit.mooreLewisSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected)
+    // structural: candidates only, every worded candidate doc scored
+    // exactly once, and the gate is the sign of the integer sum
+    assert(got.forall(_._2 != "en"))
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.length == langDocs.count(d => d._2 != "en" && words(d._3).nonEmpty))
+    assert(got.forall(t => t._5 == (t._4 > 0L)))
+    // the fixture must exercise BOTH sides of the gate, or the sign
+    // rule is untested
+    assert(got.exists(_._5) && got.exists(!_._5),
+      s"degenerate fixture: all ${got.length} candidates on one side of the gate")
+  }
 }
