@@ -45,6 +45,18 @@ object Bench {
     }
   }
 
+  /** Where a run's full record lands. Only the driver-contract shape —
+    * full suite at the sf0.1 gate fixture — may write `bench_out.json`:
+    * that file is the COMMITTED record, and both a dev-loop subset and
+    * an sf1 rehearsal used to clobber it silently (the r12 gotcha; in
+    * r16 an isolated re-measure overwrote the committed record and had
+    * to be restored by hand). Everything else writes
+    * `bench_out_dev.json`. Pure — spec-covered in BenchSpec.
+    */
+  def outFileFor(args: Array[String], sfDir: String): String =
+    if (args.isEmpty && sfDir == "/root/testdata/sf0.1") "bench_out.json"
+    else "bench_out_dev.json"
+
   /** Which queries the end-of-suite pass re-times: suite min-of-2 above
     * `factor`× the committed minimum AND more than `minExcessSec` over it
     * (the absolute floor keeps ambient jitter on sub-0.3 s queries from
@@ -319,7 +331,8 @@ object Bench {
       }.mkString("\"remeasure\":{", ",", "},")
     val full = line(qJson(results.toSeq),
       s""""n_queries":${results.size},"cold_start":${qJson(cold.toSeq)},$controlJson$diskJson$remeasureJson$streamJson""")
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    val outFile = outFileFor(args, sfDir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // erroring queries (None) sort FIRST, not as 0.0 — a slow query that
@@ -329,7 +342,7 @@ object Bench {
     val slowest = results.toSeq
       .sortBy(-_._2.getOrElse(Double.MaxValue)).take(25)
     println(line(qJson(slowest),
-      s""""n_queries":${results.size},"queries_shown":${slowest.size},$controlJson$diskJson$remeasureJson"full_record":"bench_out.json","""))
+      s""""n_queries":${results.size},"queries_shown":${slowest.size},$controlJson$diskJson$remeasureJson"full_record":"$outFile","""))
     spark.stop()
   }
 }

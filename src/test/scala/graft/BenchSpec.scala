@@ -54,4 +54,14 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.outliersToRemeasure(Map("q_x" -> Some(1.76)), committed,
       factor = 1.5, minExcessSec = 0.75) === Seq("q_x"))
   }
+
+  test("only the driver-contract shape may write the committed record file") {
+    val gate = "/root/testdata/sf0.1"
+    assert(Bench.outFileFor(Array.empty, gate) === "bench_out.json")
+    // dev-loop subset: never the committed record
+    assert(Bench.outFileFor(Array("q_minhash_dedup"), gate) === "bench_out_dev.json")
+    // sf1 rehearsal (the r12 gotcha) and any other fixture: dev file
+    assert(Bench.outFileFor(Array.empty, "/root/repo/sf1-rehearsal") === "bench_out_dev.json")
+    assert(Bench.outFileFor(Array.empty, "/root/testdata/sf0.01") === "bench_out_dev.json")
+  }
 }
