@@ -175,8 +175,14 @@ object Bench {
     // kept in the record (`remeasure` map) so the run self-documents
     // what happened. Full-suite runs only (a dev-loop subset has no
     // headline to defend).
+    // Gate-shape runs only: the committed minima are sf0.1 values, so
+    // at any other fixture EVERY query reads as an outlier and the
+    // pass burns minutes re-timing the whole tail (the r17 sf1
+    // rehearsal re-timed 17 queries before this guard). Same predicate
+    // as the record-file routing: self-defense exists to protect the
+    // committed record, and only the driver-contract shape writes it.
     val remeasureTargets =
-      if (args.nonEmpty) Seq.empty[String]
+      if (outFileFor(args, sfDir) != "bench_out.json") Seq.empty[String]
       else outliersToRemeasure(suiteResults, committedMin)
     val remeasured: Map[String, (Double, Option[Double])] = remeasureTargets.flatMap { n =>
       qs.get(n).flatMap { fn =>

@@ -359,6 +359,50 @@ object CorpusAudit {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------- selection compare
+
+  /** `q_selection_compare` — the agreement audit between the two data-
+    * selection methods, per candidate language: how many documents
+    * [[dsirSelect]] (hashed top-quantile) and [[mooreLewisSelect]]
+    * (exact-word sign gate) each keep, the 2×2 overlap (both /
+    * DSIR-only / Moore-Lewis-only / neither), and their agreement as
+    * exact integer micros (Jaccard of the kept sets and raw agreement
+    * over all candidates) — the table consulted before committing a
+    * selection strategy at a new corpus scale, where the two methods'
+    * disagreement band IS the set of documents worth manual review.
+    *
+    * Composition stance (the [[corpusDatacard]] precedent): the engine
+    * composes the SAME builders the two oracle-checked constituents
+    * run, and the oracle embeds both constituents' full replay SQL as
+    * derived tables, so this check asserts only the wiring. Candidate
+    * universe = Moore-Lewis's output (every worded non-`en` doc);
+    * DSIR's kept set is a subset of the same universe by construction.
+    * Integer-micro shares follow the datacard's exact `DIV` rule.
+    */
+  def selectionCompare(s: SparkSession, d: String): DataFrame = {
+    val ml = mooreLewisSelect(s, d)
+      .select(col("doc_id"), col("lang"), col("keep").as("ml_keep"))
+    val dsirKept = dsirSelect(s, d)
+      .select(col("doc_id"), lit(true).as("dsir_keep"))
+    ml.join(dsirKept, Seq("doc_id"), "left")
+      .na.fill(false, Seq("dsir_keep"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("ml_keep") && col("dsir_keep"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(!col("ml_keep") && col("dsir_keep"), 1L).otherwise(0L)).as("n_dsir_only"),
+        sum(when(col("ml_keep") && !col("dsir_keep"), 1L).otherwise(0L)).as("n_ml_only"),
+        sum(when(!col("ml_keep") && !col("dsir_keep"), 1L).otherwise(0L)).as("n_neither"))
+      .select(col("lang"), col("n_candidates"), col("n_both"),
+        col("n_dsir_only"), col("n_ml_only"), col("n_neither"),
+        when(col("n_both") + col("n_dsir_only") + col("n_ml_only") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * n_both) DIV (n_both + n_dsir_only + n_ml_only)"))
+          .as("kept_jaccard_micro"),
+        expr("(1000000 * (n_both + n_neither)) DIV n_candidates")
+          .as("agreement_micro"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------- registry
 
   // -------------------------------------------------- corpus datacard
@@ -480,6 +524,9 @@ object CorpusAudit {
     // displace — the DSIR chain keeps the benched selection slot)
     "q_moore_lewis_select" -> QueryDef(mooreLewisSelect,
       Some(CorpusAuditOracles.mooreLewisSelect), headline = false),
+    // verified-not-benched: a composition of the two selection chains
+    "q_selection_compare" -> QueryDef(selectionCompare,
+      Some(CorpusAuditOracles.selectionCompare), headline = false),
     // verified-not-benched (frozen roster policy): a composition of
     // chains that already hold bench slots
     "q_corpus_datacard" -> QueryDef(corpusDatacard,
@@ -597,6 +644,35 @@ object CorpusAuditOracles {
        |WHERE lang <> 'en'
        |GROUP BY doc_id, lang
        |ORDER BY doc_id""".stripMargin
+
+  /** [[CorpusAudit.selectionCompare]]: both selection constituents'
+    * FULL replays embedded as derived tables (the [[corpusDatacard]]
+    * precedent), then the 2×2 overlap wiring asserted on top. All
+    * nonneg operands, so DuckDB `//` (floor) and Spark `DIV` (truncate
+    * toward zero) agree.
+    */
+  lazy val selectionCompare: String =
+    s"""WITH ml AS (
+       |  SELECT doc_id, lang, keep AS ml_keep FROM ($mooreLewisSelect) t),
+       |dsir AS (SELECT doc_id FROM ($dsirSelect) t),
+       |j AS (
+       |  SELECT ml.lang, ml.ml_keep, (dsir.doc_id IS NOT NULL) AS dsir_keep
+       |  FROM ml LEFT JOIN dsir ON ml.doc_id = dsir.doc_id),
+       |agg AS (
+       |  SELECT lang,
+       |    CAST(count(*) AS BIGINT) AS n_candidates,
+       |    CAST(sum(CASE WHEN ml_keep AND dsir_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |    CAST(sum(CASE WHEN (NOT ml_keep) AND dsir_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dsir_only,
+       |    CAST(sum(CASE WHEN ml_keep AND (NOT dsir_keep) THEN 1 ELSE 0 END) AS BIGINT) AS n_ml_only,
+       |    CAST(sum(CASE WHEN (NOT ml_keep) AND (NOT dsir_keep) THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+       |  FROM j GROUP BY 1)
+       |SELECT lang, n_candidates, n_both, n_dsir_only, n_ml_only, n_neither,
+       |  CASE WHEN n_both + n_dsir_only + n_ml_only = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST((1000000 * n_both) // (n_both + n_dsir_only + n_ml_only) AS BIGINT)
+       |  END AS kept_jaccard_micro,
+       |  CAST((1000000 * (n_both + n_neither)) // n_candidates AS BIGINT) AS agreement_micro
+       |FROM agg
+       |ORDER BY lang""".stripMargin
 
   def dsirSelectSql(cutSample: Int): String =
     s"""WITH dwr AS (

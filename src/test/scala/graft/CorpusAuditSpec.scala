@@ -226,4 +226,33 @@ class CorpusAuditSpec extends SparkSpec {
     assert(got.exists(_._5) && got.exists(!_._5),
       s"degenerate fixture: all ${got.length} candidates on one side of the gate")
   }
+
+  test("selectionCompare re-totals its two oracle-checked constituents") {
+    val ml = CorpusAudit.mooreLewisSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(4))).toSeq
+    val dsirKept = CorpusAudit.dsirSelect(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val expected = ml.groupBy(_._2).toSeq.map { case (lang, rows) =>
+      val both = rows.count(t => t._3 && dsirKept(t._1)).toLong
+      val dOnly = rows.count(t => !t._3 && dsirKept(t._1)).toLong
+      val mOnly = rows.count(t => t._3 && !dsirKept(t._1)).toLong
+      val neither = rows.count(t => !t._3 && !dsirKept(t._1)).toLong
+      val denom = both + dOnly + mOnly
+      (lang, rows.length.toLong, both, dOnly, mOnly, neither,
+        if (denom == 0L) 0L else 1000000L * both / denom,
+        1000000L * (both + neither) / rows.length)
+    }.sortBy(_._1)
+    val got = CorpusAudit.selectionCompare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+    // structural: the universes agree — per-lang candidates re-sum to
+    // Moore-Lewis's output and every DSIR-kept doc is in the universe
+    assert(got.map(_._2).sum == ml.length)
+    assert(dsirKept.subsetOf(ml.map(_._1).toSet))
+    // the audit is only informative if the methods actually disagree
+    // somewhere on this fixture (they gate differently by design)
+    assert(got.map(t => t._4 + t._5).sum > 0,
+      "degenerate fixture: DSIR and Moore-Lewis fully agree")
+  }
 }
