@@ -359,6 +359,82 @@ object CorpusAudit {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------- Moore-Lewis on a delta
+
+  /** `q_moore_lewis_delta` — the PRODUCTION shape of [[mooreLewisSelect]]:
+    * both LMs are FROZEN on the at-rest corpus (the `bucket(doc_id,20)
+    * ≠ 7` slice, the admission-loop convention), and the incoming delta
+    * batch (bucket 7) is scored under them. This is where the
+    * out-of-vocab class the ppl filter was caught on (VERDICT r16
+    * finding 2) bites by construction: a delta word absent from the
+    * at-rest vocabulary would silently contribute NOTHING under an
+    * inner join. Here an OOV word pays the smoothing-consistent floor
+    * the add-one model already defines — both unseen probabilities are
+    * 1/(n+|V|), so its LLR is the CONSTANT ln((r_n+|V|)/(t_n+|V|)),
+    * quantized once on the totals row (no per-word ln for the unseen
+    * mass, no ad-hoc penalty to tune). That constant carries add-one's
+    * known size artifact — with a general corpus larger than the
+    * in-domain one it is POSITIVE, so unseen words vote "in-domain" —
+    * which is why the keep rule here is two-part: the sign of the
+    * integer sum AND a majority-known guard (`2·n_oov ≤ n_tokens`,
+    * integer cross-multiplied). A document the frozen vocabulary has
+    * mostly never seen has no trustworthy verdict under either LM; it
+    * is NOT admitted (the exact gibberish-passes-the-gate failure
+    * VERDICT r16 finding 2 caught on the ppl filter), and its emitted
+    * `n_oov` routes the batch to the vocab-drift monitors instead.
+    *
+    * Scale shape: identical to [[mooreLewisSelect]] — the at-rest fit
+    * is one conditional-count aggregate over the token expansion, the
+    * delta side pays one left join against the vocab-bound sidecar,
+    * and the batch cost is ∝ batch, never ∝ corpus (the fit is frozen;
+    * in the streaming loops it would be a pinned artifact like the
+    * minhash index).
+    */
+  def mooreLewisDelta(s: SparkSession, d: String): DataFrame =
+    mooreLewisDeltaOf(Tables.documents(s, d))
+
+  /** [[mooreLewisDelta]] over an explicit `(doc_id, lang, text)` frame
+    * (specs plant OOV-bearing delta batches through this).
+    */
+  private[graft] def mooreLewisDeltaOf(docs: DataFrame): DataFrame = {
+    val words = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    val toks = docs
+      .withColumn("is_delta", GoldenHash.bucket(col("doc_id"), 20) === 7)
+      .select(col("doc_id"), col("lang"), col("is_delta"), explode(words).as("word"))
+      .barrier("one row per corpus token (the dsirSelect expansion bound)")
+    val counts = toks.filter(!col("is_delta")).groupBy(col("word")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_w"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("r_w"))
+    val totals = counts.agg(
+      sum(col("t_w")).as("t_n"), sum(col("r_w")).as("r_n"),
+      count(lit(1)).as("v"))
+    val llr = counts.crossJoin(broadcast(totals))
+      .select(col("word"),
+        round((log((col("t_w") + 1).cast("double") / (col("t_n") + col("v"))) -
+               log((col("r_w") + 1).cast("double") / (col("r_n") + col("v")))) *
+          MlewQ).cast("long").as("llr_q"))
+    // the unseen-word LLR: both smoothed LMs give an unseen word
+    // 1/(n+|V|), so the ratio collapses to one totals-row constant
+    val unk = broadcast(totals.select(
+      round((log((col("r_n") + col("v")).cast("double")) -
+             log((col("t_n") + col("v")).cast("double"))) * MlewQ)
+        .cast("long").as("unk_q")))
+    toks.filter(col("is_delta") && col("lang") =!= "en")
+      .join(llr, Seq("word"), "left")
+      .crossJoin(unk)
+      .select(col("doc_id"), col("lang"),
+        col("llr_q").isNull.cast("long").as("oov"),
+        coalesce(col("llr_q"), col("unk_q")).as("w_q"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
+        sum(col("w_q")).as("score_q"))
+      .withColumn("keep",
+        col("score_q") > 0L && col("n_oov") * 2 <= col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
+        col("score_q"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------- selection compare
 
   /** `q_selection_compare` — the agreement audit between the two data-
@@ -527,6 +603,9 @@ object CorpusAudit {
     // verified-not-benched: a composition of the two selection chains
     "q_selection_compare" -> QueryDef(selectionCompare,
       Some(CorpusAuditOracles.selectionCompare), headline = false),
+    // verified-not-benched: the same chain shape as q_moore_lewis_select
+    "q_moore_lewis_delta" -> QueryDef(mooreLewisDelta,
+      Some(CorpusAuditOracles.mooreLewisDelta), headline = false),
     // verified-not-benched (frozen roster policy): a composition of
     // chains that already hold bench slots
     "q_corpus_datacard" -> QueryDef(corpusDatacard,
@@ -643,6 +722,47 @@ object CorpusAuditOracles {
        |FROM dwr JOIN llr USING (word)
        |WHERE lang <> 'en'
        |GROUP BY doc_id, lang
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[CorpusAudit.mooreLewisDelta]]: the frozen at-rest fit, the
+    * per-word LLR, the totals-row OOV constant, and the delta-side
+    * LEFT JOIN + coalesce replayed end-to-end.
+    */
+  val mooreLewisDelta: String =
+    s"""WITH dwr AS (
+       |  SELECT doc_id, lang, (${GoldenHash.bucketSql("doc_id", 20)}) = 7 AS is_delta,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |wc AS (
+       |  SELECT word,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_w,
+       |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS r_w
+       |  FROM dwr WHERE NOT is_delta GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(t_w) AS BIGINT) AS t_n, CAST(sum(r_w) AS BIGINT) AS r_n,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM wc),
+       |llr AS (
+       |  SELECT word,
+       |    CAST(round((ln((t_w + 1) / ((t_n + v) * 1e0)) -
+       |                ln((r_w + 1) / ((r_n + v) * 1e0)))
+       |               * ${CorpusAudit.MlewQ}) AS BIGINT) AS llr_q
+       |  FROM wc, tot),
+       |unk AS (
+       |  SELECT CAST(round((ln((r_n + v) * 1e0) - ln((t_n + v) * 1e0))
+       |               * ${CorpusAudit.MlewQ}) AS BIGINT) AS unk_q
+       |  FROM tot),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN llr_q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    CAST(sum(COALESCE(llr_q, unk_q)) AS BIGINT) AS score_q
+       |  FROM dwr LEFT JOIN llr USING (word), unk
+       |  WHERE is_delta AND lang <> 'en'
+       |  GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_tokens, n_oov, score_q,
+       |  (score_q > 0 AND n_oov * 2 <= n_tokens) AS keep
+       |FROM scored
        |ORDER BY doc_id""".stripMargin
 
   /** [[CorpusAudit.selectionCompare]]: both selection constituents'

@@ -255,4 +255,83 @@ class CorpusAuditSpec extends SparkSpec {
     assert(got.map(t => t._4 + t._5).sum > 0,
       "degenerate fixture: DSIR and Moore-Lewis fully agree")
   }
+
+  /** Plain-Scala replay of [[CorpusAudit.mooreLewisDelta]] over an
+    * explicit doc list: frozen at-rest fit, per-word LLR, totals-row
+    * OOV constant, two-part keep rule.
+    */
+  private def mlDeltaReplay(docs: Seq[(Long, String, String)])
+      : Seq[(Long, String, Long, Long, Long, Boolean)] = {
+    def words(t: String) = "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+    val (delta, atRest) = docs.partition(d => d._1 % 20 == 7)
+    val all = atRest.flatMap { case (_, lang, t) => words(t).map(w => (lang, w)) }
+    val tW = all.filter(_._1 == "en").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rW = all.filter(_._1 != "en").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val vocab = tW.keySet ++ rW.keySet
+    val (tN, rN, v) = (tW.values.sum, rW.values.sum, vocab.size.toLong)
+    def llr(w: String) = math.round(
+      (math.log((tW.getOrElse(w, 0L) + 1).toDouble / (tN + v)) -
+        math.log((rW.getOrElse(w, 0L) + 1).toDouble / (rN + v))) * CorpusAudit.MlewQ)
+    val unk = math.round(
+      (math.log((rN + v).toDouble) - math.log((tN + v).toDouble)) * CorpusAudit.MlewQ)
+    delta.filter(_._2 != "en").map { case (id, lang, t) =>
+      val ws = words(t)
+      val oov = ws.count(w => !vocab(w)).toLong
+      val sc = ws.map(w => if (vocab(w)) llr(w) else unk).sum
+      (id, lang, ws.size.toLong, oov, sc, sc > 0L && oov * 2 <= ws.size)
+    }.sortBy(_._1)
+  }
+
+  private def collectMlDelta(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+
+  test("mooreLewisDelta matches a plain-Scala replay on the fixture") {
+    val langDocs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val got = collectMlDelta(CorpusAudit.mooreLewisDelta(spark, sf))
+    assert(got == mlDeltaReplay(langDocs))
+    assert(got.nonEmpty, "degenerate fixture: empty delta batch")
+  }
+
+  test("mooreLewisDelta: OOV floor + majority-known guard on a planted delta") {
+    import spark.implicits._
+    val docs = Seq(
+      // at-rest (ids not ≡ 7 mod 20): small in-domain, larger general —
+      // the add-one size artifact makes the OOV constant POSITIVE here,
+      // so the majority-known guard (not the sign) must stop gibberish
+      (1L, "en", "alpha beta alpha beta gamma"),
+      (2L, "en", "alpha gamma beta"),
+      (3L, "de", "delta epsilon zeta delta epsilon zeta delta epsilon"),
+      (4L, "de", "zeta delta epsilon zeta delta epsilon zeta delta"),
+      // delta batch (ids ≡ 7 mod 20)
+      (7L, "de", "alpha beta alpha"),              // in-domain-looking, in-vocab
+      (27L, "de", "zzgib zzber zzwock zzfoo"),     // pure gibberish: all OOV
+      (47L, "de", "delta epsilon delta epsilon"),  // general-looking, in-vocab
+      (67L, "de", "alpha alpha alpha zzx"))        // minority OOV: sign decides
+      .toDF("doc_id", "lang", "text")
+    val expected = mlDeltaReplay(Seq(
+      (1L, "en", "alpha beta alpha beta gamma"), (2L, "en", "alpha gamma beta"),
+      (3L, "de", "delta epsilon zeta delta epsilon zeta delta epsilon"),
+      (4L, "de", "zeta delta epsilon zeta delta epsilon zeta delta"),
+      (7L, "de", "alpha beta alpha"), (27L, "de", "zzgib zzber zzwock zzfoo"),
+      (47L, "de", "delta epsilon delta epsilon"), (67L, "de", "alpha alpha alpha zzx")))
+    val got = collectMlDelta(CorpusAudit.mooreLewisDeltaOf(docs))
+    assert(got == expected)
+    val byId = got.map(t => t._1 -> t).toMap
+    // gibberish: fully OOV, POSITIVE score (the documented artifact:
+    // 4 × unk with unk > 0 here), and REJECTED by the majority guard —
+    // the exact failure shape VERDICT r16 finding 2 caught elsewhere
+    val gib = byId(27L)
+    assert(gib._4 == 4L && gib._4 == gib._3)
+    assert(gib._5 > 0L, "planted sizes must make the OOV constant positive")
+    assert(!gib._6, "an all-OOV document must not be admitted")
+    // in-domain-looking delta doc: admitted on the sign rule
+    assert(byId(7L)._6 && byId(7L)._4 == 0L)
+    // general-looking delta doc: rejected on the sign rule
+    assert(!byId(47L)._6 && byId(47L)._4 == 0L)
+    // minority-OOV doc: the guard passes (2·1 ≤ 4) and the sign decides
+    assert(byId(67L)._4 == 1L && byId(67L)._6 == (byId(67L)._5 > 0L))
+  }
 }
