@@ -335,10 +335,16 @@ object CorpusAudit {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(words).as("word"))
       .barrier("one row per corpus token (the dsirSelect expansion bound)")
-    // ONE scan fits both distributions: conditional counts per word
+    // ONE scan fits both distributions: conditional counts per word.
+    // Barrier'd because BOTH `totals` and `llr` consume it and exchange
+    // reuse across the two is planner-dependent (the r17 plan audit
+    // caught the select plan re-running the corpus-sized word aggregate
+    // for the totals side while the delta plan reused its exchange) —
+    // the materialization is vocab-bound, never corpus-bound.
     val counts = toks.groupBy(col("word")).agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_w"),
       sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("r_w"))
+      .barrier("one row per distinct corpus word (vocab-bound)")
     val totals = counts.agg(
       sum(col("t_w")).as("t_n"), sum(col("r_w")).as("r_n"),
       count(lit(1)).as("v"))
@@ -402,9 +408,12 @@ object CorpusAudit {
       .withColumn("is_delta", GoldenHash.bucket(col("doc_id"), 20) === 7)
       .select(col("doc_id"), col("lang"), col("is_delta"), explode(words).as("word"))
       .barrier("one row per corpus token (the dsirSelect expansion bound)")
+    // barrier'd for the same totals/llr double-consumption reason as
+    // [[mooreLewisSelect]] (vocab-bound materialization)
     val counts = toks.filter(!col("is_delta")).groupBy(col("word")).agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_w"),
       sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("r_w"))
+      .barrier("one row per distinct at-rest word (vocab-bound)")
     val totals = counts.agg(
       sum(col("t_w")).as("t_n"), sum(col("r_w")).as("r_n"),
       count(lit(1)).as("v"))
