@@ -313,12 +313,26 @@ object CorpusAudit {
     * Differences from [[dsirSelect]], which is this method's hashed
     * descendant: per-WORD ratios instead of [[DsirDim]] hash buckets
     * (no collision noise — the sidecar is vocab-bound, so the score
-    * join is a plain shuffle join on `word`, never an unconditional
+    * join is a shuffle join on `word`, never an unconditional
     * broadcast: at corpus scale the vocabulary is itself large), and an
     * absolute threshold gate (avg LLR > 0) instead of a top-quantile
     * cut — the selected share is a MEASUREMENT of domain match, not a
     * preset budget, which is how Moore-Lewis is used to size a
     * selection before committing to it.
+    *
+    * Scoring-join shape (VERDICT r17 finding 1): the per-token stream
+    * is NEVER shuffled on `word` — one row per token occurrence keyed
+    * on a Zipfian column means the "the"/"of" partitions carry billions
+    * of rows at corpus scale (AQE skew-split moves the straggler, not
+    * the shuffled volume). Instead the candidate side pre-aggregates to
+    * per-(doc_id, lang, word) COUNTS first: the composite key is
+    * well-distributed (the Zipf mass spreads across documents), partial
+    * aggregation collapses repeats map-side, and the `llr` join then
+    * carries one row per distinct word per document. The per-doc sum
+    * Σ n·llr_q over counts equals the per-occurrence Σ llr_q exactly
+    * (integer algebra), so the oracle — which replays the occurrence
+    * form — is unchanged; [[graft.MooreLewisPlanSpec]] pins the
+    * aggregate-below-join shape.
     *
     * ln() portability: evaluated once per DISTINCT word (vocab-bound,
     * never corpus-bound) and quantized to BIGINT micro-nats BEFORE the
@@ -354,11 +368,16 @@ object CorpusAudit {
                log((col("r_w") + 1).cast("double") / (col("r_n") + col("v")))) *
           MlewQ).cast("long").as("llr_q"))
     // every candidate word is in the joint vocab by construction (its
-    // own occurrences fed r_w), so the inner join is total
+    // own occurrences fed r_w), so the inner join is total; the join
+    // input is pre-aggregated per-(doc, lang, word) counts — see the
+    // scoring-join-shape scaladoc above
     toks.filter(col("lang") =!= "en")
+      .groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
       .join(llr, Seq("word"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("llr_q")).as("score_q"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("llr_q")).as("score_q"))
       .withColumn("keep", col("score_q") > 0L)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("score_q"), col("keep"))
@@ -391,10 +410,13 @@ object CorpusAudit {
     *
     * Scale shape: identical to [[mooreLewisSelect]] — the at-rest fit
     * is one conditional-count aggregate over the token expansion, the
-    * delta side pays one left join against the vocab-bound sidecar,
-    * and the batch cost is ∝ batch, never ∝ corpus (the fit is frozen;
-    * in the streaming loops it would be a pinned artifact like the
-    * minhash index).
+    * delta side pre-aggregates to per-(doc, lang, word) counts before
+    * the one left join against the vocab-bound sidecar (the same
+    * Zipf-key refusal as the select form; `n_oov` becomes Σ n over
+    * unmatched words, `score_q` becomes Σ n·coalesce(llr_q, unk_q) —
+    * identical integers), and the batch cost is ∝ batch, never ∝
+    * corpus (the fit is frozen; in the streaming loops it would be a
+    * pinned artifact like the minhash index).
     */
   def mooreLewisDelta(s: SparkSession, d: String): DataFrame =
     mooreLewisDeltaOf(Tables.documents(s, d))
@@ -429,13 +451,15 @@ object CorpusAudit {
              log((col("t_n") + col("v")).cast("double"))) * MlewQ)
         .cast("long").as("unk_q")))
     toks.filter(col("is_delta") && col("lang") =!= "en")
+      .groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
       .join(llr, Seq("word"), "left")
       .crossJoin(unk)
-      .select(col("doc_id"), col("lang"),
-        col("llr_q").isNull.cast("long").as("oov"),
-        coalesce(col("llr_q"), col("unk_q")).as("w_q"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        when(col("llr_q").isNull, col("n")).otherwise(lit(0L)).as("oov"),
+        (col("n") * coalesce(col("llr_q"), col("unk_q"))).as("w_q"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
+      .agg(sum(col("n")).as("n_tokens"), sum(col("oov")).as("n_oov"),
         sum(col("w_q")).as("score_q"))
       .withColumn("keep",
         col("score_q") > 0L && col("n_oov") * 2 <= col("n_tokens"))
