@@ -550,8 +550,13 @@ object CorpusAudit {
     BpeTrain.ensureMergesPinned(s, d)
     val docs = Tables.documents(s, d)
     val base = docs.select(col("doc_id"), col("source"), col("lang"))
+    // digest-partitioned, not text-partitioned: the window key must not
+    // be the full document body at 100 TB (the dedupExact convention —
+    // VERDICT r17 finding 2); identical texts share a digest, so the
+    // flag is unchanged
     val exact = docs.select(col("doc_id"),
-      (col("doc_id") > min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      (col("doc_id") > min(col("doc_id"))
+        .over(Window.partitionBy(sha2(col("text"), 256))))
         .as("exact_dup"))
     val near = Dedup.minhashDedup(s, d)
       .select(col("doc_id"), col("is_duplicate").as("near_dup"))
@@ -886,7 +891,7 @@ object CorpusAuditOracles {
     s"""WITH docs AS (SELECT doc_id, source, lang FROM documents),
        |ex AS (
        |  SELECT doc_id,
-       |    doc_id > min(doc_id) OVER (PARTITION BY text) AS exact_dup
+       |    doc_id > min(doc_id) OVER (PARTITION BY sha256(text)) AS exact_dup
        |  FROM documents),
        |nd AS (SELECT doc_id, is_duplicate AS near_dup
        |       FROM (${DedupOracles.minhashDedup}) t),

@@ -28,13 +28,19 @@ import graft.Tables.BarrierOps
 object Dedup {
 
   /** Exact dedup: canonical (minimum) doc_id per identical text +
-    * multiplicity. The content key at real scale would be xxhash64(text)
-    * (shuffling 8-byte keys, not documents); here the text itself is the
-    * group key so the oracle can replicate it.
+    * multiplicity. The group key is `sha2(text, 256)` — a 64-char
+    * digest — not the raw text: partial aggregation collapses
+    * duplicates map-side either way, but the shuffle key must not be
+    * the full document body at 100 TB (VERDICT r17 finding 2). DuckDB
+    * replays the identical digest via `sha256(text)`, and identical
+    * texts hash identically in both engines, so the grouping — and
+    * therefore the output — is unchanged (the at-rest incremental
+    * probe's exact-dup sidecar in [[writeDedupIndex]] already keys on
+    * the same digest).
     */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .groupBy(col("text"))
+      .groupBy(sha2(col("text"), 256))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
@@ -1357,7 +1363,7 @@ object DedupOracles {
   val dedupExact: String =
     """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       |FROM documents
-      |GROUP BY text
+      |GROUP BY sha256(text)
       |ORDER BY doc_id""".stripMargin
 
   val exactDistinct: String =
