@@ -51,11 +51,19 @@ object Bench {
     * an sf1 rehearsal used to clobber it silently (the r12 gotcha; in
     * r16 an isolated re-measure overwrote the committed record and had
     * to be restored by hand). Everything else writes
-    * `bench_out_dev.json`. Pure — spec-covered in BenchSpec.
+    * `bench_out_dev.json`. The sfDir compare normalizes the path first
+    * (ADVICE r17: a trailing slash or `..` segment in SPARK_GRAFT_SF_DIR
+    * silently routed a legitimate gate run to the dev file and disabled
+    * the re-measure pass — safe direction, but a confusing no-record
+    * run). Pure — spec-covered in BenchSpec.
     */
-  def outFileFor(args: Array[String], sfDir: String): String =
-    if (args.isEmpty && sfDir == "/root/testdata/sf0.1") "bench_out.json"
+  def outFileFor(args: Array[String], sfDir: String): String = {
+    val norm =
+      try java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
+      catch { case _: Exception => sfDir }
+    if (args.isEmpty && norm == "/root/testdata/sf0.1") "bench_out.json"
     else "bench_out_dev.json"
+  }
 
   /** Which queries the end-of-suite pass re-times: suite min-of-2 above
     * `factor`× the committed minimum AND more than `minExcessSec` over it

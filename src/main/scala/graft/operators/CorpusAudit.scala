@@ -292,7 +292,13 @@ object CorpusAudit {
   // ---------------------------------------------------- Moore-Lewis
 
   /** Quantization scale for the per-word cross-entropy difference
-    * (micro-nats — the [[DsirQ]] convention).
+    * (micro-nats — the [[DsirQ]] convention). Half-value convention:
+    * `round(x · MlewQ)` rounds ties AWAY FROM ZERO in both engines
+    * (Spark round() is BigDecimal HALF_UP; DuckDB round() matches) —
+    * an ln-ratio landing on an exact .5 micro-nat is practically
+    * impossible, but the plain-Scala spec replays quantize via the
+    * same HALF_UP rule (not `math.round`, which rounds negative
+    * halves toward +inf — ADVICE r17).
     */
   val MlewQ = 1000000L
 

@@ -63,5 +63,10 @@ class BenchSpec extends AnyFunSuite {
     // sf1 rehearsal (the r12 gotcha) and any other fixture: dev file
     assert(Bench.outFileFor(Array.empty, "/root/repo/sf1-rehearsal") === "bench_out_dev.json")
     assert(Bench.outFileFor(Array.empty, "/root/testdata/sf0.01") === "bench_out_dev.json")
+    // path-equivalent spellings of the gate fixture still route to the
+    // committed record (ADVICE r17: a trailing slash or `..` segment
+    // used to silently disable the record + re-measure pass)
+    assert(Bench.outFileFor(Array.empty, "/root/testdata/sf0.1/") === "bench_out.json")
+    assert(Bench.outFileFor(Array.empty, "/root/testdata/../testdata/sf0.1") === "bench_out.json")
   }
 }

@@ -16,6 +16,17 @@ class CorpusAuditSpec extends SparkSpec {
   private def nTok(text: String): Long =
     text.count(_ == ' ') + 1 // len - len(minus spaces) + 1 = spaces + 1
 
+  /** Engine-convention quantizer for the LLR replays: Spark `round()`
+    * is BigDecimal HALF_UP (ties away from zero) while `math.round` is
+    * floor(x + 0.5) (ties toward +inf) — they disagree on exact
+    * NEGATIVE halves (ADVICE r17). An ln-ratio micro-nat landing on
+    * exactly .5 is practically impossible, but if one ever does, the
+    * replay must side with the engine and the DuckDB oracle (which
+    * also rounds ties away from zero), not fail with a misleading diff.
+    */
+  private def halfUpQ(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   test("temperatureMix matches a plain-Scala alpha-sampling plan") {
     val perSource = docs.groupBy(_._2).view
       .mapValues(ds => (ds.size.toLong, ds.map(t => nTok(t._3)).sum)).toMap
@@ -106,7 +117,7 @@ class CorpusAuditSpec extends SparkSpec {
     val (tN, rN) = (tB.values.sum, rB.values.sum)
     val dim = CorpusAudit.DsirDim
     val llrQ = (tB.keySet ++ rB.keySet).map { b =>
-      b -> math.round((math.log((tB.getOrElse(b, 0L) + 1).toDouble / (tN + dim)) -
+      b -> halfUpQ((math.log((tB.getOrElse(b, 0L) + 1).toDouble / (tN + dim)) -
         math.log((rB.getOrElse(b, 0L) + 1).toDouble / (rN + dim))) *
         CorpusAudit.DsirQ)
     }.toMap
@@ -203,7 +214,7 @@ class CorpusAuditSpec extends SparkSpec {
     val vocab = tW.keySet ++ rW.keySet
     val (tN, rN, v) = (tW.values.sum, rW.values.sum, vocab.size.toLong)
     val llrQ = vocab.map { w =>
-      w -> math.round((math.log((tW.getOrElse(w, 0L) + 1).toDouble / (tN + v)) -
+      w -> halfUpQ((math.log((tW.getOrElse(w, 0L) + 1).toDouble / (tN + v)) -
         math.log((rW.getOrElse(w, 0L) + 1).toDouble / (rN + v))) *
         CorpusAudit.MlewQ)
     }.toMap
@@ -263,16 +274,21 @@ class CorpusAuditSpec extends SparkSpec {
   private def mlDeltaReplay(docs: Seq[(Long, String, String)])
       : Seq[(Long, String, Long, Long, Long, Boolean)] = {
     def words(t: String) = "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
-    val (delta, atRest) = docs.partition(d => d._1 % 20 == 7)
+    // the SAME golden-hash expression the engine evaluates — NOT the
+    // bare `id % 20 == 7`, which matches only because Gamma ≡ 1
+    // (mod 20) (ADVICE r17: the hard-coded-rule-copy drift class
+    // GoldenHash centralizes against)
+    val (delta, atRest) =
+      docs.partition(d => (d._1 * GoldenHash.Gamma) % 20 == 7)
     val all = atRest.flatMap { case (_, lang, t) => words(t).map(w => (lang, w)) }
     val tW = all.filter(_._1 == "en").groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val rW = all.filter(_._1 != "en").groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val vocab = tW.keySet ++ rW.keySet
     val (tN, rN, v) = (tW.values.sum, rW.values.sum, vocab.size.toLong)
-    def llr(w: String) = math.round(
+    def llr(w: String) = halfUpQ(
       (math.log((tW.getOrElse(w, 0L) + 1).toDouble / (tN + v)) -
         math.log((rW.getOrElse(w, 0L) + 1).toDouble / (rN + v))) * CorpusAudit.MlewQ)
-    val unk = math.round(
+    val unk = halfUpQ(
       (math.log((rN + v).toDouble) - math.log((tN + v).toDouble)) * CorpusAudit.MlewQ)
     delta.filter(_._2 != "en").map { case (id, lang, t) =>
       val ws = words(t)
