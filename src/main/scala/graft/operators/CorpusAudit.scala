@@ -474,48 +474,106 @@ object CorpusAudit {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------- Moore-Lewis budget
+
+  /** `q_moore_lewis_budget` (VERDICT r17 item 6) — [[mooreLewisSelect]]
+    * rescored as a BUDGET selection: instead of the absolute sign gate
+    * (avg LLR > 0 — a measurement, not a budget), keep the candidates
+    * strictly above the 0.8 quantile of `score_q`, i.e. the same
+    * top-~20% budget [[dsirSelect]] commits to. This is the form that
+    * makes a selection-method comparison honest: the threshold gate and
+    * the quantile cut keep arbitrarily different set SIZES, and kept-set
+    * Jaccard between mismatched budgets measures the budget mismatch,
+    * not the methods' agreement ([[selectionCompare]]'s `budget` rows
+    * consume this).
+    *
+    * Cutpoint machinery is [[dsirSelect]]'s, verbatim: the quantile is
+    * an exact interpolated percentile over the [[DsirCutSample]]
+    * candidates with the smallest golden-hash rank (per-partition
+    * bounded heaps — TakeOrderedAndProject — so no task ever buffers
+    * corpus-cardinality scores; ties at the cutpoint stay together),
+    * DOUBLE-cast symmetrically in both engines before interpolation.
+    */
+  def mooreLewisBudget(s: SparkSession, d: String): DataFrame =
+    mooreLewisBudgetOf(mooreLewisSelect(s, d))
+
+  /** The budget cut over an already-scored [[mooreLewisSelect]] frame —
+    * [[selectionCompare]] scores ONCE and feeds both rules from it.
+    */
+  private[graft] def mooreLewisBudgetOf(scored: DataFrame): DataFrame = {
+    val base = scored.select(
+      col("doc_id"), col("lang"), col("n_tokens"), col("score_q"))
+    val cut = base
+      .orderBy(GoldenHash.bucket(col("doc_id"), DsirSampleMod), col("doc_id"))
+      .limit(DsirCutSample)
+      .agg(expr("percentile(cast(score_q as double), 0.8d)").as("c"))
+    base.crossJoin(broadcast(cut))
+      .filter(col("score_q") > col("c"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_q"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------- selection compare
 
   /** `q_selection_compare` — the agreement audit between the two data-
     * selection methods, per candidate language: how many documents
-    * [[dsirSelect]] (hashed top-quantile) and [[mooreLewisSelect]]
-    * (exact-word sign gate) each keep, the 2×2 overlap (both /
-    * DSIR-only / Moore-Lewis-only / neither), and their agreement as
-    * exact integer micros (Jaccard of the kept sets and raw agreement
-    * over all candidates) — the table consulted before committing a
-    * selection strategy at a new corpus scale, where the two methods'
-    * disagreement band IS the set of documents worth manual review.
+    * [[dsirSelect]] (hashed top-quantile) and Moore-Lewis each keep,
+    * the 2×2 overlap (both / DSIR-only / Moore-Lewis-only / neither),
+    * and their agreement as exact integer micros (Jaccard of the kept
+    * sets and raw agreement over all candidates) — the table consulted
+    * before committing a selection strategy at a new corpus scale,
+    * where the two methods' disagreement band IS the set of documents
+    * worth manual review.
+    *
+    * Two row sets, keyed by `ml_rule` (VERDICT r17 item 6): the
+    * `threshold` rows compare [[mooreLewisSelect]]'s absolute sign gate
+    * against DSIR — methodologically mismatched kept-set sizes, so the
+    * Jaccard there measures how far the measurement-style gate sits
+    * from a fixed budget; the `budget` rows compare
+    * [[mooreLewisBudget]] (same top-~20% quantile cut as DSIR) at EQUAL
+    * budget, which is the honest method-agreement number. Both ML rules
+    * re-use ONE scored frame (the LM fit runs once).
     *
     * Composition stance (the [[corpusDatacard]] precedent): the engine
-    * composes the SAME builders the two oracle-checked constituents
-    * run, and the oracle embeds both constituents' full replay SQL as
-    * derived tables, so this check asserts only the wiring. Candidate
-    * universe = Moore-Lewis's output (every worded non-`en` doc);
-    * DSIR's kept set is a subset of the same universe by construction.
-    * Integer-micro shares follow the datacard's exact `DIV` rule.
+    * composes the SAME builders the oracle-checked constituents run,
+    * and the oracle embeds the constituents' full replay SQL as derived
+    * tables, so this check asserts only the wiring. Candidate universe
+    * = Moore-Lewis's output (every worded non-`en` doc); both kept sets
+    * are subsets of the same universe by construction. Integer-micro
+    * shares follow the datacard's exact `DIV` rule.
     */
   def selectionCompare(s: SparkSession, d: String): DataFrame = {
-    val ml = mooreLewisSelect(s, d)
-      .select(col("doc_id"), col("lang"), col("keep").as("ml_keep"))
+    val scored = mooreLewisSelect(s, d)
+    val budgetKept = mooreLewisBudgetOf(scored)
+      .select(col("doc_id"), lit(true).as("b_keep"))
     val dsirKept = dsirSelect(s, d)
       .select(col("doc_id"), lit(true).as("dsir_keep"))
-    ml.join(dsirKept, Seq("doc_id"), "left")
-      .na.fill(false, Seq("dsir_keep"))
-      .groupBy(col("lang"))
+    val base = scored
+      .select(col("doc_id"), col("lang"), col("keep").as("thr_keep"))
+      .join(budgetKept, Seq("doc_id"), "left")
+      .join(dsirKept, Seq("doc_id"), "left")
+      .na.fill(false, Seq("b_keep", "dsir_keep"))
+    val byRule = base
+      .select(lit("threshold").as("ml_rule"), col("lang"),
+        col("thr_keep").as("ml_keep"), col("dsir_keep"))
+      .unionByName(base.select(lit("budget").as("ml_rule"), col("lang"),
+        col("b_keep").as("ml_keep"), col("dsir_keep")))
+    byRule
+      .groupBy(col("ml_rule"), col("lang"))
       .agg(
         count(lit(1)).as("n_candidates"),
         sum(when(col("ml_keep") && col("dsir_keep"), 1L).otherwise(0L)).as("n_both"),
         sum(when(!col("ml_keep") && col("dsir_keep"), 1L).otherwise(0L)).as("n_dsir_only"),
         sum(when(col("ml_keep") && !col("dsir_keep"), 1L).otherwise(0L)).as("n_ml_only"),
         sum(when(!col("ml_keep") && !col("dsir_keep"), 1L).otherwise(0L)).as("n_neither"))
-      .select(col("lang"), col("n_candidates"), col("n_both"),
+      .select(col("ml_rule"), col("lang"), col("n_candidates"), col("n_both"),
         col("n_dsir_only"), col("n_ml_only"), col("n_neither"),
         when(col("n_both") + col("n_dsir_only") + col("n_ml_only") === 0L, lit(0L))
           .otherwise(expr("(1000000 * n_both) DIV (n_both + n_dsir_only + n_ml_only)"))
           .as("kept_jaccard_micro"),
         expr("(1000000 * (n_both + n_neither)) DIV n_candidates")
           .as("agreement_micro"))
-      .orderBy(col("lang"))
+      .orderBy(col("ml_rule"), col("lang"))
   }
 
   // ------------------------------------------------------------- registry
@@ -644,7 +702,11 @@ object CorpusAudit {
     // displace — the DSIR chain keeps the benched selection slot)
     "q_moore_lewis_select" -> QueryDef(mooreLewisSelect,
       Some(CorpusAuditOracles.mooreLewisSelect), headline = false),
-    // verified-not-benched: a composition of the two selection chains
+    // verified-not-benched: the same scored chain as
+    // q_moore_lewis_select with the dsirSelect cutpoint on top
+    "q_moore_lewis_budget" -> QueryDef(mooreLewisBudget,
+      Some(CorpusAuditOracles.mooreLewisBudget), headline = false),
+    // verified-not-benched: a composition of the selection chains
     "q_selection_compare" -> QueryDef(selectionCompare,
       Some(CorpusAuditOracles.selectionCompare), headline = false),
     // verified-not-benched: the same chain shape as q_moore_lewis_select
@@ -809,34 +871,70 @@ object CorpusAuditOracles {
        |FROM scored
        |ORDER BY doc_id""".stripMargin
 
-  /** [[CorpusAudit.selectionCompare]]: both selection constituents'
+  /** [[CorpusAudit.mooreLewisBudget]]: the full [[mooreLewisSelect]]
+    * replay as a derived table, then [[dsirSelectSql]]'s cutpoint
+    * verbatim — golden-hash-ranked top-K sample, `quantile_cont` over
+    * DOUBLE-cast scores, strictly-above keep.
+    */
+  lazy val mooreLewisBudget: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, n_tokens, score_q FROM ($mooreLewisSelect) t),
+       |cut_sample AS (
+       |  SELECT score_q FROM scored
+       |  ORDER BY ${GoldenHash.bucketSql("doc_id", CorpusAudit.DsirSampleMod)}, doc_id
+       |  LIMIT ${CorpusAudit.DsirCutSample}),
+       |cut AS (SELECT quantile_cont(CAST(score_q AS DOUBLE), 0.8) AS c FROM cut_sample)
+       |SELECT doc_id, lang, n_tokens, score_q
+       |FROM scored, cut
+       |WHERE score_q > c
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[CorpusAudit.selectionCompare]]: the selection constituents'
     * FULL replays embedded as derived tables (the [[corpusDatacard]]
-    * precedent), then the 2×2 overlap wiring asserted on top. All
+    * precedent) — the Moore-Lewis scored frame feeds BOTH the
+    * threshold rows (its `keep` flag) and the budget rows (the
+    * [[mooreLewisBudget]] cutpoint, replayed inline) — then the 2×2
+    * overlap wiring asserted on top. Multiply-referenced CTEs are
+    * MATERIALIZED (the r15 DuckDB inline-per-reference bound). All
     * nonneg operands, so DuckDB `//` (floor) and Spark `DIV` (truncate
     * toward zero) agree.
     */
   lazy val selectionCompare: String =
-    s"""WITH ml AS (
-       |  SELECT doc_id, lang, keep AS ml_keep FROM ($mooreLewisSelect) t),
+    s"""WITH mlsel AS MATERIALIZED (
+       |  SELECT doc_id, lang, score_q, keep FROM ($mooreLewisSelect) t),
        |dsir AS (SELECT doc_id FROM ($dsirSelect) t),
-       |j AS (
-       |  SELECT ml.lang, ml.ml_keep, (dsir.doc_id IS NOT NULL) AS dsir_keep
-       |  FROM ml LEFT JOIN dsir ON ml.doc_id = dsir.doc_id),
+       |cut_sample AS (
+       |  SELECT score_q FROM mlsel
+       |  ORDER BY ${GoldenHash.bucketSql("doc_id", CorpusAudit.DsirSampleMod)}, doc_id
+       |  LIMIT ${CorpusAudit.DsirCutSample}),
+       |cut AS (SELECT quantile_cont(CAST(score_q AS DOUBLE), 0.8) AS c FROM cut_sample),
+       |budget AS (SELECT doc_id FROM mlsel, cut WHERE score_q > c),
+       |j AS MATERIALIZED (
+       |  SELECT m.lang, m.keep AS thr_keep,
+       |    (b.doc_id IS NOT NULL) AS b_keep,
+       |    (d.doc_id IS NOT NULL) AS dsir_keep
+       |  FROM mlsel m
+       |  LEFT JOIN budget b ON m.doc_id = b.doc_id
+       |  LEFT JOIN dsir d ON m.doc_id = d.doc_id),
+       |rules AS (
+       |  SELECT 'threshold' AS ml_rule, lang, thr_keep AS ml_keep, dsir_keep FROM j
+       |  UNION ALL
+       |  SELECT 'budget' AS ml_rule, lang, b_keep AS ml_keep, dsir_keep FROM j),
        |agg AS (
-       |  SELECT lang,
+       |  SELECT ml_rule, lang,
        |    CAST(count(*) AS BIGINT) AS n_candidates,
        |    CAST(sum(CASE WHEN ml_keep AND dsir_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
        |    CAST(sum(CASE WHEN (NOT ml_keep) AND dsir_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dsir_only,
        |    CAST(sum(CASE WHEN ml_keep AND (NOT dsir_keep) THEN 1 ELSE 0 END) AS BIGINT) AS n_ml_only,
        |    CAST(sum(CASE WHEN (NOT ml_keep) AND (NOT dsir_keep) THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
-       |  FROM j GROUP BY 1)
-       |SELECT lang, n_candidates, n_both, n_dsir_only, n_ml_only, n_neither,
+       |  FROM rules GROUP BY 1, 2)
+       |SELECT ml_rule, lang, n_candidates, n_both, n_dsir_only, n_ml_only, n_neither,
        |  CASE WHEN n_both + n_dsir_only + n_ml_only = 0 THEN CAST(0 AS BIGINT)
        |       ELSE CAST((1000000 * n_both) // (n_both + n_dsir_only + n_ml_only) AS BIGINT)
        |  END AS kept_jaccard_micro,
        |  CAST((1000000 * (n_both + n_neither)) // n_candidates AS BIGINT) AS agreement_micro
        |FROM agg
-       |ORDER BY lang""".stripMargin
+       |ORDER BY ml_rule, lang""".stripMargin
 
   def dsirSelectSql(cutSample: Int): String =
     s"""WITH dwr AS (

@@ -238,33 +238,74 @@ class CorpusAuditSpec extends SparkSpec {
       s"degenerate fixture: all ${got.length} candidates on one side of the gate")
   }
 
-  test("selectionCompare re-totals its two oracle-checked constituents") {
+  test("mooreLewisBudget applies the DSIR cutpoint to the Moore-Lewis scores") {
+    val scored = CorpusAudit.mooreLewisSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // the fixture candidate count sits below CutSampleK, so the hash
+    // sample IS the full set (the dsirSelect fixture regime); replay
+    // Spark's exact percentile: linear interpolation at rank p*(n-1)
+    assert(scored.length <= GoldenHash.CutSampleK)
+    val sorted = scored.map(_._4.toDouble).sorted
+    val rank = 0.8 * (sorted.length - 1)
+    val lo = rank.toInt
+    val cut =
+      if (lo + 1 < sorted.length)
+        sorted(lo) + (rank - lo) * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo)
+    val expected = scored.filter(_._4 > cut).sortBy(_._1)
+    val got = CorpusAudit.mooreLewisBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // budget contract: ≤ 20% strictly above the cut, and nonempty
+    assert(got.length <= math.ceil(scored.length * 0.2).toInt + 1)
+    assert(got.nonEmpty, "degenerate fixture: nothing selected")
+    // scale guard: the cutpoint reads a K-bounded ordered sample
+    // (per-partition heaps), the dsirSelect convention
+    val plan = CorpusAudit.mooreLewisBudget(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "budget cutpoint must read a K-bounded ordered sample:\n" + plan)
+  }
+
+  test("selectionCompare re-totals its oracle-checked constituents under both rules") {
     val ml = CorpusAudit.mooreLewisSelect(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(4))).toSeq
+    val budgetKept = CorpusAudit.mooreLewisBudget(spark, sf).collect()
+      .map(_.getLong(0)).toSet
     val dsirKept = CorpusAudit.dsirSelect(spark, sf).collect()
       .map(_.getLong(0)).toSet
-    val expected = ml.groupBy(_._2).toSeq.map { case (lang, rows) =>
-      val both = rows.count(t => t._3 && dsirKept(t._1)).toLong
-      val dOnly = rows.count(t => !t._3 && dsirKept(t._1)).toLong
-      val mOnly = rows.count(t => t._3 && !dsirKept(t._1)).toLong
-      val neither = rows.count(t => !t._3 && !dsirKept(t._1)).toLong
-      val denom = both + dOnly + mOnly
-      (lang, rows.length.toLong, both, dOnly, mOnly, neither,
-        if (denom == 0L) 0L else 1000000L * both / denom,
-        1000000L * (both + neither) / rows.length)
-    }.sortBy(_._1)
+    def ruleRows(rule: String, keep: ((Long, String, Boolean)) => Boolean) =
+      ml.groupBy(_._2).toSeq.map { case (lang, rows) =>
+        val both = rows.count(t => keep(t) && dsirKept(t._1)).toLong
+        val dOnly = rows.count(t => !keep(t) && dsirKept(t._1)).toLong
+        val mOnly = rows.count(t => keep(t) && !dsirKept(t._1)).toLong
+        val neither = rows.count(t => !keep(t) && !dsirKept(t._1)).toLong
+        val denom = both + dOnly + mOnly
+        (rule, lang, rows.length.toLong, both, dOnly, mOnly, neither,
+          if (denom == 0L) 0L else 1000000L * both / denom,
+          1000000L * (both + neither) / rows.length)
+      }
+    val expected =
+      (ruleRows("budget", t => budgetKept(t._1)) ++
+        ruleRows("threshold", _._3)).sortBy(t => (t._1, t._2))
     val got = CorpusAudit.selectionCompare(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSeq
     assert(got == expected)
-    // structural: the universes agree — per-lang candidates re-sum to
-    // Moore-Lewis's output and every DSIR-kept doc is in the universe
-    assert(got.map(_._2).sum == ml.length)
+    // structural: the universes agree — per-lang candidates under each
+    // rule re-sum to Moore-Lewis's output, and both kept sets are
+    // subsets of the universe
+    assert(got.filter(_._1 == "threshold").map(_._3).sum == ml.length)
+    assert(got.filter(_._1 == "budget").map(_._3).sum == ml.length)
     assert(dsirKept.subsetOf(ml.map(_._1).toSet))
+    assert(budgetKept.subsetOf(ml.map(_._1).toSet))
     // the audit is only informative if the methods actually disagree
     // somewhere on this fixture (they gate differently by design)
-    assert(got.map(t => t._4 + t._5).sum > 0,
+    assert(got.map(t => t._5 + t._6).sum > 0,
       "degenerate fixture: DSIR and Moore-Lewis fully agree")
+    // and the equal-budget rows must exist for every threshold lang
+    assert(got.count(_._1 == "budget") == got.count(_._1 == "threshold"))
   }
 
   /** Plain-Scala replay of [[CorpusAudit.mooreLewisDelta]] over an
