@@ -428,19 +428,40 @@ object CorpusAudit {
     mooreLewisDeltaOf(Tables.documents(s, d))
 
   /** [[mooreLewisDelta]] over an explicit `(doc_id, lang, text)` frame
-    * (specs plant OOV-bearing delta batches through this).
+    * (specs plant OOV-bearing delta batches through this): fit on the
+    * non-delta slice ([[mooreLewisFit]]), score the delta slice
+    * ([[mooreLewisScoreCore]]) — the SAME two bodies the streaming
+    * admission gate runs against its pinned sidecar, so the served
+    * path cannot drift from the oracle-verified one.
     */
   private[graft] def mooreLewisDeltaOf(docs: DataFrame): DataFrame = {
+    val flagged = docs.withColumn(
+      "is_delta", GoldenHash.bucket(col("doc_id"), 20) === 7)
+    val (llr, unk) = mooreLewisFit(flagged.filter(!col("is_delta"))
+      .select(col("doc_id"), col("lang"), col("text")))
+    mooreLewisScoreCore(flagged.filter(col("is_delta"))
+      .select(col("doc_id"), col("lang"), col("text")), llr, unk)
+  }
+
+  /** Fit the two frozen add-one word-unigram LMs over an at-rest
+    * `(doc_id, lang, text)` frame: the vocab-bound LLR sidecar
+    * `(word, llr_q)` and the one-row unseen-word constant `(unk_q)` —
+    * both unseen probabilities are 1/(n+|V|), so the OOV ratio
+    * collapses to ln((r_n+|V|)/(t_n+|V|)), quantized once on the
+    * totals row. [[mooreLewisDeltaOf]] derives these inline;
+    * [[writeMooreLewisLm]] pins them at wiring time for the streaming
+    * gate. One conditional-count aggregate over the token expansion;
+    * everything downstream of it is vocab-bound.
+    */
+  private[graft] def mooreLewisFit(atRest: DataFrame): (DataFrame, DataFrame) = {
     val words = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    val toks = docs
-      .withColumn("is_delta", GoldenHash.bucket(col("doc_id"), 20) === 7)
-      .select(col("doc_id"), col("lang"), col("is_delta"), explode(words).as("word"))
-      .barrier("one row per corpus token (the dsirSelect expansion bound)")
-    // barrier'd for the same totals/llr double-consumption reason as
-    // [[mooreLewisSelect]] (vocab-bound materialization)
-    val counts = toks.filter(!col("is_delta")).groupBy(col("word")).agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_w"),
-      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("r_w"))
+    // barrier'd for the totals/llr double-consumption reason
+    // [[mooreLewisSelect]] documents (vocab-bound materialization)
+    val counts = atRest
+      .select(col("lang"), explode(words).as("word"))
+      .groupBy(col("word")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_w"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("r_w"))
       .barrier("one row per distinct at-rest word (vocab-bound)")
     val totals = counts.agg(
       sum(col("t_w")).as("t_n"), sum(col("r_w")).as("r_n"),
@@ -450,17 +471,32 @@ object CorpusAudit {
         round((log((col("t_w") + 1).cast("double") / (col("t_n") + col("v"))) -
                log((col("r_w") + 1).cast("double") / (col("r_n") + col("v")))) *
           MlewQ).cast("long").as("llr_q"))
-    // the unseen-word LLR: both smoothed LMs give an unseen word
-    // 1/(n+|V|), so the ratio collapses to one totals-row constant
-    val unk = broadcast(totals.select(
+    val unk = totals.select(
       round((log((col("r_n") + col("v")).cast("double")) -
              log((col("t_n") + col("v")).cast("double"))) * MlewQ)
-        .cast("long").as("unk_q")))
-    toks.filter(col("is_delta") && col("lang") =!= "en")
+        .cast("long").as("unk_q"))
+    (llr, unk)
+  }
+
+  /** Score one delta batch of `(doc_id, lang, text)` docs against a
+    * fitted `(llr, unk)` pair — the shared scoring body of
+    * [[mooreLewisDeltaOf]] and [[mooreLewisGateBatch]]. Candidates are
+    * non-`en` docs (the [[mooreLewisSelect]] universe); the join input
+    * is per-(doc, lang, word) COUNTS (the r17-finding-1 shape; the
+    * batch side is the only side that shuffles — the pinned sidecar is
+    * bucketed on `word`), left-joined so an OOV word pays `n · unk_q`
+    * and contributes `n` to `n_oov`; keep = sign of the integer sum
+    * AND the majority-known guard.
+    */
+  private[graft] def mooreLewisScoreCore(
+      batch: DataFrame, llr: DataFrame, unk: DataFrame): DataFrame = {
+    val words = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    batch.filter(col("lang") =!= "en")
+      .select(col("doc_id"), col("lang"), explode(words).as("word"))
       .groupBy(col("doc_id"), col("lang"), col("word"))
       .agg(count(lit(1)).as("n"))
       .join(llr, Seq("word"), "left")
-      .crossJoin(unk)
+      .crossJoin(broadcast(unk))
       .select(col("doc_id"), col("lang"), col("n"),
         when(col("llr_q").isNull, col("n")).otherwise(lit(0L)).as("oov"),
         (col("n") * coalesce(col("llr_q"), col("unk_q"))).as("w_q"))
@@ -473,6 +509,48 @@ object CorpusAudit {
         col("score_q"), col("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Pin the frozen Moore-Lewis LMs beside a prefix's other at-rest
+    * artifacts (the [[Dedup.writeDedupIndex]] stance — VERDICT r17
+    * item 2): the LLR sidecar bucketed on `word`, so per-batch probe
+    * joins never reshuffle the index side, plus the one-row unseen
+    * constant. Wiring-time step of the unified ingest's optional
+    * frozen-LM admission gate.
+    */
+  def writeMooreLewisLm(atRest: DataFrame, prefix: String, buckets: Int = 8): Unit = {
+    val (llr, unk) = mooreLewisFit(atRest)
+    graft.storage.LogStore.writeBucketed(llr, s"${prefix}_ml_llr", "word", buckets)
+    graft.storage.LogStore.writeBucketed(unk, s"${prefix}_ml_unk", "unk_q", 1)
+  }
+
+  /** Score one ingest micro-batch against the PINNED sidecar — the
+    * streaming admission gate's body: [[mooreLewisScoreCore]] over the
+    * `${prefix}_ml_llr` / `${prefix}_ml_unk` tables
+    * [[writeMooreLewisLm]] wrote. Stateless and frozen, so a replayed
+    * batch re-derives identical verdicts; per-batch cost ∝ batch.
+    */
+  def mooreLewisGateBatch(s: SparkSession, batch: DataFrame, prefix: String): DataFrame =
+    mooreLewisScoreCore(batch,
+      s.table(s"${prefix}_ml_llr"), s.table(s"${prefix}_ml_unk"))
+
+  /** One monitor row per gated batch — the n_oov share the scaladoc of
+    * [[mooreLewisDelta]] promises to the vocab-drift monitors, emitted
+    * beside the unified ingest's four drift flags: candidate/kept
+    * counts, total and OOV token mass, the OOV share in exact integer
+    * micros (the datacard `DIV` rule), and how many candidates the
+    * majority-known guard rejected outright.
+    */
+  def mooreLewisGateMonitor(scored: DataFrame): DataFrame =
+    scored.agg(
+      count(lit(1)).as("n_candidates"),
+      coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("n_kept"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+      coalesce(sum(col("n_oov")), lit(0L)).as("n_oov"),
+      coalesce(sum(when(col("n_oov") * 2 > col("n_tokens"), 1L).otherwise(0L)),
+        lit(0L)).as("n_oov_rejected"))
+      .withColumn("oov_share_micro",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * n_oov) DIV n_tokens")))
 
   // ---------------------------------------------- Moore-Lewis budget
 

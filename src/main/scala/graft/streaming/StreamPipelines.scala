@@ -658,14 +658,28 @@ object StreamPipelines {
     * ([[graft.operators.Dedup.splitAssignDeltaCore]]), and ANN
     * inverted-list maintenance
     * ([[graft.operators.AnnMaintain.encodeBatch]]), plus every per-batch
-    * drift flag (tokenizer ×2, split-bridge, ANN cell). Each stage calls
+    * drift flag (tokenizer ×2, split-bridge, ANN cell, and — when the
+    * gate is wired — the Moore-Lewis n_oov share). Each stage calls
     * the SAME shared chain body as its standalone loop, so
     * unified-vs-separate equality is structural (StreamingSpec pins it
     * on identical slices); one append transaction per at-rest table per
     * batch; split-bridge flags are computed BEFORE the fold grows the
     * state; the index appends keep the standalone loop's per-table
     * replay guards, so at-least-once redelivery is a no-op here too.
-    * State posture: all three stages probe frozen-or-bucketed at-rest
+    *
+    * Optional stage 0 (VERDICT r17 item 2): the frozen-LM Moore-Lewis
+    * admission gate. `mlGateSink` receives each batch's
+    * [[graft.operators.CorpusAudit.mooreLewisGateBatch]] verdicts
+    * (scored against the `${prefix}_ml_llr` / `${prefix}_ml_unk`
+    * sidecar [[graft.operators.CorpusAudit.writeMooreLewisLm]] pinned
+    * at wiring time — the minhash-index stance), `mlDriftSink` the
+    * one-row n_oov monitor, and gate-REJECTED docs are withheld from
+    * the admission chain. The gate is stateless (frozen artifacts), so
+    * redelivery re-derives identical verdicts and the crash-recovery
+    * property is unchanged (StreamingSpec's injected-crash spec runs
+    * with the gate wired).
+    *
+    * State posture: all stages probe frozen-or-bucketed at-rest
     * artifacts; streaming state is EMPTY and per-batch cost stays
     * ∝ batch at any corpus size.
     */
@@ -684,12 +698,24 @@ object StreamPipelines {
       uniDriftSink: Option[(DataFrame, Long) => Unit] = None,
       splitDriftSink: Option[(DataFrame, Long) => Unit] = None,
       annDriftSink: Option[(DataFrame, Long) => Unit] = None,
-      atRestStats: Option[DataFrame] = None): StreamingQuery = {
+      atRestStats: Option[DataFrame] = None,
+      mlGateSink: Option[(DataFrame, Long) => Unit] = None,
+      mlDriftSink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
     // fail at WIRING time, not on the first non-empty batch (ADVICE
     // r16): a mis-wired stream must not start cleanly and die later
     require(annDriftSink.isEmpty || atRestStats.nonEmpty,
       "streamingCorpusIngest: annDriftSink requires atRestStats " +
         "(AnnMaintain.atRestCellStats at wiring time)")
+    // the frozen-LM admission gate (VERDICT r17 item 2) probes the
+    // sidecar CorpusAudit.writeMooreLewisLm pins — same wiring-time
+    // stance: a gate wired without its artifacts must not start
+    require(mlGateSink.isEmpty && mlDriftSink.isEmpty ||
+      (docs.sparkSession.catalog.tableExists(s"${prefix}_ml_llr") &&
+        docs.sparkSession.catalog.tableExists(s"${prefix}_ml_unk")),
+      s"streamingCorpusIngest: mlGateSink/mlDriftSink require the pinned " +
+        s"Moore-Lewis sidecar (CorpusAudit.writeMooreLewisLm('$prefix') " +
+        s"at wiring time)")
+    val mlGated = mlGateSink.nonEmpty || mlDriftSink.nonEmpty
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -697,12 +723,31 @@ object StreamPipelines {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          // one materialization of the batch — three stages and up to
-          // four drift flags all re-read it (bound: micro-batch rows)
+          // one materialization of the batch — the stages and up to
+          // five drift flags all re-read it (bound: micro-batch rows)
           val b = batch.barrier("one micro-batch of ingest docs")
           val docsB = b.select(col("doc_id"), col("text"), col("lang"))
+          // 0. frozen-LM admission gate (optional; stateless — frozen
+          //    artifacts, so a replayed batch re-derives identical
+          //    verdicts): score candidates against the pinned sidecar,
+          //    emit verdicts + the n_oov monitor row, and withhold the
+          //    REJECTED docs from the admission chain. Docs the gate
+          //    has no verdict for (`en` — in-domain by definition — or
+          //    wordless) pass through: no evidence is not rejection,
+          //    and the downstream quality gates still see them.
+          val admitIn = if (!mlGated) docsB else {
+            val scored = graft.operators.CorpusAudit
+              .mooreLewisGateBatch(s,
+                b.select(col("doc_id"), col("lang"), col("text")), prefix)
+              .barrier("one row per scored batch candidate")
+            mlGateSink.foreach(gs => gs(scored, id))
+            mlDriftSink.foreach(ds =>
+              ds(graft.operators.CorpusAudit.mooreLewisGateMonitor(scored), id))
+            docsB.join(scored.filter(!col("keep")).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+          }
           // 1. admission + tokenizer drift (frozen artifacts, stateless)
-          admitSink(graft.operators.TrainingPrep.deltaAdmissionChain(s, sfDir, docsB), id)
+          admitSink(graft.operators.TrainingPrep.deltaAdmissionChain(s, sfDir, admitIn), id)
           vocabDriftSink.foreach(ds =>
             ds(graft.operators.BpeTrain.vocabDriftOf(s, sfDir, docsB), id))
           uniDriftSink.foreach(ds =>

@@ -730,13 +730,19 @@ class StreamingSpec extends SparkSpec {
     val T2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
     val P  = "orange banana cherry grape melon peach plum apricot fig date kiwi lime"
     val P2 = "orange banana cherry grape melon peach plum apricot fig date kiwi lemon"
-    val slice1 = Seq((27L, T2, "en", emb(0)), (47L, P, "en", emb(1)))
-    val slice2 = Seq((31L, T, "en", emb(2)), (51L, P2, "en", emb(3)))
+    // non-en rows so the Moore-Lewis gate (wired below — the r17-item-2
+    // stage must hold the same crash property) has real candidates
+    val slice1 = Seq((27L, T2, "de", emb(0)), (47L, P, "en", emb(1)))
+    val slice2 = Seq((31L, T, "de", emb(2)), (51L, P2, "en", emb(3)))
     val atRest = Seq((20L, T)).toDF("doc_id", "text")
     def initState(p: String): Unit = {
       Dedup.writeDedupIndex(atRest, p)
       Dedup.writeSplitTable(
         Seq((20L, 20L, "val")).toDF("doc_id", "label", "split"), p)
+      graft.operators.CorpusAudit.writeMooreLewisLm(
+        Seq((20L, "en", T),
+          (41L, "de", "completely different text about query engines and shuffle joins okay"))
+          .toDF("doc_id", "lang", "text"), p)
     }
     val inDir = java.nio.file.Files.createTempDirectory("graft-cr-in")
     def writeSlice(rows: Seq[(Long, String, String, Seq[Double])], name: String): Unit = {
@@ -756,9 +762,11 @@ class StreamingSpec extends SparkSpec {
       .json(inDir.toString)
 
     val annSeen = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val gateSeen = scala.collection.mutable.Set.empty[Seq[Any]]
     val splitCalls = new java.util.concurrent.atomic.AtomicInteger(0)
     val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
-    def run(prefix: String, cp: String, armed: Boolean): Unit = {
+    def run(prefix: String, cp: String, armed: Boolean,
+        gateSet: scala.collection.mutable.Set[Seq[Any]] = gateSeen): Unit = {
       crashArmed.set(armed)
       val q = StreamPipelines.streamingCorpusIngest(
         src(), sf, prefix, cdf, bdf,
@@ -771,7 +779,12 @@ class StreamingSpec extends SparkSpec {
             sys.error("injected mid-loop crash")
           annSeen.synchronized { annSeen ++= df.collect().map(_.toSeq) }; ()
         },
-        checkpoint = cp)
+        checkpoint = cp,
+        // the gate fires BEFORE the crash point, so the crashed batch's
+        // verdicts are emitted on BOTH deliveries — verdict-set (not
+        // multiset) equality below is the stateless-stage contract
+        mlGateSink = Some((df, _) => gateSet.synchronized {
+          gateSet ++= df.collect().map(_.toSeq) }))
       try q.processAllAvailable()
       catch { case e: Throwable => if (!armed) throw e } // armed: the injected crash
       if (q.isActive) q.stop()
@@ -788,12 +801,15 @@ class StreamingSpec extends SparkSpec {
 
     // reference: the same two batches through a never-crashed ingest
     val annRef = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val gateRef = scala.collection.mutable.Set.empty[Seq[Any]]
     initState("uingestrf")
     locally {
       val q = StreamPipelines.streamingCorpusIngest(
         src(), sf, "uingestrf", cdf, bdf, (_, _) => (), (_, _) => (),
         (df, _) => { annRef.synchronized { annRef ++= df.collect().map(_.toSeq) }; () },
-        java.nio.file.Files.createTempDirectory("graft-cr-cp2").toString)
+        java.nio.file.Files.createTempDirectory("graft-cr-cp2").toString,
+        mlGateSink = Some((df, _) => gateRef.synchronized {
+          gateRef ++= df.collect().map(_.toSeq) }))
       q.processAllAvailable(); q.stop()
     }
 
@@ -811,6 +827,155 @@ class StreamingSpec extends SparkSpec {
     assert(annSeen.groupBy(identity).view.mapValues(_.length).toMap ==
       annRef.groupBy(identity).view.mapValues(_.length).toMap,
       s"ann sink multiset diverged: ${annSeen.size} vs ${annRef.size}")
+    // the frozen-LM gate across the crash: redelivery re-derived
+    // byte-identical verdicts (stateless stage — set equality; the
+    // crashed batch legitimately emitted twice), with real candidates
+    assert(gateSeen.nonEmpty, "gate never scored a candidate")
+    assert(gateSeen == gateRef,
+      s"gate verdicts diverged after crash recovery: " +
+        s"${gateSeen.size} vs ${gateRef.size}")
+  }
+
+  test("unified ingest: frozen-LM gate matches mooreLewisDelta per batch, withholds rejects, replays idempotently") {
+    // VERDICT r17 item 2: the Moore-Lewis delta gate as an admission
+    // stage of the unified ingest — LLR sidecar pinned at wiring time
+    // (the minhash-index stance), per-batch verdicts vs the
+    // oracle-checked batch query, the n_oov monitor row beside the
+    // drift flags, gate-rejected docs withheld from the admission
+    // chain, and verdict idempotence under full redelivery.
+    import graft.operators.{AnnMaintain, CorpusAudit, Dedup, TrainingPrep}
+    TrainingPrep.corpusPrepDelta(spark, sf).count()
+    AnnMaintain.annIndexAppend(spark, sf).count()
+    val cdf = spark.read.parquet(AnnMaintain.CentroidsPath)
+    val bdf = spark.read.parquet(AnnMaintain.CodebooksPath)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(col("vec_id")).limit(5).select(col("v")).as[Seq[Double]].collect()
+
+    // the REAL fixture delta slice (bucket 7), so the streamed gate's
+    // verdicts are comparable row-for-row to q_moore_lewis_delta; the
+    // LM is pinned on the same at-rest slice the batch query freezes
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (deltaRows, atRest) =
+      docRows.partition(d => (d._1 * GoldenHash.Gamma) % 20 == 7)
+    assert(deltaRows.count(_._2 != "en") >= 4, "degenerate delta slice")
+    CorpusAudit.writeMooreLewisLm(atRest.toDF("doc_id", "lang", "text"), "mlgate")
+    CorpusAudit.writeMooreLewisLm(atRest.toDF("doc_id", "lang", "text"), "mlgate0")
+    def initState(p: String): Unit = {
+      Dedup.writeDedupIndex(Seq(
+        (900001L, "completely different text about query engines and shuffle joins okay"))
+        .toDF("doc_id", "text"), p)
+      Dedup.writeSplitTable(
+        Seq((900001L, 900001L, "val")).toDF("doc_id", "label", "split"), p)
+    }
+    initState("mlgate"); initState("mlgate0")
+
+    val half = deltaRows.length / 2
+    // two planted rejects in delta-bucket ids: all-OOV gibberish (the
+    // majority-known guard) and a QUALITY-PASSING word salad of the
+    // sidecar's 12 most general-leaning in-vocab words (sign rule) —
+    // the second is admissible to every downstream gate, so its absence
+    // from the gated admissions can only be the Moore-Lewis stage
+    val planted = (900007L, "de", "zzgib zzber zzwock zzfoo zzqux")
+    val negWords = spark.table("mlgate_ml_llr")
+      .filter(length(col("word")).between(3, 9) && col("llr_q") < 0)
+      .orderBy(col("llr_q"), col("word")).limit(12)
+      .select(col("word")).as[String].collect()
+    assert(negWords.length == 12, "fixture sidecar lacks negative-LLR words")
+    val plantedNeg = (900027L, "de", negWords.mkString(" "))
+    val slices = Seq(deltaRows.take(half), deltaRows.drop(half),
+      Seq(planted, plantedNeg))
+    def rows(sl: Seq[(Long, String, String)]) =
+      sl.zipWithIndex.map { case ((id, lang, text), i) =>
+        (id, text, lang, emb(i % emb.length)) }
+
+    final class ByBatch {
+      val m = scala.collection.mutable.Map.empty[Long, Vector[Seq[Any]]]
+      def sink: (DataFrame, Long) => Unit = (df, id) => m.synchronized {
+        m(id) = m.getOrElse(id, Vector.empty) ++ df.collect().map(_.toSeq)
+      }
+      def all: Set[Seq[Any]] = m.values.flatten.toSet
+    }
+    def runIngest(prefix: String, gated: Boolean,
+        gate: ByBatch, mon: ByBatch, admit: ByBatch): Unit = {
+      val mem = MemoryStream[(Long, String, String, Seq[Double])](spark)
+      val q = StreamPipelines.streamingCorpusIngest(
+        mem.toDF().toDF("doc_id", "text", "lang", "v"), sf, prefix,
+        cdf, bdf, admit.sink, (_, _) => (), (_, _) => (),
+        java.nio.file.Files.createTempDirectory("graft-mlg").toString,
+        mlGateSink = if (gated) Some(gate.sink) else None,
+        mlDriftSink = if (gated) Some(mon.sink) else None)
+      for (sl <- slices) { mem.addData(rows(sl): _*); q.processAllAvailable() }
+      q.stop()
+    }
+
+    val (gate, mon, admit) = (new ByBatch, new ByBatch, new ByBatch)
+    runIngest("mlgate", gated = true, gate, mon, admit)
+
+    // per-batch parity vs the oracle-checked batch scorer: each batch's
+    // verdicts are exactly the q_moore_lewis_delta rows of its docs
+    // (the planted batch through the same explicit-frame entry point)
+    val expectedAll = CorpusAudit.mooreLewisDeltaOf(
+      (docRows ++ Seq(planted, plantedNeg)).toDF("doc_id", "lang", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(gate.all == expectedAll)
+    for ((id, rows) <- gate.m) {
+      val ids = rows.map(_.head).toSet
+      assert(rows.toSet == expectedAll.filter(r => ids(r.head)),
+        s"batch $id verdicts are not the batch query's rows")
+    }
+    // the planted all-OOV doc: fully OOV, rejected by the
+    // majority-known guard; the planted word salad: zero OOV, rejected
+    // by the sign rule — both halves of the two-part keep exercised
+    val gib = gate.all.find(_.head == planted._1).get
+    assert(gib(3) == 5L && gib(2) == 5L && !gib(5).asInstanceOf[Boolean])
+    val neg = gate.all.find(_.head == plantedNeg._1).get
+    assert(neg(3) == 0L && neg(4).asInstanceOf[Long] < 0L &&
+      !neg(5).asInstanceOf[Boolean])
+
+    // one n_oov monitor row per batch, re-totaling that batch's verdicts
+    for ((id, rows) <- gate.m) {
+      val nTok = rows.map(_(2).asInstanceOf[Long]).sum
+      val nOov = rows.map(_(3).asInstanceOf[Long]).sum
+      val exp = Seq[Any](rows.size.toLong,
+        rows.count(_(5).asInstanceOf[Boolean]).toLong, nTok, nOov,
+        rows.count(r => r(3).asInstanceOf[Long] * 2 > r(2).asInstanceOf[Long]).toLong,
+        if (nTok == 0L) 0L else 1000000L * nOov / nTok)
+      assert(mon.m(id) == Vector(exp), s"batch $id monitor row mismatch")
+    }
+
+    // rejection routing: vs an UNGATED twin on identical slices, the
+    // gated admission set is exactly the ungated one minus the
+    // gate-rejected docs — the withholding is the gate, not a
+    // downstream quality filter coincidentally agreeing
+    val (g0, m0, admit0) = (new ByBatch, new ByBatch, new ByBatch)
+    runIngest("mlgate0", gated = false, g0, m0, admit0)
+    val rejected = gate.all.filter(!_(5).asInstanceOf[Boolean]).map(_.head)
+    val gatedIds = admit.all.map(_.head)
+    val ungatedIds = admit0.all.map(_.head)
+    assert(gatedIds == ungatedIds -- rejected,
+      s"gated admissions != ungated minus rejects " +
+        s"(${gatedIds.size} vs ${ungatedIds.size} - ${rejected.size})")
+    assert((ungatedIds -- gatedIds).nonEmpty,
+      "degenerate fixture: the gate never withheld an admissible doc")
+
+    // replay idempotence: redelivering every slice through a FRESH
+    // gated query re-derives the identical verdict set (the gate is
+    // stateless over frozen artifacts) and leaves at-rest state alone
+    Seq("mlgate_split", "mlgate_grams", "mlgate_digests")
+      .foreach(spark.catalog.refreshTable)
+    val n0 = Seq("mlgate_split", "mlgate_grams", "mlgate_digests")
+      .map(t => spark.table(t).count())
+    val (gate2, mon2, admit2) = (new ByBatch, new ByBatch, new ByBatch)
+    runIngest("mlgate", gated = true, gate2, mon2, admit2)
+    assert(gate2.all == gate.all, "replayed verdicts drifted")
+    Seq("mlgate_split", "mlgate_grams", "mlgate_digests")
+      .foreach(spark.catalog.refreshTable)
+    val n1 = Seq("mlgate_split", "mlgate_grams", "mlgate_digests")
+      .map(t => spark.table(t).count())
+    assert(n1 == n0, s"replayed slices mutated at-rest tables: $n0 -> $n1")
   }
 
   test("ingest with dedupe window drops replayed duplicate request_ids") {
