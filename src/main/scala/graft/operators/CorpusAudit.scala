@@ -610,7 +610,10 @@ object CorpusAudit {
     * from a fixed budget; the `budget` rows compare
     * [[mooreLewisBudget]] (same top-~20% quantile cut as DSIR) at EQUAL
     * budget, which is the honest method-agreement number. Both ML rules
-    * re-use ONE scored frame (the LM fit runs once).
+    * read ONE scored frame, barrier'd here because THREE consumers
+    * re-read it (the threshold rows, the budget cutpoint sample, and
+    * the budget filter) and the frame is candidate-bound — the r17
+    * double-consumption stance.
     *
     * Composition stance (the [[corpusDatacard]] precedent): the engine
     * composes the SAME builders the oracle-checked constituents run,
@@ -622,6 +625,7 @@ object CorpusAudit {
     */
   def selectionCompare(s: SparkSession, d: String): DataFrame = {
     val scored = mooreLewisSelect(s, d)
+      .barrier("one row per candidate doc (worded non-en)")
     val budgetKept = mooreLewisBudgetOf(scored)
       .select(col("doc_id"), lit(true).as("b_keep"))
     val dsirKept = dsirSelect(s, d)
