@@ -674,10 +674,13 @@ object StreamPipelines {
     * sidecar [[graft.operators.CorpusAudit.writeMooreLewisLm]] pinned
     * at wiring time — the minhash-index stance), `mlDriftSink` the
     * one-row n_oov monitor, and gate-REJECTED docs are withheld from
-    * the admission chain. The gate is stateless (frozen artifacts), so
-    * redelivery re-derives identical verdicts and the crash-recovery
-    * property is unchanged (StreamingSpec's injected-crash spec runs
-    * with the gate wired).
+    * the admission chain ONLY when `mlGateSink` is wired — wiring just
+    * `mlDriftSink` is SHADOW mode: the batch is scored and the monitor
+    * emitted, but nothing is withheld (how a deployment observes a new
+    * gate before enforcing it; StreamingSpec pins both modes). The gate
+    * is stateless (frozen artifacts), so redelivery re-derives
+    * identical verdicts and the crash-recovery property is unchanged
+    * (StreamingSpec's injected-crash spec runs with the gate wired).
     *
     * State posture: all stages probe frozen-or-bucketed at-rest
     * artifacts; streaming state is EMPTY and per-batch cost stays
@@ -730,11 +733,13 @@ object StreamPipelines {
           // 0. frozen-LM admission gate (optional; stateless — frozen
           //    artifacts, so a replayed batch re-derives identical
           //    verdicts): score candidates against the pinned sidecar,
-          //    emit verdicts + the n_oov monitor row, and withhold the
-          //    REJECTED docs from the admission chain. Docs the gate
-          //    has no verdict for (`en` — in-domain by definition — or
-          //    wordless) pass through: no evidence is not rejection,
-          //    and the downstream quality gates still see them.
+          //    emit verdicts + the n_oov monitor row, and — only when
+          //    mlGateSink is wired (enforcement; mlDriftSink alone is
+          //    shadow mode) — withhold the REJECTED docs from the
+          //    admission chain. Docs the gate has no verdict for
+          //    (`en` — in-domain by definition — or wordless) pass
+          //    through: no evidence is not rejection, and the
+          //    downstream quality gates still see them.
           val admitIn = if (!mlGated) docsB else {
             val scored = graft.operators.CorpusAudit
               .mooreLewisGateBatch(s,
@@ -743,7 +748,8 @@ object StreamPipelines {
             mlGateSink.foreach(gs => gs(scored, id))
             mlDriftSink.foreach(ds =>
               ds(graft.operators.CorpusAudit.mooreLewisGateMonitor(scored), id))
-            docsB.join(scored.filter(!col("keep")).select(col("doc_id")),
+            if (mlGateSink.isEmpty) docsB
+            else docsB.join(scored.filter(!col("keep")).select(col("doc_id")),
               Seq("doc_id"), "left_anti")
           }
           // 1. admission + tokenizer drift (frozen artifacts, stateless)

@@ -899,13 +899,14 @@ class StreamingSpec extends SparkSpec {
       def all: Set[Seq[Any]] = m.values.flatten.toSet
     }
     def runIngest(prefix: String, gated: Boolean,
-        gate: ByBatch, mon: ByBatch, admit: ByBatch): Unit = {
+        gate: ByBatch, mon: ByBatch, admit: ByBatch,
+        shadow: Boolean = false): Unit = {
       val mem = MemoryStream[(Long, String, String, Seq[Double])](spark)
       val q = StreamPipelines.streamingCorpusIngest(
         mem.toDF().toDF("doc_id", "text", "lang", "v"), sf, prefix,
         cdf, bdf, admit.sink, (_, _) => (), (_, _) => (),
         java.nio.file.Files.createTempDirectory("graft-mlg").toString,
-        mlGateSink = if (gated) Some(gate.sink) else None,
+        mlGateSink = if (gated && !shadow) Some(gate.sink) else None,
         mlDriftSink = if (gated) Some(mon.sink) else None)
       for (sl <- slices) { mem.addData(rows(sl): _*); q.processAllAvailable() }
       q.stop()
@@ -960,6 +961,19 @@ class StreamingSpec extends SparkSpec {
         s"(${gatedIds.size} vs ${ungatedIds.size} - ${rejected.size})")
     assert((ungatedIds -- gatedIds).nonEmpty,
       "degenerate fixture: the gate never withheld an admissible doc")
+
+    // shadow mode: mlDriftSink alone scores and monitors but withholds
+    // NOTHING — the observe-before-enforce wiring a deployment runs
+    // ahead of turning a new gate on
+    graft.operators.CorpusAudit.writeMooreLewisLm(
+      atRest.toDF("doc_id", "lang", "text"), "mlgatesh")
+    initState("mlgatesh")
+    val (gSh, monSh, admitSh) = (new ByBatch, new ByBatch, new ByBatch)
+    runIngest("mlgatesh", gated = true, gSh, monSh, admitSh, shadow = true)
+    assert(gSh.all.isEmpty, "shadow mode must not emit gate verdicts")
+    assert(monSh.all == mon.all, "shadow monitor rows drifted from enforced")
+    assert(admitSh.all.map(_.head) == ungatedIds,
+      "shadow mode withheld docs — monitoring must not enforce")
 
     // replay idempotence: redelivering every slice through a FRESH
     // gated query re-derives the identical verdict set (the gate is
