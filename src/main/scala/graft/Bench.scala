@@ -59,27 +59,71 @@ object Bench {
     */
   def outFileFor(args: Array[String], sfDir: String): String = {
     val norm =
-      try java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
-      catch { case _: Exception => sfDir }
+      try {
+        val p = java.nio.file.Paths.get(sfDir)
+        // toRealPath also canonicalizes symlinked spellings of the gate
+        // fixture (ADVICE r18: normalize alone left a symlink silently
+        // routing a legitimate gate run to the dev file); a nonexistent
+        // path falls back to the lexical normalization.
+        try p.toRealPath().toString
+        catch { case _: Exception => p.toAbsolutePath.normalize.toString }
+      } catch { case _: Exception => sfDir }
     if (args.isEmpty && norm == "/root/testdata/sf0.1") "bench_out.json"
     else "bench_out_dev.json"
   }
 
+  /** Absolute-excess floor for the re-measure decision, scaled to the
+    * query's own committed minimum: `max(0.2, min(0.75, 3×min))`. The
+    * old fixed 0.75 s floor let 0.1 s-class queries ride a contended
+    * window un-re-measured — in the r18 driver run `q_token_shards`
+    * recorded 0.845 s against a 0.107 s minimum (7.9×) and slipped the
+    * pass by 0.012 s; ~12 s of such sub-threshold tail inflation
+    * reached the headline (VERDICT r18 item 1b). Scaling the floor to
+    * 3× the minimum keeps the original intent (never re-run for jitter
+    * that can't move the headline — the 0.2 s hard floor) while letting
+    * cheap queries trip it. Heavy queries keep the 0.75 s cap unchanged.
+    */
+  def excessFloorSec(committedMin: Double): Double =
+    math.max(0.2, math.min(0.75, 3.0 * committedMin))
+
   /** Which queries the end-of-suite pass re-times: suite min-of-2 above
-    * `factor`× the committed minimum AND more than `minExcessSec` over it
-    * (the absolute floor keeps ambient jitter on sub-0.3 s queries from
-    * triggering re-runs that can't move the headline). Queries with no
-    * committed minimum (new this round) and erroring queries are skipped.
-    * Pure — spec-covered in BenchSpec.
+    * `factor`× the committed minimum AND more than `excessFloorSec(min)`
+    * over it (the scaled absolute floor keeps ambient jitter on cheap
+    * queries from triggering re-runs that can't move the headline, while
+    * still catching a 0.1 s-class query swollen 8× — VERDICT r18 item
+    * 1b). Queries with no committed minimum (new this round) and
+    * erroring queries are skipped. Pure — spec-covered in BenchSpec.
     */
   def outliersToRemeasure(
       results: Map[String, Option[Double]],
       committed: Map[String, Double],
       factor: Double = 3.0,
-      minExcessSec: Double = 0.75): Seq[String] =
+      excessFloor: Double => Double = excessFloorSec): Seq[String] =
     results.toSeq.collect {
-      case (n, Some(t)) if committed.get(n).exists(m => t > factor * m && t - m > minExcessSec) => n
+      case (n, Some(t)) if committed.get(n).exists(m => t > factor * m && t - m > excessFloor(m)) => n
     }.sorted
+
+  /** Contention-immune headline (VERDICT r18 item 1a): Σ over queries of
+    * min(this run's best pass, the committed minimum when one exists).
+    * The wall `value` already sums each query's min across the suite's
+    * two runs and the post re-measure pass, but a contended window still
+    * inflates every pass of a query the re-measure never touches;
+    * `stable_total` additionally clamps each unchanged-chain query to
+    * its committed minimum — a quiet-window, same-HEAD certified
+    * measurement regenerated at every record commit — so a contended
+    * driver window self-reports the engine number beside the wall
+    * number. It is a hybrid (run ∧ record), NOT a fresh measurement: a
+    * genuine regression still surfaces undamped in `value`, the
+    * per-query map, and the next record attempt; a genuine improvement
+    * (run < minimum) lowers it. Emitted only for gate-shape runs, where
+    * the sf0.1 minima apply. Pure — spec-covered in BenchSpec.
+    */
+  def stableTotal(
+      results: Map[String, Option[Double]],
+      committed: Map[String, Double]): Double =
+    results.iterator.collect { case (n, Some(t)) =>
+      committed.get(n).fold(t)(math.min(t, _))
+    }.sum
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -231,6 +275,16 @@ object Bench {
         .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
+    // Gate-shape runs carry the contention-immune pair beside the wall
+    // total (VERDICT r18 item 1a): suite_total = Σ suite-only minima
+    // (what the window measured before any self-defense), stable_total =
+    // Σ min(run, committed minimum) — the engine number a contended
+    // window should be judged on. Other fixtures have no applicable
+    // minima (same guard as the re-measure pass).
+    val stableJson =
+      if (outFileFor(args, sfDir) != "bench_out.json") ""
+      else s""""stable_total":${fmt(stableTotal(results, committedMin))},""" +
+        s""""suite_total":${fmt(suiteResults.values.flatten.sum)},"""
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$extra"errors":$errJson,"sf":"$sfDir"}"""
 
@@ -344,7 +398,7 @@ object Bench {
         "\"" + n + "\":{\"suite\":" + fmt(s) + ",\"post\":" + p.fold("null")(fmt) + "}"
       }.mkString("\"remeasure\":{", ",", "},")
     val full = line(qJson(results.toSeq),
-      s""""n_queries":${results.size},"cold_start":${qJson(cold.toSeq)},$controlJson$diskJson$remeasureJson$streamJson""")
+      s""""n_queries":${results.size},$stableJson"cold_start":${qJson(cold.toSeq)},$controlJson$diskJson$remeasureJson$streamJson""")
     val outFile = outFileFor(args, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -356,7 +410,7 @@ object Bench {
     val slowest = results.toSeq
       .sortBy(-_._2.getOrElse(Double.MaxValue)).take(25)
     println(line(qJson(slowest),
-      s""""n_queries":${results.size},"queries_shown":${slowest.size},$controlJson$diskJson$remeasureJson"full_record":"$outFile","""))
+      s""""n_queries":${results.size},"queries_shown":${slowest.size},$stableJson$controlJson$diskJson$remeasureJson"full_record":"$outFile","""))
     spark.stop()
   }
 }

@@ -48,11 +48,41 @@ class BenchSpec extends AnyFunSuite {
   test("boundary: flagged exactly when BOTH factor and absolute-excess trip") {
     val committed = Map("q_x" -> 1.0)
     assert(Bench.outliersToRemeasure(Map("q_x" -> Some(3.01)), committed) === Seq("q_x"))
-    // factor trips but excess of exactly minExcessSec does not (strict >)
+    // factor trips but excess of exactly the floor does not (strict >)
     assert(Bench.outliersToRemeasure(Map("q_x" -> Some(1.75)), committed,
-      factor = 1.5, minExcessSec = 0.75).isEmpty)
+      factor = 1.5, excessFloor = _ => 0.75).isEmpty)
     assert(Bench.outliersToRemeasure(Map("q_x" -> Some(1.76)), committed,
-      factor = 1.5, minExcessSec = 0.75) === Seq("q_x"))
+      factor = 1.5, excessFloor = _ => 0.75) === Seq("q_x"))
+  }
+
+  test("scaled floor: a 0.1 s-class query swollen 8x IS flagged (the r18 q_token_shards shape)") {
+    // r18 driver run: q_token_shards 0.845 s vs 0.107 min (7.9x) slipped
+    // the fixed 0.75 s floor by 0.012 s and its inflation reached the
+    // headline (VERDICT r18 item 1b). The scaled floor
+    // max(0.2, min(0.75, 3x min)) = 0.321 catches it.
+    val committed = Map("q_token_shards" -> 0.107)
+    assert(Bench.outliersToRemeasure(Map("q_token_shards" -> Some(0.845)), committed) ===
+      Seq("q_token_shards"))
+    // the floor itself: 3x-min band, the 0.2 s hard floor, the 0.75 s cap
+    assert(math.abs(Bench.excessFloorSec(0.107) - 0.321) < 1e-9)
+    assert(Bench.excessFloorSec(0.05) === 0.2)
+    assert(Bench.excessFloorSec(1.0) === 0.75)
+    // ambient jitter on the same query stays un-flagged: +0.25 s excess
+    // is under the 0.321 floor even though the 3x factor trips
+    assert(Bench.outliersToRemeasure(Map("q_token_shards" -> Some(0.357)), committed).isEmpty)
+  }
+
+  test("stable_total clamps unchanged chains to committed minima, passes through the rest") {
+    val committed = Map("q_a" -> 0.10, "q_b" -> 2.0)
+    val results = Map[String, Option[Double]](
+      "q_a" -> Some(0.85),  // contended: clamped to 0.10
+      "q_b" -> Some(1.5),   // genuine improvement: the run value is kept
+      "q_new" -> Some(3.0), // no committed minimum: the run value is kept
+      "q_err" -> None)      // erroring query contributes nothing
+    assert(math.abs(Bench.stableTotal(results, committed) - (0.10 + 1.5 + 3.0)) < 1e-9)
+    // all-quiet run below every minimum: stable_total == the wall total
+    val quiet = Map[String, Option[Double]]("q_a" -> Some(0.09), "q_b" -> Some(1.9))
+    assert(math.abs(Bench.stableTotal(quiet, committed) - (0.09 + 1.9)) < 1e-9)
   }
 
   test("only the driver-contract shape may write the committed record file") {
@@ -68,5 +98,16 @@ class BenchSpec extends AnyFunSuite {
     // used to silently disable the record + re-measure pass)
     assert(Bench.outFileFor(Array.empty, "/root/testdata/sf0.1/") === "bench_out.json")
     assert(Bench.outFileFor(Array.empty, "/root/testdata/../testdata/sf0.1") === "bench_out.json")
+    // a symlinked spelling canonicalizes too (ADVICE r18: normalize
+    // alone left symlinks routing a legitimate gate run to the dev file)
+    val dir = java.nio.file.Files.createTempDirectory("graft-benchspec-link")
+    val link = dir.resolve("sf0.1-link")
+    try {
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(gate))
+      assert(Bench.outFileFor(Array.empty, link.toString) === "bench_out.json")
+    } finally {
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 }
