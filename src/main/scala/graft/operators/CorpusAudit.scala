@@ -521,6 +521,20 @@ object CorpusAudit {
     val (llr, unk) = mooreLewisFit(atRest)
     graft.storage.LogStore.writeBucketed(llr, s"${prefix}_ml_llr", "word", buckets)
     graft.storage.LogStore.writeBucketed(unk, s"${prefix}_ml_unk", "unk_q", 1)
+    // the frozen BUDGET cutpoint (VERDICT r18 item 3): the 0.8 score
+    // quantile over the at-rest candidates under the just-frozen LM,
+    // computed by the same cutpoint machinery q_moore_lewis_budget runs
+    // ([[mooreLewisCutpointOf]] — shared body, so the rules cannot
+    // drift) and pinned as a one-row sidecar. A streaming micro-batch
+    // cannot compute a global quantile; a deployment that wants the
+    // budget-matched rule gates each batch against THIS frozen value
+    // and watches the monitor's kept share against the at-rest 20% for
+    // cutpoint staleness. At-rest scoring under the at-rest fit has no
+    // OOV by construction, so the cutpoint matches the select-form
+    // scores exactly.
+    val cut = mooreLewisCutpointOf(
+      mooreLewisScoreCore(atRest, llr, unk)).select(col("c").as("cut"))
+    graft.storage.LogStore.writeBucketed(cut, s"${prefix}_ml_cut", "cut", 1)
   }
 
   /** Score one ingest micro-batch against the PINNED sidecar — the
@@ -528,29 +542,77 @@ object CorpusAudit {
     * `${prefix}_ml_llr` / `${prefix}_ml_unk` tables
     * [[writeMooreLewisLm]] wrote. Stateless and frozen, so a replayed
     * batch re-derives identical verdicts; per-batch cost ∝ batch.
+    *
+    * `rule` picks which keep rule the verdicts carry (VERDICT r18 item
+    * 3), mirroring the two oracle-checked batch forms:
+    *  - `threshold` — [[mooreLewisDelta]]'s absolute sign gate:
+    *    `score_q > 0`;
+    *  - `budget` — [[mooreLewisBudget]]'s equal-budget cut against the
+    *    FROZEN at-rest cutpoint `${prefix}_ml_cut`:
+    *    `score_q > cut` (strict, the budget form's tie stance).
+    * Both rules keep the majority-known guard (`2·n_oov ≤ n_tokens`) —
+    * it rejects documents the frozen vocabulary cannot adjudicate at
+    * all, which is orthogonal to HOW trusted scores are thresholded
+    * (the [[mooreLewisDelta]] scaladoc's gibberish rationale). The
+    * batch-side plan is identical either way: the budget rule adds one
+    * broadcast of a one-row plan constant.
     */
-  def mooreLewisGateBatch(s: SparkSession, batch: DataFrame, prefix: String): DataFrame =
-    mooreLewisScoreCore(batch,
+  def mooreLewisGateBatch(s: SparkSession, batch: DataFrame, prefix: String,
+      rule: String = "threshold"): DataFrame = {
+    val scored = mooreLewisScoreCore(batch,
       s.table(s"${prefix}_ml_llr"), s.table(s"${prefix}_ml_unk"))
+    rule match {
+      case "threshold" => scored
+      case "budget" =>
+        val cut = s.table(s"${prefix}_ml_cut")
+        scored.crossJoin(broadcast(cut))
+          .withColumn("keep",
+            col("score_q") > col("cut") && col("n_oov") * 2 <= col("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
+            col("score_q"), col("keep"))
+          .orderBy(col("doc_id"))
+      case other => sys.error(
+        s"mooreLewisGateBatch: unknown rule '$other' (threshold | budget)")
+    }
+  }
 
   /** One monitor row per gated batch — the n_oov share the scaladoc of
     * [[mooreLewisDelta]] promises to the vocab-drift monitors, emitted
     * beside the unified ingest's four drift flags: candidate/kept
     * counts, total and OOV token mass, the OOV share in exact integer
-    * micros (the datacard `DIV` rule), and how many candidates the
-    * majority-known guard rejected outright.
+    * micros (the datacard `DIV` rule), how many candidates the
+    * majority-known guard ALONE rejected (OOV-majority docs whose score
+    * the active rule would otherwise keep — the guard is the BINDING
+    * rule there; docs failing both rules are plain score rejects, so
+    * the counter no longer over-attributes them to vocab drift —
+    * ADVICE r18), and the batch kept share in integer micros. Under the
+    * budget rule the kept share is the cutpoint-staleness signal: the
+    * frozen cutpoint keeps ~20% of AT-REST candidates by construction
+    * (strictly above the 0.8 quantile), so a sustained batch kept-share
+    * drift away from ~200000 micros means the corpus has moved and the
+    * sidecar wants re-pinning.
+    *
+    * The binding-guard counter needs the rule's score verdict without
+    * the guard: `keep` already conjoins both, so it recomputes the
+    * score side from the row — `score_q > 0` cannot be read off `keep`
+    * alone. Callers therefore pass the SAME rule the verdicts carry via
+    * `scoreKeep` (defaults to the threshold sign rule).
     */
-  def mooreLewisGateMonitor(scored: DataFrame): DataFrame =
+  def mooreLewisGateMonitor(scored: DataFrame,
+      scoreKeep: Column = col("score_q") > 0L): DataFrame =
     scored.agg(
       count(lit(1)).as("n_candidates"),
       coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("n_kept"),
       coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
       coalesce(sum(col("n_oov")), lit(0L)).as("n_oov"),
-      coalesce(sum(when(col("n_oov") * 2 > col("n_tokens"), 1L).otherwise(0L)),
-        lit(0L)).as("n_oov_rejected"))
+      coalesce(sum(when(col("n_oov") * 2 > col("n_tokens") && scoreKeep,
+        1L).otherwise(0L)), lit(0L)).as("n_oov_rejected"))
       .withColumn("oov_share_micro",
         when(col("n_tokens") === 0L, lit(0L))
           .otherwise(expr("(1000000 * n_oov) DIV n_tokens")))
+      .withColumn("kept_share_micro",
+        when(col("n_candidates") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * n_kept) DIV n_candidates")))
 
   // ---------------------------------------------- Moore-Lewis budget
 
@@ -575,16 +637,27 @@ object CorpusAudit {
   def mooreLewisBudget(s: SparkSession, d: String): DataFrame =
     mooreLewisBudgetOf(mooreLewisSelect(s, d))
 
+  /** The 0.8 score-quantile cutpoint over a scored frame — ONE row
+    * `(c double)` via [[dsirSelect]]'s machinery verbatim (golden-hash-
+    * ranked [[DsirCutSample]] sample, per-partition bounded heaps —
+    * TakeOrderedAndProject — exact interpolated percentile, symmetric
+    * DOUBLE cast). Shared by [[mooreLewisBudgetOf]] (computed per run)
+    * and [[writeMooreLewisLm]] (pinned frozen for the streaming gate's
+    * budget rule), so the two cannot drift.
+    */
+  private[graft] def mooreLewisCutpointOf(scored: DataFrame): DataFrame =
+    scored.select(col("doc_id"), col("score_q"))
+      .orderBy(GoldenHash.bucket(col("doc_id"), DsirSampleMod), col("doc_id"))
+      .limit(DsirCutSample)
+      .agg(expr("percentile(cast(score_q as double), 0.8d)").as("c"))
+
   /** The budget cut over an already-scored [[mooreLewisSelect]] frame —
     * [[selectionCompare]] scores ONCE and feeds both rules from it.
     */
   private[graft] def mooreLewisBudgetOf(scored: DataFrame): DataFrame = {
     val base = scored.select(
       col("doc_id"), col("lang"), col("n_tokens"), col("score_q"))
-    val cut = base
-      .orderBy(GoldenHash.bucket(col("doc_id"), DsirSampleMod), col("doc_id"))
-      .limit(DsirCutSample)
-      .agg(expr("percentile(cast(score_q as double), 0.8d)").as("c"))
+    val cut = mooreLewisCutpointOf(scored)
     base.crossJoin(broadcast(cut))
       .filter(col("score_q") > col("c"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_q"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.Row
@@ -682,6 +682,28 @@ object StreamPipelines {
     * identical verdicts and the crash-recovery property is unchanged
     * (StreamingSpec's injected-crash spec runs with the gate wired).
     *
+    * `mlGateRule` picks the gate's keep rule (VERDICT r18 item 3):
+    * `threshold` (the sign rule — [[graft.operators.CorpusAudit.mooreLewisDelta]]'s
+    * form) or `budget` — each batch cut at the FROZEN at-rest cutpoint
+    * `${prefix}_ml_cut` that [[graft.operators.CorpusAudit.writeMooreLewisLm]]
+    * pins beside the LMs ([[graft.operators.CorpusAudit.mooreLewisBudget]]'s
+    * equal-budget form; a micro-batch cannot compute a global quantile,
+    * so the cutpoint is a wiring-time constant like the LMs). Under the
+    * budget rule the monitor's `kept_share_micro` is the staleness
+    * signal: the frozen cutpoint keeps ~20% of at-rest candidates by
+    * construction, so sustained batch drift from ~200000 micros means
+    * the corpus moved and the sidecar wants re-pinning.
+    *
+    * Withholding scopes to the ADMISSION chain only — a deliberate
+    * choice, not an oversight (ADVICE r18): stages 2/3 still fold every
+    * batch doc into the split table, dedup grams/digests index, and ANN
+    * inverted lists, so rejected documents leave at-rest footprints.
+    * That is what keeps a rejected doc VISIBLE to the engine — later
+    * near-dup probes, leakage checks, and ANN queries still see it, and
+    * a re-adjudication after a sidecar re-pin needs no re-ingest. The
+    * gate controls what enters the training corpus, not what the
+    * pipeline remembers having seen.
+    *
     * State posture: all stages probe frozen-or-bucketed at-rest
     * artifacts; streaming state is EMPTY and per-batch cost stays
     * ∝ batch at any corpus size.
@@ -703,7 +725,8 @@ object StreamPipelines {
       annDriftSink: Option[(DataFrame, Long) => Unit] = None,
       atRestStats: Option[DataFrame] = None,
       mlGateSink: Option[(DataFrame, Long) => Unit] = None,
-      mlDriftSink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
+      mlDriftSink: Option[(DataFrame, Long) => Unit] = None,
+      mlGateRule: String = "threshold"): StreamingQuery = {
     // fail at WIRING time, not on the first non-empty batch (ADVICE
     // r16): a mis-wired stream must not start cleanly and die later
     require(annDriftSink.isEmpty || atRestStats.nonEmpty,
@@ -718,7 +741,23 @@ object StreamPipelines {
       s"streamingCorpusIngest: mlGateSink/mlDriftSink require the pinned " +
         s"Moore-Lewis sidecar (CorpusAudit.writeMooreLewisLm('$prefix') " +
         s"at wiring time)")
+    require(mlGateRule == "threshold" || mlGateRule == "budget",
+      s"streamingCorpusIngest: unknown mlGateRule '$mlGateRule' " +
+        s"(threshold | budget)")
     val mlGated = mlGateSink.nonEmpty || mlDriftSink.nonEmpty
+    require(!mlGated || mlGateRule == "threshold" ||
+      docs.sparkSession.catalog.tableExists(s"${prefix}_ml_cut"),
+      s"streamingCorpusIngest: mlGateRule='budget' requires the pinned " +
+        s"cutpoint table ${prefix}_ml_cut (re-pin with the current " +
+        s"CorpusAudit.writeMooreLewisLm('$prefix'))")
+    // the frozen cutpoint is a wiring-time scalar like the LM tables —
+    // read ONCE here (one row by construction), never per batch; the
+    // monitor's binding-guard counter needs the rule's score verdict
+    // without the majority-known guard, which `keep` alone can't supply
+    val mlScoreKeep: Column =
+      if (!mlGated || mlGateRule == "threshold") col("score_q") > 0L
+      else col("score_q") > lit(docs.sparkSession
+        .table(s"${prefix}_ml_cut").head().getDouble(0))
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -743,11 +782,13 @@ object StreamPipelines {
           val admitIn = if (!mlGated) docsB else {
             val scored = graft.operators.CorpusAudit
               .mooreLewisGateBatch(s,
-                b.select(col("doc_id"), col("lang"), col("text")), prefix)
+                b.select(col("doc_id"), col("lang"), col("text")), prefix,
+                rule = mlGateRule)
               .barrier("one row per scored batch candidate")
             mlGateSink.foreach(gs => gs(scored, id))
             mlDriftSink.foreach(ds =>
-              ds(graft.operators.CorpusAudit.mooreLewisGateMonitor(scored), id))
+              ds(graft.operators.CorpusAudit.mooreLewisGateMonitor(
+                scored, scoreKeep = mlScoreKeep), id))
             if (mlGateSink.isEmpty) docsB
             else docsB.join(scored.filter(!col("keep")).select(col("doc_id")),
               Seq("doc_id"), "left_anti")

@@ -936,16 +936,29 @@ class StreamingSpec extends SparkSpec {
     assert(neg(3) == 0L && neg(4).asInstanceOf[Long] < 0L &&
       !neg(5).asInstanceOf[Boolean])
 
-    // one n_oov monitor row per batch, re-totaling that batch's verdicts
+    // one n_oov monitor row per batch, re-totaling that batch's
+    // verdicts; n_oov_rejected counts only docs where the majority-
+    // known guard is the BINDING rule — the sign rule would keep them
+    // (ADVICE r18: docs failing both rules are plain sign rejects, not
+    // vocab-drift evidence); kept_share_micro re-totals the keep flags
     for ((id, rows) <- gate.m) {
       val nTok = rows.map(_(2).asInstanceOf[Long]).sum
       val nOov = rows.map(_(3).asInstanceOf[Long]).sum
-      val exp = Seq[Any](rows.size.toLong,
-        rows.count(_(5).asInstanceOf[Boolean]).toLong, nTok, nOov,
-        rows.count(r => r(3).asInstanceOf[Long] * 2 > r(2).asInstanceOf[Long]).toLong,
-        if (nTok == 0L) 0L else 1000000L * nOov / nTok)
+      val nKept = rows.count(_(5).asInstanceOf[Boolean]).toLong
+      val exp = Seq[Any](rows.size.toLong, nKept, nTok, nOov,
+        rows.count(r => r(3).asInstanceOf[Long] * 2 > r(2).asInstanceOf[Long] &&
+          r(4).asInstanceOf[Long] > 0L).toLong,
+        if (nTok == 0L) 0L else 1000000L * nOov / nTok,
+        if (rows.isEmpty) 0L else 1000000L * nKept / rows.size)
       assert(mon.m(id) == Vector(exp), s"batch $id monitor row mismatch")
     }
+    // the planted all-OOV doc is a BINDING guard reject (its all-unk
+    // score is positive — the add-one size artifact the mooreLewisDelta
+    // scaladoc documents), so the planted batch's counter sees it; the
+    // planted negative word salad fails the sign rule and must NOT be
+    // attributed to the guard
+    assert(gib(4).asInstanceOf[Long] > 0L,
+      "fixture drift: the all-OOV plant no longer exercises the binding-guard counter")
 
     // rejection routing: vs an UNGATED twin on identical slices, the
     // gated admission set is exactly the ungated one minus the
@@ -990,6 +1003,150 @@ class StreamingSpec extends SparkSpec {
     val n1 = Seq("mlgate_split", "mlgate_grams", "mlgate_digests")
       .map(t => spark.table(t).count())
     assert(n1 == n0, s"replayed slices mutated at-rest tables: $n0 -> $n1")
+  }
+
+  test("unified ingest: budget-rule gate cuts at the frozen at-rest cutpoint, kept share tracks the at-rest 20%") {
+    // VERDICT r18 item 3: the gate's second keep rule — q_moore_lewis_
+    // budget's equal-budget cut against the cutpoint writeMooreLewisLm
+    // froze at wiring time (a micro-batch cannot compute a global
+    // quantile), with the monitor's kept share as the staleness signal.
+    // The withholding MECHANISM (gated admissions = ungated minus
+    // rejects) is rule-independent code the enforced-gate spec already
+    // pins; here the assertions target what the rule changes: the
+    // verdicts, the monitor, and the frozen-cutpoint construction.
+    import graft.operators.{AnnMaintain, CorpusAudit, Dedup, TrainingPrep}
+    TrainingPrep.corpusPrepDelta(spark, sf).count()
+    AnnMaintain.annIndexAppend(spark, sf).count()
+    val cdf = spark.read.parquet(AnnMaintain.CentroidsPath)
+    val bdf = spark.read.parquet(AnnMaintain.CodebooksPath)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(col("vec_id")).limit(5).select(col("v")).as[Seq[Double]].collect()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (deltaRows, atRest) =
+      docRows.partition(d => (d._1 * GoldenHash.Gamma) % 20 == 7)
+    CorpusAudit.writeMooreLewisLm(atRest.toDF("doc_id", "lang", "text"), "mlbud")
+    Dedup.writeDedupIndex(Seq(
+      (900001L, "completely different text about query engines and shuffle joins okay"))
+      .toDF("doc_id", "text"), "mlbud")
+    Dedup.writeSplitTable(
+      Seq((900001L, 900001L, "val")).toDF("doc_id", "label", "split"), "mlbud")
+
+    // the pinned cutpoint: ONE row, byte-equal to the shared machinery
+    // (mooreLewisCutpointOf — q_moore_lewis_budget's cut body) re-run
+    // over the at-rest candidates scored under the pinned LM, and the
+    // frozen-budget construction holds: ~20% of at-rest candidates sit
+    // strictly above it (the exact share depends only on score ties)
+    val cutRows = spark.table("mlbud_ml_cut").collect()
+    assert(cutRows.length == 1, s"cut sidecar must be one row, got ${cutRows.length}")
+    val cutV = cutRows.head.getDouble(0)
+    val atScored = CorpusAudit.mooreLewisScoreCore(
+      atRest.toDF("doc_id", "lang", "text"),
+      spark.table("mlbud_ml_llr"), spark.table("mlbud_ml_unk"))
+      .collect().map(_.toSeq)
+    assert(cutV == CorpusAudit.mooreLewisCutpointOf(
+      atScored.map(r => (r(0).asInstanceOf[Long], r(4).asInstanceOf[Long]))
+        .toSeq.toDF("doc_id", "score_q")).head().getDouble(0),
+      "pinned cutpoint drifted from the shared cut machinery")
+    val atKeptShare = atScored.count(_(4).asInstanceOf[Long] > cutV).toDouble / atScored.length
+    assert(math.abs(atKeptShare - 0.2) < 0.05,
+      s"at-rest kept share $atKeptShare is not the frozen ~20% budget")
+
+    // stream the fixture delta in two slices, then the at-rest docs
+    // themselves as a third batch — its monitor row must read back the
+    // ~200000-micro at-rest share (the staleness baseline an operator
+    // compares live batches against)
+    val slices = Seq(deltaRows.take(deltaRows.length / 2),
+      deltaRows.drop(deltaRows.length / 2), atRest)
+    final class ByBatch {
+      val m = scala.collection.mutable.Map.empty[Long, Vector[Seq[Any]]]
+      def sink: (DataFrame, Long) => Unit = (df, id) => m.synchronized {
+        m(id) = m.getOrElse(id, Vector.empty) ++ df.collect().map(_.toSeq)
+      }
+      def all: Set[Seq[Any]] = m.values.flatten.toSet
+    }
+    val (gate, mon, admit) = (new ByBatch, new ByBatch, new ByBatch)
+    locally {
+      val mem = MemoryStream[(Long, String, String, Seq[Double])](spark)
+      val q = StreamPipelines.streamingCorpusIngest(
+        mem.toDF().toDF("doc_id", "text", "lang", "v"), sf, "mlbud",
+        cdf, bdf, admit.sink, (_, _) => (), (_, _) => (),
+        java.nio.file.Files.createTempDirectory("graft-mlb").toString,
+        mlGateSink = Some(gate.sink), mlDriftSink = Some(mon.sink),
+        mlGateRule = "budget")
+      for (sl <- slices) {
+        mem.addData(sl.zipWithIndex.map { case ((id, lang, text), i) =>
+          (id, text, lang, emb(i % emb.length)) }: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+
+    // per-batch parity vs the budget rule on the frozen cutpoint: each
+    // verdict is the pinned-LM score with keep = score_q > cut AND the
+    // majority-known guard — mooreLewisBudgetOf's strict cut applied at
+    // the FROZEN value instead of the batch's own quantile (which is
+    // exactly what makes it computable per micro-batch)
+    val expectedAll = CorpusAudit.mooreLewisScoreCore(
+      docRows.toDF("doc_id", "lang", "text"),
+      spark.table("mlbud_ml_llr"), spark.table("mlbud_ml_unk"))
+      .collect().map(_.toSeq)
+      .map(r => r.updated(5, r(4).asInstanceOf[Long] > cutV &&
+        r(3).asInstanceOf[Long] * 2 <= r(2).asInstanceOf[Long]))
+      .toSet
+    assert(gate.all.nonEmpty, "budget gate never scored a candidate")
+    for ((id, rows) <- gate.m) {
+      val ids = rows.map(_.head).toSet
+      assert(rows.toSet == expectedAll.filter(r => ids(r.head)),
+        s"batch $id budget verdicts are not the frozen-cut budget rows")
+    }
+    // the two rules genuinely differ on this fixture (cut >> 0), and no
+    // budget-rejected doc reached the admission chain
+    val thrKeep = gate.all.filter(_(4).asInstanceOf[Long] > 0L).map(_.head)
+    val budKeep = gate.all.filter(_(5).asInstanceOf[Boolean]).map(_.head)
+    assert(budKeep != thrKeep,
+      "degenerate fixture: budget and threshold rules agree everywhere")
+    val rejected = gate.all.filter(!_(5).asInstanceOf[Boolean]).map(_.head)
+    assert(admit.all.map(_.head).intersect(rejected).isEmpty,
+      "a budget-rejected doc reached the admission chain")
+
+    // monitor rows: kept share in exact micros per batch, with the
+    // binding-guard counter computed against the BUDGET score rule; the
+    // at-rest replay batch reads back the frozen ~20% share
+    for ((id, rows) <- gate.m) {
+      val nTok = rows.map(_(2).asInstanceOf[Long]).sum
+      val nOov = rows.map(_(3).asInstanceOf[Long]).sum
+      val nKept = rows.count(_(5).asInstanceOf[Boolean]).toLong
+      val exp = Seq[Any](rows.size.toLong, nKept, nTok, nOov,
+        rows.count(r => r(3).asInstanceOf[Long] * 2 > r(2).asInstanceOf[Long] &&
+          r(4).asInstanceOf[Long] > cutV).toLong,
+        if (nTok == 0L) 0L else 1000000L * nOov / nTok,
+        if (rows.isEmpty) 0L else 1000000L * nKept / rows.size)
+      assert(mon.m(id) == Vector(exp), s"batch $id budget monitor row mismatch")
+    }
+    val atBatchShare = mon.m.maxBy(_._1)._2.head(6).asInstanceOf[Long]
+    assert(math.abs(atBatchShare - 200000L) <= 50000L,
+      s"at-rest replay batch kept share $atBatchShare micros drifted from the frozen 20%")
+
+    // wiring-time guards: the budget rule without its pinned cutpoint
+    // must refuse to START (not die on the first batch), and an unknown
+    // rule is rejected outright
+    CorpusAudit.writeMooreLewisLm(atRest.toDF("doc_id", "lang", "text"), "mlbudx")
+    spark.sql("DROP TABLE mlbudx_ml_cut")
+    def wire(prefix: String, rule: String) = {
+      val mem = MemoryStream[(Long, String, String, Seq[Double])](spark)
+      StreamPipelines.streamingCorpusIngest(
+        mem.toDF().toDF("doc_id", "text", "lang", "v"), sf, prefix,
+        cdf, bdf, (_, _) => (), (_, _) => (), (_, _) => (),
+        java.nio.file.Files.createTempDirectory("graft-mlbx").toString,
+        mlGateSink = Some((_, _) => ()), mlGateRule = rule)
+    }
+    val e1 = intercept[IllegalArgumentException](wire("mlbudx", "budget"))
+    assert(e1.getMessage.contains("_ml_cut"))
+    val e2 = intercept[IllegalArgumentException](wire("mlbud", "quantile"))
+    assert(e2.getMessage.contains("unknown mlGateRule"))
   }
 
   test("ingest with dedupe window drops replayed duplicate request_ids") {
