@@ -739,14 +739,17 @@ object CorpusAudit {
     * of a training-data pipeline as ONE per-source table — docs, token
     * totals under BOTH production tokenizers, exact/near-dup rates,
     * pass shares of all four quality gates (heuristic / bigram-LM /
-    * trained classifier / unigram perplexity), the language mix
+    * trained classifier / unigram perplexity), the Moore-Lewis
+    * threshold-rule keep share over its candidate universe (the
+    * selection family — VERDICT r18 item 4), the language mix
     * summary, and benchmark-contamination counts. Every column is a
     * regrouping of an ORACLE-CHECKED constituent query — the engine
     * composes the same shared builders those queries run
     * ([[Dedup.minhashDedup]], [[BpeTrain.bpeApply]],
     * [[UnigramLm.unigramApply]]/[[UnigramLm.unigramPplFilter]],
     * [[TextAnalysis.textQuality]]/[[TextAnalysis.lmQuality]]/
-    * [[TextAnalysis.modelQuality]], [[Dedup.minhashDecontaminate]]) and
+    * [[TextAnalysis.modelQuality]], [[Dedup.minhashDecontaminate]],
+    * [[mooreLewisSelect]]) and
     * the oracle embeds each constituent's FULL replay SQL as a derived
     * table (the `q_dedup_cluster_stats` precedent), so the datacard
     * check asserts only the wiring. Shares are exact integer micro
@@ -793,6 +796,15 @@ object CorpusAudit {
       .select(col("doc_id"), col("keep").as("pplk"))
     val contam = Dedup.minhashDecontaminate(s, d)
       .select(col("doc_id"), lit(true).as("contam"))
+    // the selection family beside the quality gates (VERDICT r18 item
+    // 4): Moore-Lewis threshold-rule verdicts, reusing the committed
+    // replay chain like every other constituent. Only non-`en` worded
+    // docs carry a verdict (the candidate universe), so the keep share
+    // is over CANDIDATES — `en` docs are in-domain by definition, and
+    // folding them into the denominator would understate the rule's
+    // real cut on the docs it actually adjudicates.
+    val mls = mooreLewisSelect(s, d)
+      .select(col("doc_id"), col("keep").as("mlk"))
 
     val joined = base
       .join(exact, Seq("doc_id"), "left")
@@ -804,6 +816,7 @@ object CorpusAudit {
       .join(clf, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
+      .join(mls, Seq("doc_id"), "left")
 
     val perSource = joined.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
@@ -817,7 +830,9 @@ object CorpusAudit {
       count(when(col("lmk"), 1)).as("n_lm_pass"),
       count(when(col("clfk"), 1)).as("n_classifier_pass"),
       count(when(col("pplk"), 1)).as("n_ppl_pass"),
-      count(col("contam")).as("n_contaminated"))
+      count(col("contam")).as("n_contaminated"),
+      count(col("mlk")).as("n_ml_candidates"),
+      count(when(col("mlk"), 1)).as("n_ml_pass"))
 
     val langMix = base.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n"))
@@ -844,6 +859,10 @@ object CorpusAudit {
         expr("(1000000 * n_classifier_pass) DIV n_docs").as("classifier_pass_micro"),
         col("n_ppl_pass"),
         expr("(1000000 * n_ppl_pass) DIV n_docs").as("ppl_pass_micro"),
+        col("n_ml_candidates"), col("n_ml_pass"),
+        when(col("n_ml_candidates") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * n_ml_pass) DIV n_ml_candidates"))
+          .as("ml_keep_micro"),
         col("n_contaminated"))
       .orderBy(col("source"))
   }
@@ -1143,8 +1162,9 @@ object CorpusAuditOracles {
     * `WITH RECURSIVE` scope — the [[DedupOracles.splitLeakageFree]]
     * derived-table precedent), so DuckDB independently recomputes the
     * minhash closure, both tokenizer chains, all four quality gates,
-    * and the decontamination probe before this query's own
-    * contribution — the per-source wiring — is checked on top.
+    * the Moore-Lewis threshold selection, and the decontamination
+    * probe before this query's own contribution — the per-source
+    * wiring — is checked on top.
     */
   lazy val corpusDatacard: String =
     s"""WITH docs AS (SELECT doc_id, source, lang FROM documents),
@@ -1168,10 +1188,12 @@ object CorpusAuditOracles {
        |        FROM (${UnigramOracles.unigramPplFilter}) t),
        |ct AS (SELECT doc_id, TRUE AS contam
        |       FROM (${DedupOracles.minhashDecontaminate}) t),
+       |mls AS (SELECT doc_id, keep AS mlk
+       |        FROM ($mooreLewisSelect) t),
        |joined AS (
        |  SELECT d.source, d.lang, ex.exact_dup, nd.near_dup,
        |    bp.n_words, bp.n_bpe_tokens, un.n_unigram_tokens,
-       |    tq.hq, lmq.lmk, clf.clfk, ppl.pplk, ct.contam
+       |    tq.hq, lmq.lmk, clf.clfk, ppl.pplk, ct.contam, mls.mlk
        |  FROM docs d
        |  LEFT JOIN ex  USING (doc_id)
        |  LEFT JOIN nd  USING (doc_id)
@@ -1181,7 +1203,8 @@ object CorpusAuditOracles {
        |  LEFT JOIN lmq USING (doc_id)
        |  LEFT JOIN clf USING (doc_id)
        |  LEFT JOIN ppl USING (doc_id)
-       |  LEFT JOIN ct  USING (doc_id)),
+       |  LEFT JOIN ct  USING (doc_id)
+       |  LEFT JOIN mls USING (doc_id)),
        |per_source AS (
        |  SELECT source,
        |    CAST(count(*) AS BIGINT) AS n_docs,
@@ -1195,7 +1218,9 @@ object CorpusAuditOracles {
        |    CAST(count(*) FILTER (WHERE lmk) AS BIGINT) AS n_lm_pass,
        |    CAST(count(*) FILTER (WHERE clfk) AS BIGINT) AS n_classifier_pass,
        |    CAST(count(*) FILTER (WHERE pplk) AS BIGINT) AS n_ppl_pass,
-       |    CAST(count(contam) AS BIGINT) AS n_contaminated
+       |    CAST(count(contam) AS BIGINT) AS n_contaminated,
+       |    CAST(count(mlk) AS BIGINT) AS n_ml_candidates,
+       |    CAST(count(*) FILTER (WHERE mlk) AS BIGINT) AS n_ml_pass
        |  FROM joined
        |  GROUP BY source),
        |lmx AS (
@@ -1221,6 +1246,10 @@ object CorpusAuditOracles {
        |  CAST((1000000 * p.n_classifier_pass) // p.n_docs AS BIGINT) AS classifier_pass_micro,
        |  p.n_ppl_pass,
        |  CAST((1000000 * p.n_ppl_pass) // p.n_docs AS BIGINT) AS ppl_pass_micro,
+       |  p.n_ml_candidates, p.n_ml_pass,
+       |  CASE WHEN p.n_ml_candidates = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST((1000000 * p.n_ml_pass) // p.n_ml_candidates AS BIGINT)
+       |  END AS ml_keep_micro,
        |  p.n_contaminated
        |FROM per_source p JOIN top t USING (source)
        |ORDER BY p.source""".stripMargin

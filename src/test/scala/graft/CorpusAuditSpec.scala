@@ -189,6 +189,13 @@ class CorpusAuditSpec extends SparkSpec {
     val pplTotal = graft.operators.UnigramLm.unigramPplFilter(spark, sf)
       .filter(col("keep")).count()
     assert(rows.map(_.getAs[Long]("n_ppl_pass")).sum == pplTotal)
+    // the selection-family columns (VERDICT r18 item 4) re-total the
+    // committed mooreLewisSelect replay: candidates = its whole output,
+    // passes = its threshold-rule keeps
+    val mlSel = CorpusAudit.mooreLewisSelect(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_ml_candidates")).sum == mlSel.count())
+    assert(rows.map(_.getAs[Long]("n_ml_pass")).sum ==
+      mlSel.filter(col("keep")).count())
     rows.foreach { r =>
       val (n, langs) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"))
       assert(n > 0 && langs >= 1 && r.getAs[Long]("top_lang_docs") <= n)
@@ -197,7 +204,19 @@ class CorpusAuditSpec extends SparkSpec {
         1000000L * r.getAs[Long]("n_heuristic_pass") / n, r.toString)
       assert(r.getAs[Long]("near_dup_micro") ==
         1000000L * r.getAs[Long]("n_near_dups") / n, r.toString)
+      // the ML keep share is over CANDIDATES, not docs (en docs carry
+      // no verdict), with the zero-candidate guard
+      val mc = r.getAs[Long]("n_ml_candidates")
+      assert(r.getAs[Long]("ml_keep_micro") ==
+        (if (mc == 0L) 0L else 1000000L * r.getAs[Long]("n_ml_pass") / mc),
+        r.toString)
+      assert(r.getAs[Long]("n_ml_candidates") <= n)
     }
+    // the fixture has candidates and a non-trivial keep share in at
+    // least one source, or the new columns are untested wiring
+    assert(rows.map(_.getAs[Long]("n_ml_candidates")).sum > 0)
+    assert(rows.exists(r => r.getAs[Long]("n_ml_pass") > 0 &&
+      r.getAs[Long]("n_ml_pass") < r.getAs[Long]("n_ml_candidates")))
   }
 
   test("mooreLewisSelect matches a plain-Scala cross-entropy-difference replay") {
