@@ -664,6 +664,52 @@ object CorpusAudit {
       .orderBy(col("doc_id"))
   }
 
+  /** `q_moore_lewis_budget_delta` — the BATCH twin of the streaming
+    * gate's budget rule ([[mooreLewisGateBatch]] with `rule = "budget"`),
+    * exactly as [[mooreLewisDelta]] is the threshold rule's: both LMs
+    * AND the cutpoint are frozen on the at-rest slice (the
+    * `bucket(doc_id,20) ≠ 7` admission-loop convention — the same
+    * artifacts [[writeMooreLewisLm]] pins), and the delta batch is
+    * scored under them with keep = `score_q > cut` (strict, the
+    * [[mooreLewisBudget]] tie stance) AND the majority-known guard.
+    * The at-rest side has no OOV by construction (its words ARE the
+    * vocabulary), so the frozen cutpoint is the 0.8 quantile of the
+    * select-form scores; the delta side pays the usual `unk_q` floor
+    * and emits `n_oov` like the threshold twin.
+    *
+    * Scale shape: [[mooreLewisDelta]]'s plus ONE K-bounded
+    * TakeOrderedAndProject over the at-rest scores (the shared
+    * [[mooreLewisCutpointOf]] machinery) broadcast as a one-row plan
+    * constant — per-delta cost stays ∝ batch. The LLR sidecar is
+    * barrier'd here because BOTH scoring passes (at-rest for the cut,
+    * delta for the verdicts) consume it.
+    */
+  def mooreLewisBudgetDelta(s: SparkSession, d: String): DataFrame =
+    mooreLewisBudgetDeltaOf(Tables.documents(s, d))
+
+  /** [[mooreLewisBudgetDelta]] over an explicit `(doc_id, lang, text)`
+    * frame — StreamingSpec pins the budget-rule gate's per-batch parity
+    * against this (the [[mooreLewisDeltaOf]] convention), so the served
+    * path cannot drift from the oracle-verified one.
+    */
+  private[graft] def mooreLewisBudgetDeltaOf(docs: DataFrame): DataFrame = {
+    val flagged = docs.withColumn(
+      "is_delta", GoldenHash.bucket(col("doc_id"), 20) === 7)
+    val atRest = flagged.filter(!col("is_delta"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val (llr0, unk) = mooreLewisFit(atRest)
+    val llr = llr0.barrier("one row per at-rest vocab word (two scoring consumers)")
+    val cut = mooreLewisCutpointOf(mooreLewisScoreCore(atRest, llr, unk))
+    mooreLewisScoreCore(flagged.filter(col("is_delta"))
+      .select(col("doc_id"), col("lang"), col("text")), llr, unk)
+      .crossJoin(broadcast(cut))
+      .withColumn("keep",
+        col("score_q") > col("c") && col("n_oov") * 2 <= col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
+        col("score_q"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------- selection compare
 
   /** `q_selection_compare` — the agreement audit between the two data-
@@ -886,6 +932,9 @@ object CorpusAudit {
     // verified-not-benched: the same chain shape as q_moore_lewis_select
     "q_moore_lewis_delta" -> QueryDef(mooreLewisDelta,
       Some(CorpusAuditOracles.mooreLewisDelta), headline = false),
+    // verified-not-benched: mooreLewisDelta plus one K-bounded cutpoint
+    "q_moore_lewis_budget_delta" -> QueryDef(mooreLewisBudgetDelta,
+      Some(CorpusAuditOracles.mooreLewisBudgetDelta), headline = false),
     // verified-not-benched (frozen roster policy): a composition of
     // chains that already hold bench slots
     "q_corpus_datacard" -> QueryDef(corpusDatacard,
@@ -1043,6 +1092,64 @@ object CorpusAuditOracles {
        |SELECT doc_id, lang, n_tokens, n_oov, score_q,
        |  (score_q > 0 AND n_oov * 2 <= n_tokens) AS keep
        |FROM scored
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[CorpusAudit.mooreLewisBudgetDelta]]: the [[mooreLewisDelta]]
+    * replay (frozen at-rest fit, per-word LLR, OOV constant, delta-side
+    * LEFT JOIN + coalesce) with the keep rule swapped for the FROZEN
+    * budget cut: the at-rest candidates are scored under the same fit
+    * (inner join — their words are the vocabulary), the 0.8 quantile is
+    * taken over the golden-hash-ranked top-K of THOSE scores
+    * ([[dsirSelectSql]]'s cutpoint verbatim), and the delta keep is
+    * `score_q > c AND n_oov*2 <= n_tokens`. `wc`/`llr` are
+    * MATERIALIZED — both scoring sides reference them (the r15 DuckDB
+    * inline-per-reference bound).
+    */
+  lazy val mooreLewisBudgetDelta: String =
+    s"""WITH dwr AS MATERIALIZED (
+       |  SELECT doc_id, lang, (${GoldenHash.bucketSql("doc_id", 20)}) = 7 AS is_delta,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |wc AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_w,
+       |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS r_w
+       |  FROM dwr WHERE NOT is_delta GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(t_w) AS BIGINT) AS t_n, CAST(sum(r_w) AS BIGINT) AS r_n,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM wc),
+       |llr AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(round((ln((t_w + 1) / ((t_n + v) * 1e0)) -
+       |                ln((r_w + 1) / ((r_n + v) * 1e0)))
+       |               * ${CorpusAudit.MlewQ}) AS BIGINT) AS llr_q
+       |  FROM wc, tot),
+       |unk AS (
+       |  SELECT CAST(round((ln((r_n + v) * 1e0) - ln((t_n + v) * 1e0))
+       |               * ${CorpusAudit.MlewQ}) AS BIGINT) AS unk_q
+       |  FROM tot),
+       |at_scored AS (
+       |  SELECT doc_id, CAST(sum(llr_q) AS BIGINT) AS score_q
+       |  FROM dwr JOIN llr USING (word)
+       |  WHERE (NOT is_delta) AND lang <> 'en'
+       |  GROUP BY doc_id),
+       |cut_sample AS (
+       |  SELECT score_q FROM at_scored
+       |  ORDER BY ${GoldenHash.bucketSql("doc_id", CorpusAudit.DsirSampleMod)}, doc_id
+       |  LIMIT ${CorpusAudit.DsirCutSample}),
+       |cut AS (SELECT quantile_cont(CAST(score_q AS DOUBLE), 0.8) AS c FROM cut_sample),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN llr_q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    CAST(sum(COALESCE(llr_q, unk_q)) AS BIGINT) AS score_q
+       |  FROM dwr LEFT JOIN llr USING (word), unk
+       |  WHERE is_delta AND lang <> 'en'
+       |  GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_tokens, n_oov, score_q,
+       |  (score_q > c AND n_oov * 2 <= n_tokens) AS keep
+       |FROM scored, cut
        |ORDER BY doc_id""".stripMargin
 
   /** [[CorpusAudit.mooreLewisBudget]]: the full [[mooreLewisSelect]]

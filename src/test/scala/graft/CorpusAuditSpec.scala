@@ -219,6 +219,66 @@ class CorpusAuditSpec extends SparkSpec {
       r.getAs[Long]("n_ml_pass") < r.getAs[Long]("n_ml_candidates")))
   }
 
+  test("mooreLewisBudgetDelta matches a plain-Scala frozen-cutpoint replay") {
+    // the budget-rule batch twin end-to-end in plain Scala: fit both
+    // LMs on the at-rest slice, score the at-rest candidates (no OOV —
+    // their words ARE the vocabulary), take the interpolated 0.8
+    // percentile as the frozen cut, then score the delta slice with the
+    // unk floor and keep = score > cut AND the majority-known guard
+    val langDocs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    def words(text: String): Seq[String] =
+      "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+    val (delta, atRest) =
+      langDocs.partition(d => (d._1 * GoldenHash.Gamma) % 20 == 7)
+    val at = atRest.flatMap { case (id, lang, t) => words(t).map(w => (id, lang, w)) }
+    val tW = at.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val rW = at.filter(_._2 != "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val vocab = tW.keySet ++ rW.keySet
+    val (tN, rN, v) = (tW.values.sum, rW.values.sum, vocab.size.toLong)
+    val llrQ = vocab.map { w =>
+      w -> halfUpQ((math.log((tW.getOrElse(w, 0L) + 1).toDouble / (tN + v)) -
+        math.log((rW.getOrElse(w, 0L) + 1).toDouble / (rN + v))) *
+        CorpusAudit.MlewQ)
+    }.toMap
+    val unkQ = halfUpQ(
+      (math.log((rN + v).toDouble) - math.log((tN + v).toDouble)) * CorpusAudit.MlewQ)
+    val atScores = at.filter(_._2 != "en").groupBy(_._1).view
+      .mapValues(_.map(t => llrQ(t._3)).sum).toMap
+    // the cut sample is the whole candidate population at this SF, so
+    // the plain replay needs no golden-hash ranking — guard that
+    assert(atScores.size <= GoldenHash.CutSampleK,
+      "fixture outgrew the cut sample; the plain replay must hash-rank")
+    val s = atScores.values.toSeq.map(_.toDouble).sorted
+    val h = 0.8 * (s.length - 1)
+    val lo = h.toInt
+    val c = if (lo + 1 < s.length) s(lo) + (h - lo) * (s(lo + 1) - s(lo)) else s(lo)
+    val expected = delta.flatMap { case (id, lang, t) =>
+      val ws = words(t)
+      if (lang == "en" || ws.isEmpty) None
+      else {
+        val nOov = ws.count(w => !llrQ.contains(w)).toLong
+        val score = ws.map(w => llrQ.getOrElse(w, unkQ)).sum
+        Some((id, lang, ws.size.toLong, nOov, score,
+          score > c && nOov * 2 <= ws.size))
+      }
+    }.sortBy(_._1)
+    val got = CorpusAudit.mooreLewisBudgetDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expected)
+    // the keep column agrees with q_moore_lewis_delta on everything but
+    // the rule: identical (id, lang, n_tokens, n_oov, score_q) rows
+    val thr = CorpusAudit.mooreLewisDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) == thr)
+    // non-degenerate: the frozen cut must keep SOME and reject SOME
+    assert(got.exists(_._6) && got.exists(!_._6),
+      s"degenerate fixture: all ${got.length} delta candidates on one side of the cut")
+  }
+
   test("mooreLewisSelect matches a plain-Scala cross-entropy-difference replay") {
     val langDocs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("text")).collect()

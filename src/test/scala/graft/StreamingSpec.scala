@@ -1102,6 +1102,16 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSet == expectedAll.filter(r => ids(r.head)),
         s"batch $id budget verdicts are not the frozen-cut budget rows")
     }
+    // and the delta-slice verdicts are exactly the ORACLE-CHECKED batch
+    // twin's rows (q_moore_lewis_budget_delta through the same
+    // explicit-frame entry point — the mooreLewisDeltaOf convention, so
+    // the served path cannot drift from the oracle-verified one)
+    val deltaIds = deltaRows.map(_._1).toSet
+    assert(gate.all.filter(r => deltaIds(r.head.asInstanceOf[Long])) ==
+      CorpusAudit.mooreLewisBudgetDeltaOf(
+        docRows.toDF("doc_id", "lang", "text"))
+        .collect().map(_.toSeq).toSet,
+      "budget gate verdicts drifted from q_moore_lewis_budget_delta")
     // the two rules genuinely differ on this fixture (cut >> 0), and no
     // budget-rejected doc reached the admission chain
     val thrKeep = gate.all.filter(_(4).asInstanceOf[Long] > 0L).map(_.head)
