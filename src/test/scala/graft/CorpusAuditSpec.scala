@@ -167,6 +167,16 @@ class CorpusAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       "DSIR cutpoint must read a K-bounded ordered sample:\n" + plan)
+    // the shared Moore-Lewis cutpoint body (mooreLewisCutpointOf) holds
+    // the same bound in every consumer: the per-run budget cut and the
+    // frozen-cutpoint batch twin
+    for ((name, df) <- Seq(
+        "q_moore_lewis_budget" -> CorpusAudit.mooreLewisBudget(spark, sf),
+        "q_moore_lewis_budget_delta" -> CorpusAudit.mooreLewisBudgetDelta(spark, sf))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name cutpoint must read a K-bounded ordered sample:\n" + p.take(3000))
+    }
   }
 
   test("corpusDatacard: per-source rollup re-totals its oracle-checked constituents") {
