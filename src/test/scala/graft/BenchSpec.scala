@@ -77,12 +77,38 @@ class BenchSpec extends AnyFunSuite {
     val results = Map[String, Option[Double]](
       "q_a" -> Some(0.85),  // contended: clamped to 0.10
       "q_b" -> Some(1.5),   // genuine improvement: the run value is kept
-      "q_new" -> Some(3.0), // no committed minimum: the run value is kept
-      "q_err" -> None)      // erroring query contributes nothing
-    assert(math.abs(Bench.stableTotal(results, committed) - (0.10 + 1.5 + 3.0)) < 1e-9)
+      "q_new" -> Some(3.0)) // no committed minimum: the run value is kept
+    assert(math.abs(Bench.stableTotal(results, committed).get - (0.10 + 1.5 + 3.0)) < 1e-9)
     // all-quiet run below every minimum: stable_total == the wall total
     val quiet = Map[String, Option[Double]]("q_a" -> Some(0.09), "q_b" -> Some(1.9))
-    assert(math.abs(Bench.stableTotal(quiet, committed) - (0.09 + 1.9)) < 1e-9)
+    assert(math.abs(Bench.stableTotal(quiet, committed).get - (0.09 + 1.9)) < 1e-9)
+  }
+
+  test("stable_total is poisoned (None), not flattered, by an erroring query") {
+    // VERDICT r19 item 3: an erroring query contributes neither run nor
+    // minimum, so folding it as zero would report a LOWER stable_total
+    // for a broken run than for a clean one
+    val committed = Map("q_a" -> 0.10, "q_b" -> 2.0)
+    assert(Bench.stableTotal(
+      Map("q_a" -> Some(0.85), "q_b" -> None), committed).isEmpty)
+    // a clean run keeps the Some
+    assert(Bench.stableTotal(
+      Map("q_a" -> Some(0.85), "q_b" -> Some(1.5)), committed).nonEmpty)
+  }
+
+  test("stable_clamped counts exactly the queries clamped to their minimum") {
+    // ADVICE r19: the clamp count (with stable_min_sum) is what makes a
+    // contended window and a regressed window distinguishable from the
+    // record alone — stable_total by itself is bounded by Σ minima
+    val committed = Map("q_a" -> 0.10, "q_b" -> 2.0, "q_c" -> 1.0)
+    val results = Map[String, Option[Double]](
+      "q_a" -> Some(0.85),  // clamped
+      "q_b" -> Some(1.5),   // below minimum: not clamped
+      "q_c" -> Some(1.0),   // exactly the minimum: not clamped (strict <)
+      "q_new" -> Some(3.0), // no minimum: not clamped
+      "q_err" -> None)      // erroring: not clamped
+    assert(Bench.stableClamped(results, committed) === 1)
+    assert(Bench.stableClamped(Map("q_a" -> Some(0.09)), committed) === 0)
   }
 
   test("only the driver-contract shape may write the committed record file") {
@@ -109,5 +135,30 @@ class BenchSpec extends AnyFunSuite {
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.deleteIfExists(dir)
     }
+  }
+
+  test("the certified record file is unreachable from the bench writer (VERDICT r19 item 1)") {
+    // bench_record.json is written only BY HAND on a record commit; the
+    // bench main routes every run — gate shape, dev subset, any fixture
+    // — to bench_out.json or bench_out_dev.json, so neither the driver's
+    // round-close run nor a dev loop can clobber the certified number
+    assert(Bench.RecordFile === "bench_record.json")
+    for (args <- Seq(Array.empty[String], Array("q_minhash_dedup"), Array("streaming"));
+         dir <- Seq("/root/testdata/sf0.1", "/root/testdata/sf0.01",
+           "/root/repo/sf1-rehearsal", "bench_record.json", ""))
+      assert(Bench.outFileFor(args, dir) !== Bench.RecordFile)
+  }
+
+  test("gate-fixture literal is canonicalized on BOTH sides of the routing compare (ADVICE r19)") {
+    // if /root/testdata/sf0.1 itself resolves through a symlink,
+    // toRealPath(sfDir) lands on the resolved target — comparing it to
+    // the unresolved literal would silently route a legitimate gate run
+    // to the dev file and disable the record + re-measure self-defense.
+    // The fixture is a real directory in this environment, so canon() is
+    // identity on both sides here; the property spec-pinned is that the
+    // compare is symmetric — the RESOLVED spelling of the gate fixture
+    // routes to the record file too.
+    val real = java.nio.file.Paths.get("/root/testdata/sf0.1").toRealPath().toString
+    assert(Bench.outFileFor(Array.empty, real) === "bench_out.json")
   }
 }
