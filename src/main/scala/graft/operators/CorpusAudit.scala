@@ -555,25 +555,58 @@ object CorpusAudit {
     * all, which is orthogonal to HOW trusted scores are thresholded
     * (the [[mooreLewisDelta]] scaladoc's gibberish rationale). The
     * batch-side plan is identical either way: the budget rule adds one
-    * broadcast of a one-row plan constant.
+    * literal scalar comparison.
+    *
+    * The verdicts CARRY the rule's score verdict without the guard as
+    * a trailing `score_keep` column (VERDICT r19 item 2):
+    * [[mooreLewisGateMonitor]] reads its binding-guard counter off that
+    * column, so a standalone `budget` caller composing
+    * gateBatch→gateMonitor cannot silently get threshold-rule
+    * attribution — the correct pairing rides the rows themselves and
+    * is not caller-optional.
+    *
+    * `cut` is the frozen budget cutpoint as a wiring-time scalar: the
+    * unified ingest reads it ONCE at wiring via [[mooreLewisCut]] and
+    * threads it here per batch, so verdicts and monitor judge against
+    * the SAME value even if the sidecar is re-pinned mid-stream
+    * (ADVICE r19). A standalone budget caller may omit it — the pinned
+    * table is then read (and validated) per call.
     */
   def mooreLewisGateBatch(s: SparkSession, batch: DataFrame, prefix: String,
-      rule: String = "threshold"): DataFrame = {
+      rule: String = "threshold", cut: Option[Double] = None): DataFrame = {
     val scored = mooreLewisScoreCore(batch,
       s.table(s"${prefix}_ml_llr"), s.table(s"${prefix}_ml_unk"))
-    rule match {
-      case "threshold" => scored
-      case "budget" =>
-        val cut = s.table(s"${prefix}_ml_cut")
-        scored.crossJoin(broadcast(cut))
-          .withColumn("keep",
-            col("score_q") > col("cut") && col("n_oov") * 2 <= col("n_tokens"))
-          .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
-            col("score_q"), col("keep"))
-          .orderBy(col("doc_id"))
+    val scoreKeep: Column = rule match {
+      case "threshold" => col("score_q") > 0L
+      case "budget"    => col("score_q") > lit(cut.getOrElse(mooreLewisCut(s, prefix)))
       case other => sys.error(
         s"mooreLewisGateBatch: unknown rule '$other' (threshold | budget)")
     }
+    scored
+      .withColumn("score_keep", scoreKeep)
+      .withColumn("keep", col("score_keep") && col("n_oov") * 2 <= col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
+        col("score_q"), col("keep"), col("score_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Read the pinned frozen budget cutpoint `${prefix}_ml_cut` as a
+    * scalar, failing LOUD on a degenerate sidecar (ADVICE r19: the raw
+    * `.head().getDouble(0)` threw an opaque NullPointerException when
+    * the percentile was pinned over an EMPTY at-rest candidate set —
+    * e.g. an all-`en` corpus — and a mis-pinned gate must refuse to
+    * wire with a message that says how to fix it, not die on the first
+    * batch). One bounded read of a one-row bucketed sidecar.
+    */
+  def mooreLewisCut(s: SparkSession, prefix: String): Double = {
+    val rows = s.table(s"${prefix}_ml_cut").collect()
+    require(rows.length == 1 && !rows.head.isNullAt(0),
+      s"Moore-Lewis cutpoint table ${prefix}_ml_cut is " +
+        s"${if (rows.isEmpty) "empty" else if (rows.length > 1) "multi-row" else "NULL"} " +
+        s"(pinned over an at-rest slice with no non-en candidates?) — " +
+        s"re-pin with CorpusAudit.writeMooreLewisLm('$prefix') over a " +
+        s"corpus that has budget-rule candidates")
+    rows.head.getDouble(0)
   }
 
   /** One monitor row per gated batch — the n_oov share the scaladoc of
@@ -593,19 +626,21 @@ object CorpusAudit {
     * sidecar wants re-pinning.
     *
     * The binding-guard counter needs the rule's score verdict without
-    * the guard: `keep` already conjoins both, so it recomputes the
-    * score side from the row — `score_q > 0` cannot be read off `keep`
-    * alone. Callers therefore pass the SAME rule the verdicts carry via
-    * `scoreKeep` (defaults to the threshold sign rule).
+    * the guard: `keep` already conjoins both, so it reads the
+    * `score_keep` column [[mooreLewisGateBatch]] carries on every
+    * verdict row (VERDICT r19 item 2 — the former free-form `scoreKeep`
+    * Column parameter defaulted to the threshold sign rule, so a
+    * standalone `budget` caller who omitted it silently reconstructed
+    * the ADVICE-r18 over-attribution bug; with the verdict riding the
+    * rows, a mismatched rule/attribution pairing is unrepresentable).
     */
-  def mooreLewisGateMonitor(scored: DataFrame,
-      scoreKeep: Column = col("score_q") > 0L): DataFrame =
+  def mooreLewisGateMonitor(scored: DataFrame): DataFrame =
     scored.agg(
       count(lit(1)).as("n_candidates"),
       coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("n_kept"),
       coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
       coalesce(sum(col("n_oov")), lit(0L)).as("n_oov"),
-      coalesce(sum(when(col("n_oov") * 2 > col("n_tokens") && scoreKeep,
+      coalesce(sum(when(col("n_oov") * 2 > col("n_tokens") && col("score_keep"),
         1L).otherwise(0L)), lit(0L)).as("n_oov_rejected"))
       .withColumn("oov_share_micro",
         when(col("n_tokens") === 0L, lit(0L))

@@ -751,13 +751,16 @@ object StreamPipelines {
         s"cutpoint table ${prefix}_ml_cut (re-pin with the current " +
         s"CorpusAudit.writeMooreLewisLm('$prefix'))")
     // the frozen cutpoint is a wiring-time scalar like the LM tables —
-    // read ONCE here (one row by construction), never per batch; the
-    // monitor's binding-guard counter needs the rule's score verdict
-    // without the majority-known guard, which `keep` alone can't supply
-    val mlScoreKeep: Column =
-      if (!mlGated || mlGateRule == "threshold") col("score_q") > 0L
-      else col("score_q") > lit(docs.sparkSession
-        .table(s"${prefix}_ml_cut").head().getDouble(0))
+    // read ONCE here through the validating helper (ADVICE r19: a NULL
+    // pinned cut — percentile over an empty at-rest candidate set —
+    // refuses to wire with a re-pin message instead of an opaque NPE),
+    // then threaded into every per-batch gateBatch call so verdicts
+    // and monitor judge against the SAME value even if the sidecar is
+    // re-pinned while the stream runs
+    val mlCut: Option[Double] =
+      if (mlGated && mlGateRule == "budget")
+        Some(graft.operators.CorpusAudit.mooreLewisCut(docs.sparkSession, prefix))
+      else None
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -783,12 +786,13 @@ object StreamPipelines {
             val scored = graft.operators.CorpusAudit
               .mooreLewisGateBatch(s,
                 b.select(col("doc_id"), col("lang"), col("text")), prefix,
-                rule = mlGateRule)
+                rule = mlGateRule, cut = mlCut)
               .barrier("one row per scored batch candidate")
             mlGateSink.foreach(gs => gs(scored, id))
+            // the monitor's attribution rides the verdict rows'
+            // score_keep column (VERDICT r19 item 2) — nothing to pair
             mlDriftSink.foreach(ds =>
-              ds(graft.operators.CorpusAudit.mooreLewisGateMonitor(
-                scored, scoreKeep = mlScoreKeep), id))
+              ds(graft.operators.CorpusAudit.mooreLewisGateMonitor(scored), id))
             if (mlGateSink.isEmpty) docsB
             else docsB.join(scored.filter(!col("keep")).select(col("doc_id")),
               Seq("doc_id"), "left_anti")

@@ -921,10 +921,17 @@ class StreamingSpec extends SparkSpec {
     val expectedAll = CorpusAudit.mooreLewisDeltaOf(
       (docRows ++ Seq(planted, plantedNeg)).toDF("doc_id", "lang", "text"))
       .collect().map(_.toSeq).toSet
-    assert(gate.all == expectedAll)
+    // the gate verdicts carry one extra trailing column — score_keep,
+    // the rule's score verdict without the guard (VERDICT r19 item 2);
+    // the first six columns must be exactly the batch query's rows, and
+    // under the threshold rule score_keep IS the sign rule
+    assert(gate.all.map(_.take(6)) == expectedAll)
+    assert(gate.all.forall(r =>
+      r(6) == (r(4).asInstanceOf[Long] > 0L)),
+      "threshold-rule score_keep drifted from the sign rule")
     for ((id, rows) <- gate.m) {
       val ids = rows.map(_.head).toSet
-      assert(rows.toSet == expectedAll.filter(r => ids(r.head)),
+      assert(rows.map(_.take(6)).toSet == expectedAll.filter(r => ids(r.head)),
         s"batch $id verdicts are not the batch query's rows")
     }
     // the planted all-OOV doc: fully OOV, rejected by the
@@ -1097,9 +1104,14 @@ class StreamingSpec extends SparkSpec {
         r(3).asInstanceOf[Long] * 2 <= r(2).asInstanceOf[Long]))
       .toSet
     assert(gate.all.nonEmpty, "budget gate never scored a candidate")
+    // under the budget rule the trailing score_keep column is the
+    // frozen-cut comparison without the guard (VERDICT r19 item 2)
+    assert(gate.all.forall(r =>
+      r(6) == (r(4).asInstanceOf[Long] > cutV)),
+      "budget-rule score_keep drifted from the frozen-cut comparison")
     for ((id, rows) <- gate.m) {
       val ids = rows.map(_.head).toSet
-      assert(rows.toSet == expectedAll.filter(r => ids(r.head)),
+      assert(rows.map(_.take(6)).toSet == expectedAll.filter(r => ids(r.head)),
         s"batch $id budget verdicts are not the frozen-cut budget rows")
     }
     // and the delta-slice verdicts are exactly the ORACLE-CHECKED batch
@@ -1107,7 +1119,7 @@ class StreamingSpec extends SparkSpec {
     // explicit-frame entry point — the mooreLewisDeltaOf convention, so
     // the served path cannot drift from the oracle-verified one)
     val deltaIds = deltaRows.map(_._1).toSet
-    assert(gate.all.filter(r => deltaIds(r.head.asInstanceOf[Long])) ==
+    assert(gate.all.filter(r => deltaIds(r.head.asInstanceOf[Long])).map(_.take(6)) ==
       CorpusAudit.mooreLewisBudgetDeltaOf(
         docRows.toDF("doc_id", "lang", "text"))
         .collect().map(_.toSeq).toSet,
@@ -1140,6 +1152,22 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(atBatchShare - 200000L) <= 50000L,
       s"at-rest replay batch kept share $atBatchShare micros drifted from the frozen 20%")
 
+    // VERDICT r19 item 2 (done criterion): a STANDALONE budget-rule
+    // gateBatch→gateMonitor composition — no cut threaded, no monitor
+    // parameter at all — reports rows (binding-guard counts included)
+    // identical to the ingest-wired path's, because the attribution
+    // rides the verdict rows' score_keep column and the omitted cut
+    // falls back to the same validated pinned-table read
+    for ((sl, id) <- slices.zipWithIndex) {
+      val standalone = CorpusAudit.mooreLewisGateMonitor(
+        CorpusAudit.mooreLewisGateBatch(spark,
+          sl.toDF("doc_id", "lang", "text"), "mlbud", rule = "budget"))
+        .collect().map(_.toSeq).toVector
+      assert(standalone == mon.m(id.toLong),
+        s"standalone budget gateBatch→gateMonitor diverged from the " +
+          s"ingest-wired monitor on batch $id")
+    }
+
     // wiring-time guards: the budget rule without its pinned cutpoint
     // must refuse to START (not die on the first batch), and an unknown
     // rule is rejected outright
@@ -1157,6 +1185,18 @@ class StreamingSpec extends SparkSpec {
     assert(e1.getMessage.contains("_ml_cut"))
     val e2 = intercept[IllegalArgumentException](wire("mlbud", "quantile"))
     assert(e2.getMessage.contains("unknown mlGateRule"))
+    // a NULL pinned cutpoint (LMs pinned over an at-rest slice with no
+    // budget-rule candidates — percentile over the empty set) must also
+    // refuse at WIRING time with a re-pin message, not die on the first
+    // batch with an opaque NPE (ADVICE r19)
+    CorpusAudit.writeMooreLewisLm(Seq(
+      (1L, "en", "english only corpus has no candidates"),
+      (2L, "en", "another english document")).toDF("doc_id", "lang", "text"),
+      "mlbudnull")
+    assert(spark.table("mlbudnull_ml_cut").head().isNullAt(0),
+      "fixture drift: the all-en pin no longer yields a NULL cutpoint")
+    val e3 = intercept[IllegalArgumentException](wire("mlbudnull", "budget"))
+    assert(e3.getMessage.contains("re-pin") && e3.getMessage.contains("NULL"))
   }
 
   test("ingest with dedupe window drops replayed duplicate request_ids") {
