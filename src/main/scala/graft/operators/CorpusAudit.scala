@@ -820,9 +820,11 @@ object CorpusAudit {
     * of a training-data pipeline as ONE per-source table — docs, token
     * totals under BOTH production tokenizers, exact/near-dup rates,
     * pass shares of all four quality gates (heuristic / bigram-LM /
-    * trained classifier / unigram perplexity), the Moore-Lewis
-    * threshold-rule keep share over its candidate universe (the
-    * selection family — VERDICT r18 item 4), the language mix
+    * trained classifier / unigram perplexity), the Moore-Lewis keep
+    * shares over its candidate universe under BOTH admission rules —
+    * threshold sign and equal-budget quantile cut (the selection
+    * family — VERDICT r18 item 4 + r19 item 5, so a corpus owner reads
+    * both candidate-admission shares in the one table), the language mix
     * summary, and benchmark-contamination counts. Every column is a
     * regrouping of an ORACLE-CHECKED constituent query — the engine
     * composes the same shared builders those queries run
@@ -878,14 +880,23 @@ object CorpusAudit {
     val contam = Dedup.minhashDecontaminate(s, d)
       .select(col("doc_id"), lit(true).as("contam"))
     // the selection family beside the quality gates (VERDICT r18 item
-    // 4): Moore-Lewis threshold-rule verdicts, reusing the committed
-    // replay chain like every other constituent. Only non-`en` worded
-    // docs carry a verdict (the candidate universe), so the keep share
-    // is over CANDIDATES — `en` docs are in-domain by definition, and
-    // folding them into the denominator would understate the rule's
-    // real cut on the docs it actually adjudicates.
-    val mls = mooreLewisSelect(s, d)
-      .select(col("doc_id"), col("keep").as("mlk"))
+    // 4): Moore-Lewis verdicts under BOTH admission rules the
+    // deployment chooses between (VERDICT r19 item 5) — the threshold
+    // sign rule's keep flag and [[mooreLewisBudget]]'s top-~20%
+    // quantile cut — reusing the committed replay chains like every
+    // other constituent; the scored frame is barrier'd because three
+    // consumers re-read it (threshold flags, the budget cutpoint
+    // sample, the budget filter — the [[selectionCompare]] stance).
+    // Only non-`en` worded docs carry a verdict (the candidate
+    // universe), so both keep shares are over CANDIDATES — `en` docs
+    // are in-domain by definition, and folding them into the
+    // denominator would understate the rules' real cut on the docs
+    // they actually adjudicate.
+    val mlScored = mooreLewisSelect(s, d)
+      .barrier("one row per ML candidate (threshold + budget datacard shares)")
+    val mls = mlScored.select(col("doc_id"), col("keep").as("mlk"))
+    val mlb = mooreLewisBudgetOf(mlScored)
+      .select(col("doc_id"), lit(true).as("mlbk"))
 
     val joined = base
       .join(exact, Seq("doc_id"), "left")
@@ -898,6 +909,7 @@ object CorpusAudit {
       .join(ppl, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .join(mls, Seq("doc_id"), "left")
+      .join(mlb, Seq("doc_id"), "left")
 
     val perSource = joined.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
@@ -913,7 +925,8 @@ object CorpusAudit {
       count(when(col("pplk"), 1)).as("n_ppl_pass"),
       count(col("contam")).as("n_contaminated"),
       count(col("mlk")).as("n_ml_candidates"),
-      count(when(col("mlk"), 1)).as("n_ml_pass"))
+      count(when(col("mlk"), 1)).as("n_ml_pass"),
+      count(when(col("mlbk"), 1)).as("n_ml_budget_pass"))
 
     val langMix = base.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n"))
@@ -944,6 +957,10 @@ object CorpusAudit {
         when(col("n_ml_candidates") === 0L, lit(0L))
           .otherwise(expr("(1000000 * n_ml_pass) DIV n_ml_candidates"))
           .as("ml_keep_micro"),
+        col("n_ml_budget_pass"),
+        when(col("n_ml_candidates") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * n_ml_budget_pass) DIV n_ml_candidates"))
+          .as("ml_budget_keep_micro"),
         col("n_contaminated"))
       .orderBy(col("source"))
   }
@@ -1304,7 +1321,9 @@ object CorpusAuditOracles {
     * `WITH RECURSIVE` scope — the [[DedupOracles.splitLeakageFree]]
     * derived-table precedent), so DuckDB independently recomputes the
     * minhash closure, both tokenizer chains, all four quality gates,
-    * the Moore-Lewis threshold selection, and the decontamination
+    * the Moore-Lewis selection under both rules (the threshold keep
+    * flag plus [[mooreLewisBudget]]'s cutpoint replayed inline over
+    * the same MATERIALIZED scored frame), and the decontamination
     * probe before this query's own contribution — the per-source
     * wiring — is checked on top.
     */
@@ -1330,12 +1349,19 @@ object CorpusAuditOracles {
        |        FROM (${UnigramOracles.unigramPplFilter}) t),
        |ct AS (SELECT doc_id, TRUE AS contam
        |       FROM (${DedupOracles.minhashDecontaminate}) t),
-       |mls AS (SELECT doc_id, keep AS mlk
+       |mlsel AS MATERIALIZED (SELECT doc_id, score_q, keep
        |        FROM ($mooreLewisSelect) t),
+       |mls AS (SELECT doc_id, keep AS mlk FROM mlsel),
+       |mlcs AS (
+       |  SELECT score_q FROM mlsel
+       |  ORDER BY ${GoldenHash.bucketSql("doc_id", CorpusAudit.DsirSampleMod)}, doc_id
+       |  LIMIT ${CorpusAudit.DsirCutSample}),
+       |mlcut AS (SELECT quantile_cont(CAST(score_q AS DOUBLE), 0.8) AS c FROM mlcs),
+       |mlb AS (SELECT doc_id, TRUE AS mlbk FROM mlsel, mlcut WHERE score_q > c),
        |joined AS (
        |  SELECT d.source, d.lang, ex.exact_dup, nd.near_dup,
        |    bp.n_words, bp.n_bpe_tokens, un.n_unigram_tokens,
-       |    tq.hq, lmq.lmk, clf.clfk, ppl.pplk, ct.contam, mls.mlk
+       |    tq.hq, lmq.lmk, clf.clfk, ppl.pplk, ct.contam, mls.mlk, mlb.mlbk
        |  FROM docs d
        |  LEFT JOIN ex  USING (doc_id)
        |  LEFT JOIN nd  USING (doc_id)
@@ -1346,7 +1372,8 @@ object CorpusAuditOracles {
        |  LEFT JOIN clf USING (doc_id)
        |  LEFT JOIN ppl USING (doc_id)
        |  LEFT JOIN ct  USING (doc_id)
-       |  LEFT JOIN mls USING (doc_id)),
+       |  LEFT JOIN mls USING (doc_id)
+       |  LEFT JOIN mlb USING (doc_id)),
        |per_source AS (
        |  SELECT source,
        |    CAST(count(*) AS BIGINT) AS n_docs,
@@ -1362,7 +1389,8 @@ object CorpusAuditOracles {
        |    CAST(count(*) FILTER (WHERE pplk) AS BIGINT) AS n_ppl_pass,
        |    CAST(count(contam) AS BIGINT) AS n_contaminated,
        |    CAST(count(mlk) AS BIGINT) AS n_ml_candidates,
-       |    CAST(count(*) FILTER (WHERE mlk) AS BIGINT) AS n_ml_pass
+       |    CAST(count(*) FILTER (WHERE mlk) AS BIGINT) AS n_ml_pass,
+       |    CAST(count(*) FILTER (WHERE mlbk) AS BIGINT) AS n_ml_budget_pass
        |  FROM joined
        |  GROUP BY source),
        |lmx AS (
@@ -1392,6 +1420,10 @@ object CorpusAuditOracles {
        |  CASE WHEN p.n_ml_candidates = 0 THEN CAST(0 AS BIGINT)
        |       ELSE CAST((1000000 * p.n_ml_pass) // p.n_ml_candidates AS BIGINT)
        |  END AS ml_keep_micro,
+       |  p.n_ml_budget_pass,
+       |  CASE WHEN p.n_ml_candidates = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST((1000000 * p.n_ml_budget_pass) // p.n_ml_candidates AS BIGINT)
+       |  END AS ml_budget_keep_micro,
        |  p.n_contaminated
        |FROM per_source p JOIN top t USING (source)
        |ORDER BY p.source""".stripMargin

@@ -206,6 +206,12 @@ class CorpusAuditSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_ml_candidates")).sum == mlSel.count())
     assert(rows.map(_.getAs[Long]("n_ml_pass")).sum ==
       mlSel.filter(col("keep")).count())
+    // the budget-rule share (VERDICT r19 item 5) re-totals the
+    // committed mooreLewisBudget replay — its kept set is a subset of
+    // the SAME candidate universe, so a corpus owner reads both
+    // admission rules' shares against one denominator
+    assert(rows.map(_.getAs[Long]("n_ml_budget_pass")).sum ==
+      CorpusAudit.mooreLewisBudget(spark, sf).count())
     rows.foreach { r =>
       val (n, langs) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"))
       assert(n > 0 && langs >= 1 && r.getAs[Long]("top_lang_docs") <= n)
@@ -220,6 +226,10 @@ class CorpusAuditSpec extends SparkSpec {
       assert(r.getAs[Long]("ml_keep_micro") ==
         (if (mc == 0L) 0L else 1000000L * r.getAs[Long]("n_ml_pass") / mc),
         r.toString)
+      assert(r.getAs[Long]("ml_budget_keep_micro") ==
+        (if (mc == 0L) 0L else 1000000L * r.getAs[Long]("n_ml_budget_pass") / mc),
+        r.toString)
+      assert(r.getAs[Long]("n_ml_budget_pass") <= mc)
       assert(r.getAs[Long]("n_ml_candidates") <= n)
     }
     // the fixture has candidates and a non-trivial keep share in at
@@ -227,6 +237,11 @@ class CorpusAuditSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_ml_candidates")).sum > 0)
     assert(rows.exists(r => r.getAs[Long]("n_ml_pass") > 0 &&
       r.getAs[Long]("n_ml_pass") < r.getAs[Long]("n_ml_candidates")))
+    // and the two rules genuinely differ somewhere on the fixture, or
+    // the budget column is indistinguishable from the threshold one
+    assert(rows.map(_.getAs[Long]("n_ml_budget_pass")).sum > 0)
+    assert(rows.map(r => r.getAs[Long]("n_ml_budget_pass")).sum !=
+      rows.map(r => r.getAs[Long]("n_ml_pass")).sum)
   }
 
   test("mooreLewisBudgetDelta matches a plain-Scala frozen-cutpoint replay") {

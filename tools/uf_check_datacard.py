@@ -92,6 +92,7 @@ CONSTITUENTS = [
     ("q_unigram_ppl_filter", "ppl", "doc_id, keep AS pplk"),
     ("q_minhash_decontaminate", "ct", "doc_id, TRUE AS contam"),
     ("q_moore_lewis_select", "mls", "doc_id, keep AS mlk"),
+    ("q_moore_lewis_budget", "mlb", "doc_id, TRUE AS mlbk"),
 ]
 for name, alias, proj in CONSTITUENTS:
     con.execute(
@@ -109,7 +110,7 @@ ex AS (
 joined AS (
   SELECT d.source, d.lang, ex.exact_dup, nd.near_dup,
     bp.n_words, bp.n_bpe_tokens, un.n_unigram_tokens,
-    tq.hq, lmq.lmk, clf.clfk, ppl.pplk, ct.contam, mls.mlk
+    tq.hq, lmq.lmk, clf.clfk, ppl.pplk, ct.contam, mls.mlk, mlb.mlbk
   FROM docs d
   LEFT JOIN ex  USING (doc_id)
   LEFT JOIN nd  USING (doc_id)
@@ -120,7 +121,8 @@ joined AS (
   LEFT JOIN clf USING (doc_id)
   LEFT JOIN ppl USING (doc_id)
   LEFT JOIN ct  USING (doc_id)
-  LEFT JOIN mls USING (doc_id)),
+  LEFT JOIN mls USING (doc_id)
+  LEFT JOIN mlb USING (doc_id)),
 per_source AS (
   SELECT source,
     CAST(count(*) AS BIGINT) AS n_docs,
@@ -136,7 +138,8 @@ per_source AS (
     CAST(count(*) FILTER (WHERE pplk) AS BIGINT) AS n_ppl_pass,
     CAST(count(contam) AS BIGINT) AS n_contaminated,
     CAST(count(mlk) AS BIGINT) AS n_ml_candidates,
-    CAST(count(*) FILTER (WHERE mlk) AS BIGINT) AS n_ml_pass
+    CAST(count(*) FILTER (WHERE mlk) AS BIGINT) AS n_ml_pass,
+    CAST(count(*) FILTER (WHERE mlbk) AS BIGINT) AS n_ml_budget_pass
   FROM joined
   GROUP BY source),
 lmx AS (
@@ -166,6 +169,10 @@ SELECT p.source, p.n_docs, p.n_langs, t.top_lang, t.top_lang_docs,
   CASE WHEN p.n_ml_candidates = 0 THEN CAST(0 AS BIGINT)
        ELSE CAST((1000000 * p.n_ml_pass) // p.n_ml_candidates AS BIGINT)
   END AS ml_keep_micro,
+  p.n_ml_budget_pass,
+  CASE WHEN p.n_ml_candidates = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST((1000000 * p.n_ml_budget_pass) // p.n_ml_candidates AS BIGINT)
+  END AS ml_budget_keep_micro,
   p.n_contaminated
 FROM per_source p JOIN top t USING (source)
 ORDER BY p.source""").fetchall()
