@@ -18,8 +18,10 @@ import org.apache.spark.sql.SparkSession
   * sbt's trailing `[success]` line eats ~75 of them: rounds 6-7 grew
   * the full map past the window and the driver recorded `parsed: null`
   * (r4/r5, with fewer queries, parsed fine — VERDICT r7 item 3). The
-  * compact line stays parseable at any future query count; per-query
-  * history lives in the committed bench_out.json.
+  * compact line stays parseable at any future query count; the full
+  * per-query map of the LAST run lives in bench_out.json (per-run
+  * output, freely overwritten), and the certified per-query history is
+  * [[RecordFile]] — the hand-promoted quiet-window record.
   *
   * Optional args are query names: `runMain graft.Bench q_log_ingest`
   * times only those (dev loop); no args = full suite (driver contract).
@@ -73,9 +75,14 @@ object Bench {
     * symlinked spelling of sfDir; ADVICE r19: if the gate FIXTURE path
     * itself sits under a symlink, canonicalizing only the input side
     * resolves AWAY from the literal and disables the record + the
-    * re-measure self-defense). Pure — spec-covered in BenchSpec.
+    * re-measure self-defense). `gateFixture` is injectable so BenchSpec
+    * can pin the both-sides property with a literal that IS a symlink —
+    * in this environment the production literal contains none, so a
+    * fixed-literal test would pass against the one-sided compare too.
+    * Pure — spec-covered in BenchSpec.
     */
-  def outFileFor(args: Array[String], sfDir: String): String = {
+  def outFileFor(args: Array[String], sfDir: String,
+      gateFixture: String = "/root/testdata/sf0.1"): String = {
     // toRealPath canonicalizes symlinked spellings; a nonexistent path
     // falls back to the lexical normalization
     def canon(s: String): String =
@@ -84,7 +91,7 @@ object Bench {
         try p.toRealPath().toString
         catch { case _: Exception => p.toAbsolutePath.normalize.toString }
       } catch { case _: Exception => s }
-    if (args.isEmpty && canon(sfDir) == canon("/root/testdata/sf0.1")) "bench_out.json"
+    if (args.isEmpty && canon(sfDir) == canon(gateFixture)) "bench_out.json"
     else "bench_out_dev.json"
   }
 
@@ -155,8 +162,10 @@ object Bench {
     * number alone cannot distinguish a contended window (many clamps,
     * wall ≫ stable) from a quiet one (few clamps, wall ≈ stable) — the
     * clamp count and `stable_min_sum` (Σ minima over the run's
-    * queries) make that readable off the record itself. Pure —
-    * spec-covered in BenchSpec.
+    * SUCCESSFULLY-RUN queries: the same set `value`/`suite_total` sum,
+    * so the companion fields stay comparable to the wall numbers even
+    * when a query errors and `stable_total` is poisoned) make that
+    * readable off the record itself. Pure — spec-covered in BenchSpec.
     */
   def stableClamped(
       results: Map[String, Option[Double]],
@@ -274,9 +283,11 @@ object Bench {
     // rehearsal re-timed 17 queries before this guard). Same predicate
     // as the record-file routing: self-defense exists to protect the
     // committed record, and only the driver-contract shape writes it.
+    // parsed once per run — the resource is re-read on every call
+    val minima = committedMin
     val remeasureTargets =
       if (outFileFor(args, sfDir) != "bench_out.json") Seq.empty[String]
-      else outliersToRemeasure(suiteResults, committedMin)
+      else outliersToRemeasure(suiteResults, minima)
     val remeasured: Map[String, (Double, Option[Double])] = remeasureTargets.flatMap { n =>
       qs.get(n).flatMap { fn =>
         suiteResults(n).map { suiteMin =>
@@ -324,9 +335,10 @@ object Bench {
     // minima (same guard as the re-measure pass).
     val stableJson =
       if (outFileFor(args, sfDir) != "bench_out.json") ""
-      else s""""stable_total":${stableTotal(results, committedMin).fold("null")(fmt)},""" +
-        s""""stable_clamped":${stableClamped(results, committedMin)},""" +
-        s""""stable_min_sum":${fmt(results.keysIterator.flatMap(committedMin.get).sum)},""" +
+      else s""""stable_total":${stableTotal(results, minima).fold("null")(fmt)},""" +
+        s""""stable_clamped":${stableClamped(results, minima)},""" +
+        s""""stable_min_sum":${fmt(results.iterator.collect {
+          case (n, Some(_)) => minima.get(n) }.flatten.sum)},""" +
         s""""suite_total":${fmt(suiteResults.values.flatten.sum)},"""
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$extra"errors":$errJson,"sf":"$sfDir"}"""

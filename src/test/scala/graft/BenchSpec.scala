@@ -150,15 +150,31 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("gate-fixture literal is canonicalized on BOTH sides of the routing compare (ADVICE r19)") {
-    // if /root/testdata/sf0.1 itself resolves through a symlink,
+    // if the gate-fixture literal itself resolves through a symlink,
     // toRealPath(sfDir) lands on the resolved target — comparing it to
     // the unresolved literal would silently route a legitimate gate run
     // to the dev file and disable the record + re-measure self-defense.
-    // The fixture is a real directory in this environment, so canon() is
-    // identity on both sides here; the property spec-pinned is that the
-    // compare is symmetric — the RESOLVED spelling of the gate fixture
-    // routes to the record file too.
-    val real = java.nio.file.Paths.get("/root/testdata/sf0.1").toRealPath().toString
-    assert(Bench.outFileFor(Array.empty, real) === "bench_out.json")
+    // The production literal contains no symlink in this environment, so
+    // the property is pinned through the injectable gateFixture with a
+    // literal that IS a symlink: only a compare canonicalizing BOTH
+    // sides routes the resolved spelling to the record file.
+    import java.nio.file.{Files, Paths}
+    val realDir = Files.createTempDirectory("graft-benchspec-gate")
+    val linkDir = Files.createTempDirectory("graft-benchspec-gatelink")
+    val link = linkDir.resolve("sf0.1")
+    try {
+      Files.createSymbolicLink(link, realDir)
+      val resolved = realDir.toRealPath().toString
+      // resolved input vs symlinked literal: the ADVICE r19 case
+      assert(Bench.outFileFor(Array.empty, resolved, link.toString) === "bench_out.json")
+      // symlinked input vs resolved literal: the ADVICE r18 case, same canon
+      assert(Bench.outFileFor(Array.empty, link.toString, resolved) === "bench_out.json")
+      // a genuinely different dir still routes to the dev file
+      assert(Bench.outFileFor(Array.empty, linkDir.toString, link.toString) === "bench_out_dev.json")
+    } finally {
+      Files.deleteIfExists(link)
+      Files.deleteIfExists(linkDir)
+      Files.deleteIfExists(realDir)
+    }
   }
 }
