@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, U
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -151,6 +151,45 @@ object GramHash {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** The engine-portable rolling polynomial `h = (h*31 + code) mod 2³¹`
+    * folded over one word's bytes, starting from `h0`. Callers guarantee
+    * ASCII input (`regexp_extract_all('[a-z]+')` tokens), where UTF-8
+    * byte == code point — the exact arithmetic of the
+    * `aggregate(transform(sequence(...)))` HOF form this replaces.
+    */
+  def poly31(h0: Long, u: UTF8String): Long = {
+    var h = h0
+    val nb = u.numBytes()
+    var j = 0
+    while (j < nb) { h = (h * 31 + (u.getByte(j) & 0xffL)) % 2147483648L; j += 1 }
+    h
+  }
+
+  /** Hashed-bigram buckets of a word array: for each consecutive pair
+    * (w_i, w_i+1), the [[poly31]] fold over `w_i ++ ' ' ++ w_i+1`
+    * reduced mod `dim` — [[graft.operators.CorpusAudit.dsirSelect]]'s
+    * bag-of-bigrams feature map in ONE whole-stage-codegen pass. This
+    * replaces a posexplode-carrying-the-whole-array pipeline (each
+    * exploded row duplicated the full words array for `element_at`,
+    * O(tokens²) bytes per doc) plus an interpreted per-occurrence
+    * aggregate/transform/sequence HOF chain (CodegenFallback): no bg
+    * string is ever allocated and each byte is visited at most twice.
+    */
+  def bigramBuckets(arr: ArrayData, dim: Int): Array[Int] = {
+    val n = arr.numElements()
+    if (n <= 1) return new Array[Int](0)
+    val out = new Array[Int](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      var h = poly31(0L, arr.getUTF8String(i))
+      h = (h * 31 + 32L) % 2147483648L // the ' ' joiner byte
+      h = poly31(h, arr.getUTF8String(i + 1))
+      out(i) = (h % dim).toInt
+      i += 1
+    }
+    out
+  }
+
   /** Sorted distinct packed 3-gram ids — the exact gram set, ready for
     * [[SortedLongJaccard]] merge-intersection.
     */
@@ -194,6 +233,27 @@ case class MinhashSignature(child: Expression, h: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ARRAY<STRING> of words → ARRAY<INT> of hashed-bigram buckets
+  * ([[GramHash.bigramBuckets]]), one fused pass inside whole-stage
+  * codegen. `dim` is a plan literal (the DSIR feature dimensionality).
+  */
+case class BigramBuckets(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bigram_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      GramHash.bigramBuckets(input.asInstanceOf[ArrayData], dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.GramHash.bigramBuckets($a, $dim));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** text → sorted distinct ARRAY<LONG> of packed 3-gram ids
   * ([[GramHash.gramSet]]).
   */
@@ -223,10 +283,15 @@ object TextHashFunctions {
         MinhashSignature(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gram_set", (es: Seq[Expression]) => GramSet(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bigram_buckets", (es: Seq[Expression]) =>
+        BigramBuckets(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
   def minhashSigs(text: Column, h: Int): Column =
     call_function("graft_minhash_sigs", text, lit(h))
   def gramSet(text: Column): Column = call_function("graft_gram_set", text)
+  def bigramBuckets(words: Column, dim: Int): Column =
+    call_function("graft_bigram_buckets", words, lit(dim))
 }

@@ -223,6 +223,7 @@ object CorpusAudit {
     * below the candidate count to exercise the sampled path at tiny SF).
     */
   def dsirSelect(s: SparkSession, d: String, cutSample: Int): DataFrame = {
+    graft.functions.Registry.ensure(s)
     val words = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     // The bucketed-bigram expansion (regex + per-char polynomial hash,
     // by far the expensive scan) is consumed by BOTH distribution fits
@@ -230,21 +231,19 @@ object CorpusAudit {
     // the expansion per consumer (the minhashIndex materialization
     // stance; measured 3.2 s → 1.9 s at sf0.1). Shrunk to the 3-column
     // (doc_id, lang, bucket) image first so the materialized bytes are
-    // minimal.
+    // minimal. r20: the bucket map is the fused
+    // [[graft.functions.BigramBuckets]] codegen expression — identical
+    // arithmetic to the old aggregate/transform HOF chain (which was
+    // CodegenFallback, ran per bigram OCCURRENCE, and rode a posexplode
+    // that duplicated the full words array per row for element_at). No
+    // scanSpread: with the fused map the per-row work is light enough
+    // that the spread exchange costs more than it parallelizes
+    // (measured 0.27 vs 0.16 s for the expansion at sf0.1), and at
+    // 100 TB the scan arrives already split.
     val bigrams = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), words.as("w"))
-      .select(col("doc_id"), col("lang"), col("w"),
-        posexplode(col("w")).as(Seq("p", "w1")))
-      .filter(col("p") < size(col("w")) - 1)
       .select(col("doc_id"), col("lang"),
-        concat(col("w1"), lit(" "),
-          element_at(col("w"), col("p") + 2)).as("bg"))
-      .withColumn("bucket", expr(
-        s"""aggregate(transform(sequence(1, length(bg)), i -> cast(ascii(substr(bg, i, 1)) as bigint)),
-           |  cast(0 as bigint), (h, c) -> (h * 31 + c) % 2147483648) % $DsirDim""".stripMargin)
-        .cast("int"))
-      .drop("bg")
-      .barrier("one hashed-bigram bucket row per doc bigram")
+        explode(graft.functions.TextHashFunctions.bigramBuckets(words, DsirDim))
+          .as("bucket"))
     // ONE scan fits both distributions (conditional counts per bucket
     // — the full-outer join of two separate scans computed identical
     // rows at twice the bigram-expansion cost, which dominated the
@@ -260,12 +259,20 @@ object CorpusAudit {
         round((log((col("t_b") + 1).cast("double") / (col("t_n") + DsirDim)) -
                log((col("r_b") + 1).cast("double") / (col("r_n") + DsirDim))) *
           DsirQ).cast("long").as("llr_q"))
-    // both consumers (cut sample + final filter) re-aggregate from the
-    // checkpointed expansion — two cheap aggs over materialized rows
+    // r20 barrier move: the old per-BIGRAM checkpoint materialized one
+    // row per corpus bigram (corpus-bound bytes) to save re-running the
+    // then-interpreted expansion; with the fused codegen bucket map the
+    // expansion is cheap enough to run once per consumer (buckets fit +
+    // scoring pass), and the one materialization left is per-DOC — the
+    // smallest frame both downstream consumers (cut sample + final
+    // filter) share. Measured 1.61 s (record) → 1.00 s isolated min-of-2
+    // at sf0.1; plan: the big crossJoin side reads the checkpoint, not a
+    // re-aggregation.
     val scored = bigrams.filter(col("lang") =!= "en")
       .join(broadcast(llr), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("llr_q")).as("score_q"))
+      .barrier("one score row per candidate doc")
     // Cutpoint: exact interpolated percentile over the hash-sampled
     // top-K (bounded buffer — see DsirCutSample). score_q is cast to
     // DOUBLE before the percentile on BOTH sides so Spark and DuckDB
