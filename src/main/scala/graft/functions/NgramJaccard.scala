@@ -114,14 +114,105 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SortedLongJaccard]] specialized for VERIFICATION sites that only
+  * keep pairs at or above `threshold`: returns the exact Jaccard when it
+  * is ≥ `threshold` and −1.0 otherwise, which lets the merge BAIL as
+  * soon as the skipped elements prove the threshold unreachable (see
+  * the budget derivation at [[nullSafeEval]]). Disjoint-ish pairs (the
+  * dominant candidate class at production dup rates) exit after ~⅓ of
+  * the merge at t = 0.5 instead of walking both arrays to the end,
+  * and pairs that DO verify pay nothing on their match steps — the
+  * budget test rides only the mismatch branches.
+  * Result-identical AT THE CONSUMING FILTER:
+  * every caller filters on `≥ t'` with t' ≥ threshold (pairs the gate
+  * maps to −1.0 were dropped by that filter anyway, and surviving pairs
+  * carry the exact value). Callers that consume the similarity VALUE
+  * below the gate threshold ([[graft.operators.LshTuning]]'s measured
+  * collision table) keep [[SortedLongJaccard]].
+  */
+case class SortedLongJaccardGate(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_gate"
+
+  // The bail rule costs NOTHING on match steps (the dominant step kind
+  // for pairs that verify): an element a pointer skips on a mismatch can
+  // never match, so the final intersection is bounded by
+  // min(|a| − skippedA, |b| − skippedB); once one side's skip count
+  // exceeds |side| − ⌊t·(|a|+|b|)/(1+t)⌋ the pair cannot reach the
+  // threshold. The floor makes the precomputed budgets CONSERVATIVE
+  // (one element slack at worst), so the bail can only fire on pairs
+  // the final `jac ≥ t` check would have rejected anyway.
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    val iMin = math.floor(threshold * (na + nb) / (1.0 + threshold)).toInt
+    val budgetA = na - iMin; val budgetB = nb - iMin
+    var i = 0; var j = 0; var inter = 0
+    var bail = false
+    while (!bail && i < na && j < nb) {
+      val xa = x.getLong(i); val yb = y.getLong(j)
+      if (xa == yb) { inter += 1; i += 1; j += 1 }
+      else if (xa < yb) { i += 1; if (i - inter > budgetA) bail = true }
+      else { j += 1; if (j - inter > budgetB) bail = true }
+    }
+    if (bail) -1.0
+    else {
+      val uni = na + nb - inter
+      val jac = if (uni == 0) 1.0 else inter.toDouble / uni
+      if (jac >= threshold) jac else -1.0
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val uni = ctx.freshName("uni")
+      val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
+      val iMin = ctx.freshName("iMin"); val bail = ctx.freshName("bail")
+      val budgetA = ctx.freshName("budgetA"); val budgetB = ctx.freshName("budgetB")
+      val jac = ctx.freshName("jac")
+      val t = s"${threshold}D"
+      s"""int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $iMin = (int) java.lang.Math.floor($t * ($na + $nb) / (1.0D + $t));
+         |int $budgetA = $na - $iMin; int $budgetB = $nb - $iMin;
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |boolean $bail = false;
+         |while ($i < $na && $j < $nb) {
+         |  long $xa = $a.getLong($i); long $yb = $b.getLong($j);
+         |  if ($xa == $yb) { $inter++; $i++; $j++; }
+         |  else if ($xa < $yb) { $i++; if ($i - $inter > $budgetA) { $bail = true; break; } }
+         |  else { $j++; if ($j - $inter > $budgetB) { $bail = true; break; } }
+         |}
+         |if ($bail) { ${ev.value} = -1.0D; }
+         |else {
+         |  int $uni = $na + $nb - $inter;
+         |  double $jac = ($uni == 0) ? 1.0D : ((double) $inter) / $uni;
+         |  ${ev.value} = ($jac >= $t) ? $jac : -1.0D;
+         |}""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NgramJaccardFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard3", (es: Seq[Expression]) => NgramJaccard(es(0), es(1), 3), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard_sorted", (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard_gate", (es: Seq[Expression]) =>
+        SortedLongJaccardGate(es(0), es(1),
+          es(2).eval().asInstanceOf[Number].doubleValue()), "built-in")
   }
 
   def jaccard3(a: Column, b: Column): Column = call_function("graft_jaccard3", a, b)
   def jaccardSorted(a: Column, b: Column): Column = call_function("graft_jaccard_sorted", a, b)
+  def jaccardGate(a: Column, b: Column, threshold: Double): Column =
+    call_function("graft_jaccard_gate", a, b, org.apache.spark.sql.functions.lit(threshold))
 }

@@ -190,6 +190,71 @@ object GramHash {
     out
   }
 
+  /** Maximum multiplicity of any consecutive word pair in `arr` — the
+    * exact `max(count(*)) GROUP BY bigram` of
+    * [[graft.operators.TextAnalysis.repetitionFilter]], computed
+    * per row instead of through a corpus-wide two-level hash aggregate
+    * (the shuffle carried one row per distinct (doc, bigram); this
+    * carries nothing — the whole gate becomes scan-stage work). Pair
+    * equality is exact string equality ((w1, w2) tuples ⇔ the
+    * `concat(w1, ' ', w2)` keys of the aggregate form, since words
+    * contain no spaces by construction of the splitter).
+    */
+  def topBigramCount(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n <= 1) return 0L
+    val m = new java.util.HashMap[(UTF8String, UTF8String), Integer](n * 2)
+    var best = 0
+    var prev = arr.getUTF8String(0)
+    var i = 0
+    while (i < n - 1) {
+      val next = arr.getUTF8String(i + 1)
+      val c = m.merge((prev, next), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue()))
+      if (c.intValue() > best) best = c.intValue()
+      prev = next
+      i += 1
+    }
+    best.toLong
+  }
+
+  /** 0-based CODE-POINT positions `p ∈ [0, numChars − spanLen]` whose
+    * code point is a space — the anchored-shingle positions of
+    * [[graft.operators.Dedup.substringSpans]] in one byte pass. The
+    * explode(sequence)+filter form this replaces materialized one row
+    * per CHARACTER and evaluated a `substring(text, p + 1, 1)`
+    * allocation per row just to test for ' '; here only the ~1-in-6
+    * anchored positions ever become rows. Position arithmetic is code
+    * points (Spark `length`/`substring` semantics): a 0x20 byte is
+    * never part of a multi-byte UTF-8 sequence, so the byte test IS
+    * the code-point test.
+    */
+  def spaceAnchors(u: UTF8String, spanLen: Int): Array[Int] = {
+    val limit = u.numChars() - spanLen
+    if (limit < 0) return new Array[Int](0)
+    val nb = u.numBytes()
+    var cnt = 0
+    var b = 0
+    var c = 0
+    while (b < nb && c <= limit) {
+      val b0 = u.getByte(b)
+      if (b0 == 0x20) cnt += 1
+      b += UTF8String.numBytesForFirstByte(b0)
+      c += 1
+    }
+    val out = new Array[Int](cnt)
+    var k = 0
+    b = 0
+    c = 0
+    while (k < cnt) {
+      val b0 = u.getByte(b)
+      if (b0 == 0x20) { out(k) = c; k += 1 }
+      b += UTF8String.numBytesForFirstByte(b0)
+      c += 1
+    }
+    out
+  }
+
   /** Sorted distinct packed 3-gram ids — the exact gram set, ready for
     * [[SortedLongJaccard]] merge-intersection.
     */
@@ -254,6 +319,45 @@ case class BigramBuckets(child: Expression, dim: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ARRAY<STRING> of words → max consecutive-bigram multiplicity
+  * ([[GramHash.topBigramCount]]), one fused pass inside whole-stage
+  * codegen.
+  */
+case class TopBigramCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_top_bigram_count"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash.topBigramCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramHash.topBigramCount($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** text → ARRAY<INT> of space-anchored shingle start positions
+  * ([[GramHash.spaceAnchors]]). `spanLen` is a plan literal.
+  */
+case class SpaceAnchors(child: Expression, spanLen: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_space_anchors"
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      GramHash.spaceAnchors(input.asInstanceOf[UTF8String], spanLen))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.GramHash.spaceAnchors($a, $spanLen));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** text → sorted distinct ARRAY<LONG> of packed 3-gram ids
   * ([[GramHash.gramSet]]).
   */
@@ -286,6 +390,11 @@ object TextHashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bigram_buckets", (es: Seq[Expression]) =>
         BigramBuckets(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_bigram_count", (es: Seq[Expression]) => TopBigramCount(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_space_anchors", (es: Seq[Expression]) =>
+        SpaceAnchors(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
@@ -294,4 +403,8 @@ object TextHashFunctions {
   def gramSet(text: Column): Column = call_function("graft_gram_set", text)
   def bigramBuckets(words: Column, dim: Int): Column =
     call_function("graft_bigram_buckets", words, lit(dim))
+  def topBigramCount(words: Column): Column =
+    call_function("graft_top_bigram_count", words)
+  def spaceAnchors(text: Column, spanLen: Int): Column =
+    call_function("graft_space_anchors", text, lit(spanLen))
 }

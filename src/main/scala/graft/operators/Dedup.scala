@@ -440,7 +440,7 @@ object Dedup {
     val verified = cand
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
-      .filter(graft.functions.NgramJaccardFunctions.jaccardSorted(col("ga"), col("gb")) >= 0.5)
+      .filter(graft.functions.NgramJaccardFunctions.jaccardGate(col("ga"), col("gb"), 0.5) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     Graph.components(vertices,
         verified.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -799,7 +799,7 @@ object Dedup {
       .join(grams, Seq("doc_id"))
       .join(gramsTest, Seq("test_id"))
       .withColumn("j",
-        graft.functions.NgramJaccardFunctions.jaccardSorted(col("grams"), col("gt")))
+        graft.functions.NgramJaccardFunctions.jaccardGate(col("grams"), col("gt"), 0.5))
       .filter(col("j") >= 0.5)
       .groupBy(col("doc_id"))
       .agg(min(col("test_id")).as("contaminated_by"),
@@ -954,15 +954,18 @@ object Dedup {
     * identical code-point substrings).
     */
   def substringSpans(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
     val docs = Tables.documents(s, d).filter(length(col("text")) >= SpanLen)
     // scanSpread (r8 A/B: the AQE single-partition trap cost 1.42 vs
-    // 0.42 s on this stage), then a FLAT explode→filter→substring
-    // pipeline, which stays in whole-stage codegen where the lambda
-    // transform/filter HOF form is CodegenFallback (a further ~15%).
+    // 0.42 s on this stage), then the anchored positions come out of ONE
+    // codegen byte pass ([[graft.functions.SpaceAnchors]]) — the r20
+    // replacement for explode(sequence(0, len−50)) + a per-CHARACTER
+    // substring-allocation filter: only the ~1-in-6 space-anchored
+    // positions ever become rows (identical position set — the
+    // expression tests the same code point the substring compare did).
     val shingles = Tables.scanSpread(docs, col("doc_id"))
       .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(0, length(text) - $SpanLen)")).as("p"))
-      .filter(expr("substring(text, p + 1, 1) = ' '"))
+        explode(graft.functions.TextHashFunctions.spaceAnchors(col("text"), SpanLen)).as("p"))
       .select(col("doc_id"), col("p").cast("bigint").as("start"),
         expr(s"substring(text, p + 1, $SpanLen)").as("shingle"))
     val ws = Window.partitionBy(col("shingle"))
@@ -1026,9 +1029,13 @@ object Dedup {
         graft.functions.TextHashFunctions.gramSet(col("text")).as(s"grams_$suffix"))
     side("a").join(side("b"), Seq("lang", "n_chars"))
       .filter(col("doc_a") < col("doc_b"))
+      // gate strictly BELOW the filter's effective cut (round₄(j) ≥ 0.2
+      // ⇔ j ≥ 0.19995): 0.1999 leaves the boundary decision to the same
+      // rounded compare as before, so the gate can only skip pairs the
+      // filter rejected anyway
       .withColumn("jaccard",
-        round(graft.functions.NgramJaccardFunctions.jaccardSorted(
-          col("grams_a"), col("grams_b")), 4))
+        round(graft.functions.NgramJaccardFunctions.jaccardGate(
+          col("grams_a"), col("grams_b"), 0.1999), 4))
       .filter(col("jaccard") >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -1200,7 +1207,7 @@ object Dedup {
       // refutes — size() is O(1) on the deserialized array
       .filter(sizeRatioOk(size(col("gn")), size(col("gi"))))
       .withColumn("jaccard",
-        graft.functions.NgramJaccardFunctions.jaccardSorted(col("gn"), col("gi")))
+        graft.functions.NgramJaccardFunctions.jaccardGate(col("gn"), col("gi"), 0.5))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_id"), col("idx_doc"), col("jaccard"))
 

@@ -111,7 +111,7 @@ object LshTuning {
         col("doc_a") < col("doc_b"))
       .filter(Dedup.sizeRatioOk(size(col("ga")), size(col("gb"))))
       .filter(graft.functions.NgramJaccardFunctions
-        .jaccardSorted(col("ga"), col("gb")) >= 0.5)
+        .jaccardGate(col("ga"), col("gb"), 0.5) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
 
     // per-config bucket collisions: pairs sharing ≥1 band key

@@ -405,12 +405,17 @@ object ScaleOps {
     */
   private[operators] def boilerplateOf(docs: DataFrame): DataFrame = {
     val n = BoilerN
-    val grams = docs
+    // per-doc distinct gram ARRAY built once in the scan; n_grams is its
+    // size — scan-local, where the earlier form re-exploded the corpus a
+    // third time and hash-aggregated it back to a number the array
+    // already knew (r20: 3 gram explodes → 2, one doc_id exchange gone)
+    val perDoc = docs
       .withColumn("ws", TextAnalysis.words)
       .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n))))"))
-        .as("g"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n))))")
+        .as("gs"))
+    val grams = perDoc.select(col("doc_id"), explode(col("gs")).as("g"))
     val hot = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= BoilerMinDocs)
@@ -418,7 +423,7 @@ object ScaleOps {
     grams
       .join(hot, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boilerplate"))
-      .join(grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
+      .join(perDoc.select(col("doc_id"), size(col("gs")).cast("bigint").as("n_grams")),
         Seq("doc_id"), "right")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.Tables.BarrierOps
@@ -82,6 +82,20 @@ object TextAnalysis {
           .otherwise(lit("ok")))
       .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
         col("stopword_ratio"), col("quality"))
+  }
+
+  /** [[textQualityOf]]'s `quality = 'ok'` verdict as ONE scan-local
+    * predicate — the gate is stateless per-doc, so admission chains
+    * ([[TrainingPrep.deltaAdmissionChain]]) filter with it instead of
+    * semi-joining a second scan of the same batch. Must stay
+    * term-for-term aligned with [[textQualityOf]]'s when-chain
+    * (`ok` ⇔ n_tokens ≥ 10 ∧ 2 ≤ round₄(avg_token_len) ≤ 12);
+    * TextAnalysisSpec pins filter ≡ semi-join on the fixture.
+    */
+  private[graft] def qualityOkPred: Column = {
+    val nt = nTokens.cast("int")
+    val avgLen = round((length(col("text")) - (nt - 1)).cast("double") / nt, 4)
+    nt >= 10 && avgLen >= 2 && avgLen <= 12
   }
 
   /** Feature frame shared by [[modelQuality]]'s train and score paths:
@@ -414,18 +428,23 @@ object TextAnalysis {
     * stage (array algebra, no explode).
     */
   def repetitionFilter(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    graft.functions.Registry.ensure(s)
+    // r20: the bigram stats are SCAN-LOCAL ([[graft.functions
+    // .TopBigramCount]] — max bigram multiplicity per row inside
+    // whole-stage codegen; n_grams is just size(ws) − 1). The earlier
+    // two-level hash aggregate shuffled one row per distinct
+    // (doc, bigram) and joined the rollup back on doc_id — two
+    // exchanges plus a join for integers derivable in the scan. Exact
+    // same arithmetic: bigram multiplicity over (w_i, w_{i+1}) tuples
+    // equals the `concat(w_i, ' ', w_{i+1})` grouping (words carry no
+    // spaces), and Σ counts = size(ws) − 1.
+    Tables.documents(s, d)
       .withColumn("ws", TextAnalysis.words)
       .filter(size(col("ws")) >= 2)
       .withColumn("n_words", size(col("ws")))
       .withColumn("n_distinct", size(array_distinct(col("ws"))))
-    val grams = docs
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_grams"))
-    docs.select(col("doc_id"), col("n_words"), col("n_distinct"))
-      .join(grams, Seq("doc_id"))
+      .withColumn("top_c", graft.functions.TextHashFunctions.topBigramCount(col("ws")))
+      .withColumn("n_grams", (size(col("ws")) - 1).cast("bigint"))
       .select(
         col("doc_id"),
         col("n_words"),
@@ -434,6 +453,22 @@ object TextAnalysis {
         (col("top_c") * 5 <= col("n_grams") &&
           (col("n_words") - col("n_distinct")) * 10 <= col("n_words") * 7).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The [[repetitionFilter]] KEEP rule as one scan-local predicate
+    * over `text` — the chain form ([[TrainingPrep.corpusPrepChain]])
+    * filters with it instead of semi-joining the reporting query's
+    * frame, which re-scanned the corpus for a per-row decision. Docs
+    * with < 2 words have no bigram signal and are NOT kept, exactly
+    * the rows the semi join dropped ([[repetitionFilter]] emits no row
+    * for them).
+    */
+  private[graft] def repetitionKeepPred: Column = {
+    val ws = words
+    val topC = graft.functions.TextHashFunctions.topBigramCount(ws)
+    size(ws) >= 2 &&
+      topC * 5 <= (size(ws) - 1).cast("bigint") &&
+      (size(ws) - size(array_distinct(ws))) * 10 <= size(ws) * 7
   }
 
   /** Vocabulary build with cumulative-coverage curve — the tokenizer-prep
@@ -570,14 +605,22 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
 
-  private def lmBigrams(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    lmToks(s, d)
-      .withColumn("w2", lead(col("w"), 1).over(wd))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("w").as("w1"), col("w2"))
-  }
+  private def lmBigrams(s: SparkSession, d: String): DataFrame =
+    // r20: consecutive pairs are SCAN-LOCAL (zip the word array against
+    // its own 1-shifted slice — codegen array ops, no HOF lambda). The
+    // posexplode + lead-window form shuffled and sorted the entire
+    // token stream by (doc_id, pos) once per consumer just to pair
+    // neighbors that already sit adjacent in the source array. Row set
+    // identical: one (doc_id, w1, w2) row per consecutive pair, in the
+    // same per-doc order; docs with < 2 words contribute nothing
+    // (previously: their lead() was null and the row was filtered).
+    Tables.documents(s, d)
+      .withColumn("ws", words)
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        expr("slice(ws, 1, size(ws) - 1)"),
+        expr("slice(ws, 2, size(ws) - 1)"))).as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
 
   def lmQuality(s: SparkSession, d: String): DataFrame = {
     val scored = lmScored(s, d)

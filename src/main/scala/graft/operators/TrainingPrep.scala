@@ -349,18 +349,20 @@ object TrainingPrep {
     * by construction), so no stage ever reshuffles the corpus itself.
     */
   def corpusPrep2(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
     val docs = Tables.documents(s, d)
-    val repKeep = TextAnalysis.repetitionFilter(s, d)
-      .filter(col("keep")).select(col("doc_id"))
+    // r20: repetition gate as the scan-local predicate and the exact
+    // dedup window INLINE (doc_id unique ⇒ rn = 1 ≡ the dedupKeep semi
+    // join) — [[corpusPrepChain]]'s rationale; note the v2 dedup window
+    // runs over ALL docs, not gate survivors, so it is applied FIRST,
+    // before the repetition filter, preserving v2's stage wiring.
     val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
-    val dedupKeep = docs
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("doc_id"))
     val contaminated = ScaleOps.ngramDecontaminate(s, d).select(col("doc_id"))
     val wpc = WordsPerChunk
     val chunks = docs
-      .join(repKeep, Seq("doc_id"), "left_semi")
-      .join(dedupKeep, Seq("doc_id"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(TextAnalysis.repetitionKeepPred)
       .filter(!graft.GoldenHash.isTestDoc(col("doc_id")))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .withColumn("ws", TextAnalysis.words)
@@ -463,10 +465,12 @@ object TrainingPrep {
       .agg(round(expr("percentile(ql, 0.1)"), 6).as("c1"))
     val calLow = scoredQ.crossJoin(broadcast(c1))
       .filter(col("ql") <= col("c1")).select(col("doc_id"))
-    val sampleDrop = Tables.documents(s, d)
-      .filter(!(graft.GoldenHash.bucket(col("doc_id"), 1000) < Retrieval.permille))
-      .select(col("doc_id"))
-    corpusPrepChain(s, d, prep4Drops(s, d) ++ Seq(calLow, sampleDrop))
+    // the weighted-sample gate is a pure doc_id hash rule — a scan-local
+    // keep FILTER (r20), not a drop-set anti join that re-scanned the
+    // documents table to enumerate the complement of a per-row predicate
+    corpusPrepChain(s, d, prep4Drops(s, d) ++ Seq(calLow),
+      extraKeepFilters =
+        Seq(graft.GoldenHash.bucket(col("doc_id"), 1000) < Retrieval.permille))
   }
 
   /** The shared stage chain behind [[corpusPrep3]] (extraDrops = Nil)
@@ -477,7 +481,9 @@ object TrainingPrep {
     * verified prefixes.
     */
   private def corpusPrepChain(
-      s: SparkSession, d: String, extraDrops: Seq[DataFrame]): DataFrame = {
+      s: SparkSession, d: String, extraDrops: Seq[DataFrame],
+      extraKeepFilters: Seq[Column] = Nil): DataFrame = {
+    graft.functions.Registry.ensure(s)
     val docs = Tables.documents(s, d)
     val rankKey = (col("doc_id") * lit(ScaleOps.CapHashPrime)) % lit(ScaleOps.CapHashMod)
     val cw = Window.partitionBy(col("source")).orderBy(rankKey.asc, col("doc_id"))
@@ -488,21 +494,27 @@ object TrainingPrep {
     val boilDrop = ScaleOps.boilerplateOf(capped)
       .filter(col("n_boilerplate") * 10 > col("n_grams") * 8)
       .select(col("doc_id"))
-    val repKeep = TextAnalysis.repetitionFilter(s, d)
-      .filter(col("keep")).select(col("doc_id"))
-    val surv0 = extraDrops.foldLeft(
+    // repetition gate: a scan-local FILTER (r20 —
+    // [[TextAnalysis.repetitionKeepPred]] is per-row integer algebra),
+    // not a semi join against the reporting query's frame, which
+    // re-scanned the corpus and paid the gate's aggregates once per
+    // chain reference. Same keep set by the shared-predicate argument.
+    val surv0 = extraKeepFilters.foldLeft(
       capped
         .join(boilDrop, Seq("doc_id"), "left_anti")
-        .join(repKeep, Seq("doc_id"), "left_semi")
-    )((df, drop) => df.join(drop, Seq("doc_id"), "left_anti"))
+        .filter(TextAnalysis.repetitionKeepPred)
+    )((df, keep) => df.filter(keep))
+    val surv = extraDrops.foldLeft(surv0)(
+      (df, drop) => df.join(drop, Seq("doc_id"), "left_anti"))
+    // exact dedup INLINE: doc_id is unique, so `rn = 1` on the survivor
+    // frame IS the old dedupKeep semi join — the join-back form planned
+    // the whole survivor subtree (cap window + gates) twice (r20)
     val dw = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
-    val dedupKeep = surv0
-      .withColumn("rn", row_number().over(dw))
-      .filter(col("rn") === 1).select(col("doc_id"))
     val contaminated = ScaleOps.ngramDecontaminate(s, d).select(col("doc_id"))
     val wpc = WordsPerChunk
-    val chunks = surv0
-      .join(dedupKeep, Seq("doc_id"), "left_semi")
+    val chunks = surv
+      .withColumn("rn", row_number().over(dw))
+      .filter(col("rn") === 1)
       .filter(!graft.GoldenHash.isTestDoc(col("doc_id")))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .withColumn("ws", TextAnalysis.words)
@@ -644,14 +656,23 @@ object TrainingPrep {
   private[graft] def deltaAdmissionChain(
       s: SparkSession, d: String, batch: DataFrame,
       prefix: String = "deltadx"): DataFrame = {
-    val qualityOk = batch.join(
-      TextAnalysis.textQualityOf(batch)
-        .filter(col("quality") === "ok").select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // r20 shape fix: each stage references its predecessor 2+ times (the
+    // keep side AND the probe side of every gate), so the unmaterialized
+    // chain re-planned the whole prefix per reference — 2⁴ ≈ 16 leaf
+    // scans of the batch, the digest probe and the signature pass run
+    // twice each. Stage outputs are batch-bounded by construction (the
+    // gates only ever DROP rows), so each verdict is pinned once
+    // (localCheckpoint, the [[corpusPrepDelta2]] admitted-A stance) and
+    // every later gate probes the pinned rows. The quality gate itself
+    // is stateless per-row ([[TextAnalysis.qualityOkPred]]) — a FILTER,
+    // not a semi join against a second scan of the batch.
+    val qualityOk = batch.filter(TextAnalysis.qualityOkPred)
     val exactClean = Dedup.incrementalExactClean(s, qualityOk, prefix)
+      .barrier("quality+exact-clean batch rows (cost ∝ batch)")
     val nearClean = exactClean.join(
       Dedup.incrementalNearDups(s, exactClean, prefix).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+      .barrier("near-clean batch rows (cost ∝ batch)")
     val benchGrams = ScaleOps.wordGramsOf(
       Tables.documents(s, d).filter(graft.GoldenHash.isTestDoc(col("doc_id"))))
       .select(col("g")).distinct()
@@ -659,6 +680,7 @@ object TrainingPrep {
       ScaleOps.wordGramsOf(nearClean).join(broadcast(benchGrams), Seq("g"))
         .select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+      .barrier("admitted batch rows (cost ∝ batch)")
     BpeTrain.bpeTokensOf(s, d, admitted)
       .join(admitted.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_words"),

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.operators.TextAnalysis
+
+/** Ground-truth rows for the round-20 scan-local rewrites: each
+  * optimization replaced a shuffle/join with a per-row expression, and
+  * each row here pins the replacement against either a plain-Scala
+  * recompute or the pre-rewrite relational form, independent of the
+  * DuckDB oracles that also cover the consuming queries.
+  */
+class ScanLocalRewriteSpec extends SparkSpec {
+
+  private def arr(xs: Seq[String]): ArrayData =
+    ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray)
+
+  test("topBigramCount equals the brute-force bigram max multiplicity") {
+    // fixture corpus: every document's word array, vs groupBy on pairs
+    val docs = Tables.documents(spark, sf)
+      .select(expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+      .collect().map(_.getSeq[String](0))
+    docs.foreach { ws =>
+      val expected =
+        if (ws.length <= 1) 0L
+        else ws.sliding(2).toSeq.groupBy(identity).values.map(_.size).max.toLong
+      assert(graft.functions.GramHash.topBigramCount(arr(ws)) == expected)
+    }
+    // crafted edges: empty, single word, all-same, tie
+    assert(graft.functions.GramHash.topBigramCount(arr(Nil)) == 0L)
+    assert(graft.functions.GramHash.topBigramCount(arr(Seq("a"))) == 0L)
+    assert(graft.functions.GramHash.topBigramCount(arr(Seq("a", "a", "a", "a"))) == 3L)
+    assert(graft.functions.GramHash.topBigramCount(arr(Seq("a", "b", "a", "b"))) == 2L)
+  }
+
+  test("repetitionKeepPred filter equals the repetitionFilter keep semi-join") {
+    graft.functions.Registry.ensure(spark)
+    val docs = Tables.documents(spark, sf)
+    val viaFilter = docs.filter(TextAnalysis.repetitionKeepPred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaJoin = docs.join(
+      TextAnalysis.repetitionFilter(spark, sf)
+        .filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaFilter == viaJoin)
+    assert(viaFilter.nonEmpty && viaFilter.size < docs.count())
+  }
+
+  test("qualityOkPred filter equals the textQuality ok semi-join") {
+    val docs = Tables.documents(spark, sf)
+    val viaFilter = docs.filter(TextAnalysis.qualityOkPred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaJoin = docs.join(
+      TextAnalysis.textQuality(spark, sf)
+        .filter(col("quality") === "ok").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaFilter == viaJoin)
+    assert(viaFilter.nonEmpty)
+  }
+
+  test("spaceAnchors equals the explode(sequence)+substring-filter positions") {
+    graft.functions.Registry.ensure(spark)
+    val n = 50 // Dedup.SpanLen
+    val docs = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), col("text"))
+    val viaExpr = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextHashFunctions.spaceAnchors(col("text"), n)).as("p"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val viaFilter = docs
+      .select(col("doc_id"), explode(expr(s"sequence(0, length(text) - $n)")).as("p"))
+      .filter(expr("substring(text, p + 1, 1) = ' '"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(viaExpr == viaFilter)
+    assert(viaExpr.nonEmpty)
+    // non-ASCII guard: code-point positions, not byte positions
+    val u = UTF8String.fromString("héllo wörld une résumé phrase")
+    val got = graft.functions.GramHash.spaceAnchors(u, 10).toSeq
+    val s = "héllo wörld une résumé phrase"
+    val expected = (0 to s.length - 10).filter(p => s.charAt(p) == ' ')
+    assert(got == expected)
+  }
+
+  test("jaccardGate agrees with jaccardSorted at every consuming filter") {
+    graft.functions.Registry.ensure(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def sortedSet(n: Int, range: Int): Array[Long] =
+      Array.fill(n)(rnd.nextInt(range).toLong).distinct.sorted
+    val cases = Seq.fill(300) {
+      (sortedSet(rnd.nextInt(400), 500), sortedSet(rnd.nextInt(400), 500))
+    } ++ Seq(
+      (Array.empty[Long], Array.empty[Long]),          // uni == 0 → 1.0
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),          // identical → 1.0
+      (Array(1L, 2L, 3L), Array(7L, 8L, 9L)),          // disjoint → bail
+      ((1L to 2000L).toArray, (1500L to 3500L).toArray)) // long merge
+    val df = cases.toDF("a", "b")
+    for (t <- Seq(0.1999, 0.5)) {
+      val rows = df.select(
+        graft.functions.NgramJaccardFunctions.jaccardSorted(col("a"), col("b")).as("full"),
+        graft.functions.NgramJaccardFunctions.jaccardGate(col("a"), col("b"), t).as("gated"))
+        .collect()
+      assert(rows.length == cases.length)
+      rows.foreach { r =>
+        val full = r.getDouble(0); val gated = r.getDouble(1)
+        if (full >= t) assert(gated == full, s"t=$t full=$full gated=$gated")
+        else assert(gated < t, s"t=$t full=$full gated=$gated")
+      }
+      // at least one row actually exercised the bail path
+      assert(rows.exists(_.getDouble(1) == -1.0))
+    }
+  }
+}
