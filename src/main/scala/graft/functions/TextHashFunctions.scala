@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -255,6 +256,62 @@ object GramHash {
     out
   }
 
+  /** Space-joined word n-grams of a word array — the exact strings of
+    * `transform(sequence(1, size(ws) − n + 1), i -> concat_ws(' ',
+    * slice(ws, i, n)))`, built in one pass. The HOF form is
+    * CodegenFallback and allocates an intermediate slice ARRAY per
+    * gram before concatenating it; this concatenates each window
+    * directly ([[UTF8String.concatWs]]) inside whole-stage codegen.
+    */
+  def wordNGrams(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    val out = sz - n + 1
+    if (out <= 0) return new GenericArrayData(new Array[Any](0))
+    val space = UTF8String.fromString(" ")
+    val grams = new Array[Any](out)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i < out) {
+      var k = 0
+      while (k < n) { window(k) = arr.getUTF8String(i + k); k += 1 }
+      grams(i) = UTF8String.concatWs(space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(grams)
+  }
+
+  /** The ±2 symmetric-window PMI co-occurrence rows of one word array —
+    * offset-1 pairs, offset-2 pairs (each least/greatest-canonicalized
+    * by UTF8String binary order, the exact semantics of Spark's
+    * least/greatest on strings), then one (w, NULL) unigram marker per
+    * token: the `concat(transform, transform, transform)` HOF chain of
+    * [[graft.operators.Retrieval.pmiPairs]] fused into one codegen
+    * pass (no per-pair 2-element array allocation, no interpreted
+    * lambda evals).
+    */
+  def pmiPairRows(arr: ArrayData): ArrayData = {
+    val sz = arr.numElements()
+    val n1 = math.max(0, sz - 1)
+    val n2 = math.max(0, sz - 2)
+    val rows = new Array[Any](n1 + n2 + sz)
+    var o = 0
+    var i = 0
+    while (i < n1) {
+      val a = arr.getUTF8String(i); val b = arr.getUTF8String(i + 1)
+      rows(o) = if (a.compareTo(b) <= 0) InternalRow(a, b) else InternalRow(b, a)
+      o += 1; i += 1
+    }
+    i = 0
+    while (i < n2) {
+      val a = arr.getUTF8String(i); val b = arr.getUTF8String(i + 2)
+      rows(o) = if (a.compareTo(b) <= 0) InternalRow(a, b) else InternalRow(b, a)
+      o += 1; i += 1
+    }
+    i = 0
+    while (i < sz) { rows(o) = InternalRow(arr.getUTF8String(i), null); o += 1; i += 1 }
+    new GenericArrayData(rows)
+  }
+
   /** Sorted distinct packed 3-gram ids — the exact gram set, ready for
     * [[SortedLongJaccard]] merge-intersection.
     */
@@ -358,6 +415,45 @@ case class SpaceAnchors(child: Expression, spanLen: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** ARRAY<STRING> of words → ARRAY<STRING> of space-joined word n-grams
+  * ([[GramHash.wordNGrams]]). `n` is a plan literal.
+  */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash.wordNGrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramHash.wordNGrams($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ARRAY<STRING> of words → ARRAY<STRUCT<w1, w2>> of ±2-window PMI
+  * co-occurrence rows ([[GramHash.pmiPairRows]]): canonicalized
+  * offset-1 and offset-2 pairs plus (w, NULL) unigram markers.
+  */
+case class PmiPairRows(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = true))), containsNull = false)
+  override def prettyName: String = "graft_pmi_pair_rows"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash.pmiPairRows(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramHash.pmiPairRows($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** text → sorted distinct ARRAY<LONG> of packed 3-gram ids
   * ([[GramHash.gramSet]]).
   */
@@ -395,6 +491,11 @@ object TextHashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_space_anchors", (es: Seq[Expression]) =>
         SpaceAnchors(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_ngrams", (es: Seq[Expression]) =>
+        WordNGrams(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pmi_pair_rows", (es: Seq[Expression]) => PmiPairRows(es.head), "built-in")
   }
 
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
@@ -407,4 +508,8 @@ object TextHashFunctions {
     call_function("graft_top_bigram_count", words)
   def spaceAnchors(text: Column, spanLen: Int): Column =
     call_function("graft_space_anchors", text, lit(spanLen))
+  def wordNGrams(words: Column, n: Int): Column =
+    call_function("graft_word_ngrams", words, lit(n))
+  def pmiPairRows(words: Column): Column =
+    call_function("graft_pmi_pair_rows", words)
 }

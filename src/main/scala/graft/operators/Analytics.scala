@@ -709,15 +709,21 @@ object Analytics {
     * behavior-compatible away from the last ulp).
     */
   def madAnomaly(s: SparkSession, d: String): DataFrame = {
-    val med = Tables.events(s, d)
+    // r20: each stat pass joins the PREVIOUS pass's tiny per-type table
+    // back to a FRESH events scan (3 scans total, each stat join an
+    // explicit broadcast). The earlier dev-frame reuse re-planned the
+    // whole med subtree per reference — 8 event scans and two duplicate
+    // median aggregates for the identical three-pass algebra.
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev
       .groupBy(col("event_type"))
       .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
-    val dev = Tables.events(s, d).select(col("event_type"), col("value"))
-      .join(med, Seq("event_type"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("adev", abs(col("value") - col("med")))
-    val mad = dev.groupBy(col("event_type"), col("med"))
+      .groupBy(col("event_type"), col("med"))
       .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
-    dev.join(mad, Seq("event_type", "med"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
       .groupBy(col("event_type"), col("med"), col("mad"))
       .agg(
         sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_anomalies"),

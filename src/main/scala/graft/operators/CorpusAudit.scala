@@ -76,9 +76,14 @@ object CorpusAudit {
     * bound table, |sources|² pairs in the output.
     */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    // r20: the per-source vocabulary is pinned once (localCheckpoint) —
+    // it is referenced three times (sizes + both self-join sides), and
+    // unpinned each reference re-ran the corpus explode + distinct
+    // aggregate (8 parquet scans for a vocabulary-bound table)
     val vocab = Tables.documents(s, d)
       .select(col("source"), explode(TextAnalysis.words).as("w"))
       .distinct()
+      .barrier("per-source distinct vocabulary — vocabulary-bound rows")
     val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("v"))
     val inter = vocab.toDF("src_a", "w")
       .join(vocab.toDF("src_b", "w"), "w")

@@ -458,7 +458,15 @@ object Multimodal {
     * items × bands, never a pair materialization), xor+bit_count
     * hamming ≤ 3 verification.
     */
-  private def phashNearDup(hashed: DataFrame): DataFrame = {
+  private def phashNearDup(hashed: DataFrame): DataFrame =
+    phashNearDupEdges(hashed).orderBy(col("media_a"), col("media_b"))
+
+  /** [[phashNearDup]] without the reporting ORDER BY — consumers that
+    * feed a downstream operator ([[multimodalAssemble]]'s dup-drop set)
+    * skip the presentation sort exchange (r20; the
+    * [[Dedup.ngramJaccardEdges]] convention).
+    */
+  private def phashNearDupEdges(hashed: DataFrame): DataFrame = {
     val bands = 4
     val bk = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -482,7 +490,6 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
       .filter(col("hamming") <= 3)
       .select(col("media_a"), col("media_b"), col("hamming").cast("int").as("hamming"))
-      .orderBy(col("media_a"), col("media_b"))
   }
 
   /** The checkpointed image decode+hash pass, cached per (session,
@@ -603,9 +610,9 @@ object Multimodal {
     val img = imageHashed(s, d); val aud = audioHashed(s, d)
     val media = img.withColumn("kind", lit("image"))
       .unionByName(aud.withColumn("kind", lit("audio")))
-    val dropped = phashNearDup(img).select(col("media_b").as("media_id"))
+    val dropped = phashNearDupEdges(img).select(col("media_b").as("media_id"))
       .withColumn("kind", lit("image"))
-      .unionByName(phashNearDup(aud).select(col("media_b").as("media_id"))
+      .unionByName(phashNearDupEdges(aud).select(col("media_b").as("media_id"))
         .withColumn("kind", lit("audio")))
       .distinct()
     val docs = graft.Tables.documents(s, d)

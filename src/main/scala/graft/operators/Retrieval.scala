@@ -495,24 +495,13 @@ object Retrieval {
 
   val PmiTopPairs = 20
 
-  /** Symmetric-window (±2) co-occurrence pairs, generated inside the
-    * scan stage, plus each token as a `(w, NULL)` marker row: each
-    * doc's token array yields its (sorted, `least/greatest`-
-    * canonicalized) offset-1 and offset-2 pairs via a single array
-    * expression — rows never leave the scan until the aggregate — and
-    * ONE explode feeds both the pair counts (w2 non-null) and the
-    * unigram counts (w2 null), so the corpus pays a single
-    * scan+tokenize+shuffle for both statistics.
-    */
-  private val pairsAndUnigramsExpr: Column = expr(
-    """flatten(array(
-      |  transform(sequence(1, size(ws) - 1),
-      |    i -> array(least(element_at(ws, i), element_at(ws, i + 1)),
-      |               greatest(element_at(ws, i), element_at(ws, i + 1)))),
-      |  transform(sequence(1, size(ws) - 2),
-      |    i -> array(least(element_at(ws, i), element_at(ws, i + 2)),
-      |               greatest(element_at(ws, i), element_at(ws, i + 2)))),
-      |  transform(ws, w -> array(w, CAST(NULL AS STRING)))))""".stripMargin)
+  // Symmetric-window (±2) co-occurrence pairs plus (w, NULL) unigram
+  // marker rows are generated inside the scan stage by ONE fused
+  // codegen expression ([[graft.functions.PmiPairRows]] — r20; the
+  // earlier three-transform HOF chain was CodegenFallback): one explode
+  // feeds both the pair counts (w2 non-null) and the unigram counts
+  // (w2 null), so the corpus pays a single scan+tokenize+shuffle for
+  // both statistics.
 
   /** Top-20 PMI word pairs: `pmi = ln((c_ab/T_p) / ((c_a/T_w)·(c_b/T_w)))`
     * over symmetric-window (±2) co-occurrences — the distributional
@@ -539,13 +528,17 @@ object Retrieval {
     * consumer is a partition-order-agnostic aggregate.
     */
   def pmiPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
     val width = s.conf.get("spark.sql.shuffle.partitions").toInt
     val counted = Tables.documents(s, d)
       .select(TextAnalysis.words.as("ws"))
       .filter(size(col("ws")) >= 3)
       .repartition(width)
-      .select(explode(pairsAndUnigramsExpr).as("pr"))
-      .select(col("pr").getItem(0).as("w1"), col("pr").getItem(1).as("w2"))
+      // r20: one fused codegen pass ([[graft.functions.PmiPairRows]]) —
+      // the three-transform concat() HOF chain was CodegenFallback and
+      // allocated a 2-element array per pair
+      .select(explode(graft.functions.TextHashFunctions.pmiPairRows(col("ws"))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
       // materialize the vocabulary-bound count table ONCE (the

@@ -341,12 +341,16 @@ object ScaleOps {
     * pipeline ([[TrainingPrep.corpusPrepDelta]]), and the streaming
     * admission gate ([[graft.streaming.StreamPipelines.streamingDecontaminate]]).
     */
-  private[graft] def wordGramsOf(df: DataFrame, n: Int = 5): DataFrame = df
-    .withColumn("ws", TextAnalysis.words)
-    .filter(size(col("ws")) >= n)
-    .select(col("doc_id"), explode(expr(
-      s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
-      .as("g"))
+  private[graft] def wordGramsOf(df: DataFrame, n: Int = 5): DataFrame = {
+    graft.functions.Registry.ensure(df.sparkSession)
+    // r20: one fused codegen pass ([[graft.functions.WordNGrams]]) —
+    // the transform/sequence/slice HOF chain was CodegenFallback and
+    // allocated an intermediate slice array per gram
+    df.withColumn("ws", TextAnalysis.words)
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.TextHashFunctions.wordNGrams(col("ws"), n)).as("g"))
+  }
 
   /** Per-source document cap — the domain-cap admission rule of web
     * corpus prep ("keep at most N pages per domain"): an unbiased
@@ -409,12 +413,12 @@ object ScaleOps {
     // size — scan-local, where the earlier form re-exploded the corpus a
     // third time and hash-aggregated it back to a number the array
     // already knew (r20: 3 gram explodes → 2, one doc_id exchange gone)
+    graft.functions.Registry.ensure(docs.sparkSession)
     val perDoc = docs
       .withColumn("ws", TextAnalysis.words)
       .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), expr(
-        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n))))")
-        .as("gs"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.TextHashFunctions.wordNGrams(col("ws"), n)).as("gs"))
     val grams = perDoc.select(col("doc_id"), explode(col("gs")).as("g"))
     val hot = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"))

@@ -556,16 +556,16 @@ object TrainingPrep {
     * containment 0 via the final left join.
     */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w <> '')").as("words"))
       .withColumn("is_test", graft.GoldenHash.isTestDoc(col("doc_id")))
+    // r20: fused codegen gram pass (graft_word_ngrams) — returns an
+    // empty array for < 8 words, so the old CASE guard is implicit
     val grams = docs.select(col("doc_id"), col("is_test"),
-      explode(expr(
-        """CASE WHEN size(words) >= 8
-          |     THEN array_distinct(transform(sequence(1, size(words) - 7),
-          |                                   i -> concat_ws(' ', slice(words, i, 8))))
-          |     ELSE CAST(array() AS array<string>) END""".stripMargin)).as("gram"))
+      explode(array_distinct(
+        graft.functions.TextHashFunctions.wordNGrams(col("words"), 8))).as("gram"))
     val trainGrams = grams.filter(!col("is_test")).select("gram").distinct()
     val probed = grams.filter(col("is_test"))
       .join(trainGrams.withColumn("hit", lit(1)), Seq("gram"), "left")

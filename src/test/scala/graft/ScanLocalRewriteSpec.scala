@@ -85,6 +85,52 @@ class ScanLocalRewriteSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("wordNGrams equals the transform/slice/concat_ws HOF grams") {
+    graft.functions.Registry.ensure(spark)
+    for (n <- Seq(5, 8)) {
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+        .filter(size(col("ws")) >= n)
+      val viaExpr = docs.select(col("doc_id"),
+        graft.functions.TextHashFunctions.wordNGrams(col("ws"), n).as("gs"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      val viaHof = docs.select(col("doc_id"), expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))").as("gs"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      assert(viaExpr == viaHof)
+      assert(viaExpr.nonEmpty)
+    }
+    // short-array guard: fewer than n words → empty, not an error
+    assert(graft.functions.GramHash.wordNGrams(arr(Seq("a", "b")), 5).numElements() == 0)
+  }
+
+  test("pmiPairRows equals the three-transform HOF pair/unigram rows") {
+    graft.functions.Registry.ensure(spark)
+    val docs = Tables.documents(spark, sf)
+      .select(expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val viaExpr = docs
+      .select(explode(graft.functions.TextHashFunctions.pmiPairRows(col("ws"))).as("pr"))
+      .select(col("pr.w1"), col("pr.w2"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val viaHof = docs
+      .select(explode(expr(
+        """flatten(array(
+          |  transform(sequence(1, size(ws) - 1),
+          |    i -> array(least(element_at(ws, i), element_at(ws, i + 1)),
+          |               greatest(element_at(ws, i), element_at(ws, i + 1)))),
+          |  transform(sequence(1, size(ws) - 2),
+          |    i -> array(least(element_at(ws, i), element_at(ws, i + 2)),
+          |               greatest(element_at(ws, i), element_at(ws, i + 2)))),
+          |  transform(ws, w -> array(w, CAST(NULL AS STRING)))))""".stripMargin)).as("pr"))
+      .select(col("pr").getItem(0), col("pr").getItem(1))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(viaExpr == viaHof)
+    assert(viaExpr.exists(_._1._2.isEmpty) && viaExpr.exists(_._1._2.nonEmpty))
+  }
+
   test("jaccardGate agrees with jaccardSorted at every consuming filter") {
     graft.functions.Registry.ensure(spark)
     import spark.implicits._
