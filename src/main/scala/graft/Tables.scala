@@ -59,7 +59,14 @@ object Tables {
       case _ => raw // native TIMESTAMP(MICROS) fixture layout
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  // r20: the shared tokenization ([[graft.operators.TextAnalysis.words]])
+  // is now the registered graft_split_words codegen function, and every
+  // text operator starts from this reader — registering here makes the
+  // function available to ALL consumers without a per-builder ensure.
+  def documents(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Registry.ensure(s)
+    table(s, d, "documents")
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Spread heavy PER-ROW scan work (JSON rendering, fused hashing,

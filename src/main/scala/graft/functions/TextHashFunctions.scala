@@ -256,6 +256,41 @@ object GramHash {
     out
   }
 
+  /** Single-space word split with empties dropped — THE tokenization of
+    * the text stack ([[graft.operators.TextAnalysis.words]]), fused:
+    * exactly `filter(split(text, ' '), w -> w != '')`, but the filter
+    * HOF was CodegenFallback and the split materialized the empty
+    * strings between consecutive spaces only to drop them. One byte
+    * pass counts words, one slices them out of a single byte copy
+    * (0x20 never occurs inside a multi-byte UTF-8 sequence, so the
+    * byte test IS the character test).
+    */
+  def splitWords(u: UTF8String): ArrayData = {
+    val nb = u.numBytes()
+    var cnt = 0
+    var inWord = false
+    var i = 0
+    while (i < nb) {
+      if (u.getByte(i) == 0x20) inWord = false
+      else if (!inWord) { cnt += 1; inWord = true }
+      i += 1
+    }
+    if (cnt == 0) return new GenericArrayData(new Array[Any](0))
+    val bytes = u.getBytes // one defensive copy; the words share it
+    val out = new Array[Any](cnt)
+    var k = 0
+    var start = -1
+    i = 0
+    while (i < nb) {
+      if (bytes(i) == 0x20) {
+        if (start >= 0) { out(k) = UTF8String.fromBytes(bytes, start, i - start); k += 1; start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) { out(k) = UTF8String.fromBytes(bytes, start, nb - start); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Space-joined word n-grams of a word array — the exact strings of
     * `transform(sequence(1, size(ws) − n + 1), i -> concat_ws(' ',
     * slice(ws, i, n)))`, built in one pass. The HOF form is
@@ -415,6 +450,46 @@ case class SpaceAnchors(child: Expression, spanLen: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** text → ARRAY<STRING> of space-split words, empties dropped
+  * ([[GramHash.splitWords]]), one fused pass inside whole-stage codegen.
+  */
+case class SplitWords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_split_words"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash.splitWords(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramHash.splitWords($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ASCII word → `poly31(word) mod dim` hashing-trick bucket — the
+  * [[GramHash.poly31]] fold as one codegen expression, replacing the
+  * interpreted per-character `aggregate(transform(sequence(...)))`
+  * chain of [[graft.operators.TextAnalysis.hashEmbed]]. Callers
+  * guarantee ASCII input (`regexp_extract_all('[a-z]+')` tokens),
+  * where UTF-8 byte == the `ascii()` code point of the HOF form.
+  */
+case class Poly31Bucket(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_poly31_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    (GramHash.poly31(0L, input.asInstanceOf[UTF8String]) % dim).toInt
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (int) (graft.functions.GramHash.poly31(0L, $a) % $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ARRAY<STRING> of words → ARRAY<STRING> of space-joined word n-grams
   * ([[GramHash.wordNGrams]]). `n` is a plan literal.
   */
@@ -496,6 +571,11 @@ object TextHashFunctions {
         WordNGrams(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pmi_pair_rows", (es: Seq[Expression]) => PmiPairRows(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_split_words", (es: Seq[Expression]) => SplitWords(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly31_bucket", (es: Seq[Expression]) =>
+        Poly31Bucket(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
@@ -512,4 +592,8 @@ object TextHashFunctions {
     call_function("graft_word_ngrams", words, lit(n))
   def pmiPairRows(words: Column): Column =
     call_function("graft_pmi_pair_rows", words)
+  def splitWords(text: Column): Column =
+    call_function("graft_split_words", text)
+  def poly31Bucket(word: Column, dim: Int): Column =
+    call_function("graft_poly31_bucket", word, lit(dim))
 }

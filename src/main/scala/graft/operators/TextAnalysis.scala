@@ -28,7 +28,12 @@ object TextAnalysis {
     * here (plus its twin) retunes tokenization everywhere.
     */
   private[operators] def words: org.apache.spark.sql.Column =
-    expr("filter(split(text, ' '), w -> w != '')")
+    // r20: one fused codegen pass ([[graft.functions.SplitWords]] —
+    // byte-identical to `filter(split(text, ' '), w -> w != '')`,
+    // whose filter HOF was CodegenFallback and materialized the empty
+    // strings between consecutive spaces only to drop them). Session
+    // registration rides [[graft.Tables.documents]].
+    graft.functions.TextHashFunctions.splitWords(col("text"))
 
   /** Whitespace token count: len(text) - len(text without spaces) + 1.
     * Avoids split()+size (allocates an array per row) — pure length
@@ -338,15 +343,14 @@ object TextAnalysis {
     */
   def ngramDiversity(s: SparkSession, d: String): DataFrame = {
     val width = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val gramsExpr = expr(
-      """transform(sequence(1, size(ws) - 2),
-        |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-        |                 element_at(ws, i + 2)))""".stripMargin)
+    // r20: trigram strings via the fused WordNGrams pass (identical to
+    // the transform/element_at/concat_ws HOF chain it replaces)
     Tables.documents(s, d)
       .select(col("source"), words.as("ws"))
       .filter(size(col("ws")) >= 3)
       .repartition(width)
-      .select(col("source"), explode(gramsExpr).as("g"))
+      .select(col("source"),
+        explode(graft.functions.TextHashFunctions.wordNGrams(col("ws"), 3)).as("g"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -668,10 +672,11 @@ object TextAnalysis {
     val vocabHash = Tables.documents(s, d)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .distinct()
-      .withColumn("bucket", expr(
-        s"""aggregate(transform(sequence(1, length(word)), i -> cast(ascii(substr(word, i, 1)) as bigint)),
-           |  cast(0 as bigint), (h, c) -> (h * 31 + c) % 2147483648) % $HashDim""".stripMargin)
-        .cast("int"))
+      // r20: the per-char rolling fold as one codegen expression
+      // ([[graft.functions.Poly31Bucket]] — identical arithmetic; the
+      // aggregate/transform HOF chain was interpreted per character)
+      .withColumn("bucket",
+        graft.functions.TextHashFunctions.poly31Bucket(col("word"), HashDim))
     val docWords = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))

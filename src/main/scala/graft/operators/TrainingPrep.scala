@@ -155,7 +155,7 @@ object TrainingPrep {
            |          i -> concat_ws(' ', slice(ws, i * $WordsPerChunk + 1, $WordsPerChunk)))""".stripMargin))
         .as(Seq("chunk_idx", "chunk")))
       .withColumn("n_words",
-        (size(expr("filter(split(chunk, ' '), w -> w != '')"))).cast("int"))
+        size(graft.functions.TextHashFunctions.splitWords(col("chunk"))).cast("int"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   private[operators] val PackBudget = 512
@@ -559,7 +559,7 @@ object TrainingPrep {
     graft.functions.Registry.ensure(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("filter(split(text, ' '), w -> w <> '')").as("words"))
+        graft.functions.TextHashFunctions.splitWords(col("text")).as("words"))
       .withColumn("is_test", graft.GoldenHash.isTestDoc(col("doc_id")))
     // r20: fused codegen gram pass (graft_word_ngrams) — returns an
     // empty array for < 8 words, so the old CASE guard is implicit

@@ -85,9 +85,50 @@ class ScanLocalRewriteSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("splitWords equals filter(split(text, ' '), w -> w != '')") {
+    graft.functions.Registry.ensure(spark)
+    val docs = Tables.documents(spark, sf)
+    val viaExpr = docs.select(col("doc_id"),
+      graft.functions.TextHashFunctions.splitWords(col("text")).as("ws"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val viaHof = docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(viaExpr == viaHof)
+    assert(viaExpr.nonEmpty)
+    // crafted edges: empty, all-spaces, leading/trailing/multi-space,
+    // multi-byte characters around the separators
+    val crafted = Seq("", " ", "   ", "a", " a", "a ", "a  b", " héllo  wörld ",
+      "日本 語  テキスト", "a b c")
+    import spark.implicits._
+    val cd = crafted.toDF("text")
+    val got = cd.select(graft.functions.TextHashFunctions.splitWords(col("text")))
+      .collect().map(_.getSeq[String](0))
+    val want = cd.select(expr("filter(split(text, ' '), w -> w != '')"))
+      .collect().map(_.getSeq[String](0))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("poly31Bucket equals the aggregate/transform ascii fold") {
+    graft.functions.Registry.ensure(spark)
+    val dim = graft.operators.TextAnalysis.HashDim
+    val words = Tables.documents(spark, sf)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .distinct()
+    val viaExpr = words.select(col("word"),
+      graft.functions.TextHashFunctions.poly31Bucket(col("word"), dim).as("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    val viaHof = words.select(col("word"), expr(
+      s"""CAST(aggregate(transform(sequence(1, length(word)), i -> cast(ascii(substr(word, i, 1)) as bigint)),
+         |  cast(0 as bigint), (h, c) -> (h * 31 + c) % 2147483648) % $dim AS INT)""".stripMargin).as("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(viaExpr == viaHof)
+    assert(viaExpr.nonEmpty)
+  }
+
   test("wordNGrams equals the transform/slice/concat_ws HOF grams") {
     graft.functions.Registry.ensure(spark)
-    for (n <- Seq(5, 8)) {
+    for (n <- Seq(3, 5, 8)) {
       val docs = Tables.documents(spark, sf)
         .select(col("doc_id"), expr("filter(split(text, ' '), w -> w != '')").as("ws"))
         .filter(size(col("ws")) >= n)
