@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, U
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -217,6 +217,40 @@ object GramHash {
       i += 1
     }
     best.toLong
+  }
+
+  /** The [[graft.operators.TextAnalysis.repetitionFilter]] KEEP rule
+    * over raw text in ONE pass: tokenize ([[splitWords]]), then walk
+    * the words once accumulating the distinct-word count and the max
+    * consecutive-bigram multiplicity, and apply the exact integer
+    * thresholds (top_c·5 ≤ n−1 ∧ (n − n_distinct)·10 ≤ n·7; < 2 words
+    * never keep). The Column-conjunction form evaluated the tokenizer
+    * up to FOUR times per row (ADVICE r20 — Filter conjuncts get no
+    * common-subexpression elimination in whole-stage codegen); word
+    * equality here is UTF8String byte equality, exactly
+    * `array_distinct` / bigram-tuple semantics.
+    */
+  def repetitionKeep(u: UTF8String): Boolean = {
+    val arr = splitWords(u)
+    val n = arr.numElements()
+    if (n < 2) return false
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    val m = new java.util.HashMap[(UTF8String, UTF8String), Integer](n * 2)
+    var best = 0
+    var prev = arr.getUTF8String(0)
+    seen.add(prev)
+    var i = 0
+    while (i < n - 1) {
+      val next = arr.getUTF8String(i + 1)
+      seen.add(next)
+      val c = m.merge((prev, next), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue()))
+      if (c.intValue() > best) best = c.intValue()
+      prev = next
+      i += 1
+    }
+    best.toLong * 5 <= (n - 1).toLong &&
+      (n - seen.size).toLong * 10 <= n.toLong * 7
   }
 
   /** 0-based CODE-POINT positions `p ∈ [0, numChars − spanLen]` whose
@@ -468,6 +502,26 @@ case class SplitWords(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text → BOOLEAN repetition-gate keep verdict
+  * ([[GramHash.repetitionKeep]]): one fused tokenize-and-count pass
+  * inside whole-stage codegen, replacing a four-conjunct Column form
+  * that re-tokenized the document per conjunct.
+  */
+case class RepetitionKeep(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_repetition_keep"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash.repetitionKeep(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramHash.repetitionKeep($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ASCII word → `poly31(word) mod dim` hashing-trick bucket — the
   * [[GramHash.poly31]] fold as one codegen expression, replacing the
   * interpreted per-character `aggregate(transform(sequence(...)))`
@@ -574,6 +628,8 @@ object TextHashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_split_words", (es: Seq[Expression]) => SplitWords(es.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_repetition_keep", (es: Seq[Expression]) => RepetitionKeep(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_poly31_bucket", (es: Seq[Expression]) =>
         Poly31Bucket(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
@@ -594,6 +650,8 @@ object TextHashFunctions {
     call_function("graft_pmi_pair_rows", words)
   def splitWords(text: Column): Column =
     call_function("graft_split_words", text)
+  def repetitionKeep(text: Column): Column =
+    call_function("graft_repetition_keep", text)
   def poly31Bucket(word: Column, dim: Int): Column =
     call_function("graft_poly31_bucket", word, lit(dim))
 }

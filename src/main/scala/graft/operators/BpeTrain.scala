@@ -393,12 +393,18 @@ object BpeTrain {
     }
 
   private[operators] def bpeTokensOf(
-      s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+      s: SparkSession, d: String, docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    // `carry` rides doc-functional columns (e.g. lang) through the
+    // per-doc aggregate so single-consumer callers need no join-back to
+    // the input frame — doc_id determines them, so grouping by
+    // (doc_id, carry…) is row-identical to grouping by doc_id alone
+    // (r21, [[graft.operators.TrainingPrep.deltaAdmissionChain]]).
     val docWords = docs
-      .select(col("doc_id"),
-        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .select(col("doc_id") +: carry.map(col) :+
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"): _*)
     docWords.join(wordTokenCounts(s, d), Seq("word"))
-      .groupBy(col("doc_id"))
+      .groupBy((col("doc_id") +: carry.map(col)): _*)
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tok")).as("n_bpe_tokens"),
         sum(col("wchars")).as("n_letter_chars"))

@@ -94,13 +94,17 @@ object TextAnalysis {
     * ([[TrainingPrep.deltaAdmissionChain]]) filter with it instead of
     * semi-joining a second scan of the same batch. Must stay
     * term-for-term aligned with [[textQualityOf]]'s when-chain
-    * (`ok` ⇔ n_tokens ≥ 10 ∧ 2 ≤ round₄(avg_token_len) ≤ 12);
-    * TextAnalysisSpec pins filter ≡ semi-join on the fixture.
+    * (`ok` ⇔ n_tokens ≥ 10 ∧ 2 ≤ round₄(avg_token_len) ≤ 12), INCLUDING
+    * the NULL edge (ADVICE r20): a NULL text makes every when-condition
+    * NULL, so the chain falls through to `otherwise('ok')` — the filter
+    * form must therefore KEEP NULL-text rows, where the bare conjunction
+    * would evaluate NULL and drop them. ScanLocalRewriteSpec pins
+    * filter ≡ semi-join on the fixture plus the NULL-text row.
     */
   private[graft] def qualityOkPred: Column = {
     val nt = nTokens.cast("int")
     val avgLen = round((length(col("text")) - (nt - 1)).cast("double") / nt, 4)
-    nt >= 10 && avgLen >= 2 && avgLen <= 12
+    col("text").isNull || (nt >= 10 && avgLen >= 2 && avgLen <= 12)
   }
 
   /** Feature frame shared by [[modelQuality]]'s train and score paths:
@@ -196,28 +200,45 @@ object TextAnalysis {
     * dot product from the pinned sidecar; the seeded fit is the only
     * pinned step.
     */
-  def modelQuality(s: SparkSession, d: String): DataFrame = {
-    val ws = qualityWeights(s, d)
-    pinQualityWeights(s, d, ws)
-    val feats = Seq("n_words", "avg_token_len", "stopword_ratio", "distinct_ratio")
-    val lin = feats.zip(ws.tail)
-      .map { case (f, w) => col(f) * lit(w) }
-      .foldLeft(lit(ws.head))(_ + _)
-    // emit the LOGIT, not the sigmoid: exp() is libm-dependent (Java
-    // and DuckDB differ in the last ulp), so round(sigmoid, 4) flips on
-    // boundary rows at scale (3 of 50k rows in the r11 sf1 rehearsal).
-    // The logit is pure +/* arithmetic over round-4 features and 6dp
-    // weight literals — bit-identical in both engines — and is a
-    // monotone transform of the score, so ranking/thresholding
-    // semantics are unchanged; keep stays the sign of the same term.
-    qualityFeatures(s, d)
-      .withColumn("lin", lin)
-      .select(col("doc_id"), col("n_words"), col("avg_token_len"),
-        col("stopword_ratio"), col("distinct_ratio"),
-        round(col("lin"), 6).as("quality_logit"),
-        (col("lin") >= 0).as("keep"))
-      .orderBy(col("doc_id"))
-  }
+  /** The scored corpus under the trained quality classifier — one row
+    * per document with its features, round-6 logit, and keep sign —
+    * cached per (session, sfDir) exactly like [[lmScored]]: the scored
+    * table is the model artifact a production classifier gate
+    * materializes beside its pinned weights, and it is probed by every
+    * consumer ([[modelQuality]], [[qualityCalibration]],
+    * [[TrainingPrep.corpusPrep5]]'s calibration gate,
+    * [[graft.operators.Dedup]]'s canonical selection). Before r21 each
+    * consumer re-ran the full feature scan — corpusPrep5 twice per run
+    * (cutpoint sample + drop-set filter).
+    */
+  private val mqScoredCache = new graft.SessionCache[String, DataFrame]()
+
+  private[operators] def modelQualityScored(s: SparkSession, d: String): DataFrame =
+    mqScoredCache.getOrBuild(s, d) {
+      val ws = qualityWeights(s, d)
+      pinQualityWeights(s, d, ws)
+      val feats = Seq("n_words", "avg_token_len", "stopword_ratio", "distinct_ratio")
+      val lin = feats.zip(ws.tail)
+        .map { case (f, w) => col(f) * lit(w) }
+        .foldLeft(lit(ws.head))(_ + _)
+      // emit the LOGIT, not the sigmoid: exp() is libm-dependent (Java
+      // and DuckDB differ in the last ulp), so round(sigmoid, 4) flips on
+      // boundary rows at scale (3 of 50k rows in the r11 sf1 rehearsal).
+      // The logit is pure +/* arithmetic over round-4 features and 6dp
+      // weight literals — bit-identical in both engines — and is a
+      // monotone transform of the score, so ranking/thresholding
+      // semantics are unchanged; keep stays the sign of the same term.
+      qualityFeatures(s, d)
+        .withColumn("lin", lin)
+        .select(col("doc_id"), col("n_words"), col("avg_token_len"),
+          col("stopword_ratio"), col("distinct_ratio"),
+          round(col("lin"), 6).as("quality_logit"),
+          (col("lin") >= 0).as("keep"))
+        .barrier("one scored row per doc (the classifier's at-rest scored table)")
+    }
+
+  def modelQuality(s: SparkSession, d: String): DataFrame =
+    modelQualityScored(s, d).orderBy(col("doc_id"))
 
   /** Calibration curve for the trained quality gate: docs bucketed into
     * logit deciles (the [[lmQuality]] broadcast-cutpoint pattern, not a
@@ -237,7 +258,7 @@ object TextAnalysis {
     // aggregate and the bucketing scan — checkpoint it once or the
     // whole feature computation runs twice (measured 3.9 → 2.2 s at
     // the sf1 rehearsal)
-    val scored = modelQuality(s, d)
+    val scored = modelQualityScored(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("quality_logit").as("ql"),
         (col("lang") === "en").as("is_en"))
@@ -465,15 +486,15 @@ object TextAnalysis {
     * frame, which re-scanned the corpus for a per-row decision. Docs
     * with < 2 words have no bigram signal and are NOT kept, exactly
     * the rows the semi join dropped ([[repetitionFilter]] emits no row
-    * for them).
+    * for them). r21: ONE fused codegen expression
+    * ([[graft.functions.RepetitionKeep]]) — the four-conjunct Column
+    * form re-ran the tokenizer per conjunct (ADVICE r20: Filter
+    * conjuncts get no common-subexpression elimination), so every
+    * chain call site paid up to four [[words]] passes per document.
+    * ScanLocalRewriteSpec pins expression ≡ conjunction row parity.
     */
-  private[graft] def repetitionKeepPred: Column = {
-    val ws = words
-    val topC = graft.functions.TextHashFunctions.topBigramCount(ws)
-    size(ws) >= 2 &&
-      topC * 5 <= (size(ws) - 1).cast("bigint") &&
-      (size(ws) - size(array_distinct(ws))) * 10 <= size(ws) * 7
-  }
+  private[graft] def repetitionKeepPred: Column =
+    graft.functions.TextHashFunctions.repetitionKeep(col("text"))
 
   /** Vocabulary build with cumulative-coverage curve — the tokenizer-prep
     * rollup: global word counts ranked by frequency (count desc, token

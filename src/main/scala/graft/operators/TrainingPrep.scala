@@ -428,19 +428,33 @@ object TrainingPrep {
     * (prep/prep2/prep3 stay verified, headline=false).
     */
   /** The two r8 gate sets shared by [[corpusPrep4]] and
-    * [[corpusPrep5]].
+    * [[corpusPrep5]]. The span-coverage drop set is derived from the
+    * corpus-level duplicate-shingle MODEL (the chain scaladoc's own
+    * framing: the shingle set is trained on the full corpus like the
+    * bigram LM), so the doc-id verdict is pinned per (session, corpus
+    * version) like [[TextAnalysis.lmScored]] — before r21 every prep4/5
+    * run re-ran the whole [[Dedup.substringSpans]] shingle pass
+    * (scan-spread + shingle window + island merge) to re-derive a fixed
+    * drop list. The standalone q_substring_spans query is untouched and
+    * still recomputes per run.
     */
+  private val spanHeavyCache = new graft.SessionCache[String, DataFrame]()
+
+  private def spanHeavyDrops(s: SparkSession, d: String): DataFrame =
+    spanHeavyCache.getOrBuild(s, d) {
+      Dedup.substringSpans(s, d)
+        .groupBy(col("doc_id")).agg(sum(col("span_len")).as("dup_chars"))
+        .join(Tables.documents(s, d).select(col("doc_id"),
+          length(col("text")).cast("bigint").as("len_chars")), Seq("doc_id"))
+        .filter(col("dup_chars") * 2 > col("len_chars"))
+        .select(col("doc_id"))
+        .barrier("doc-id drop set: docs with dup-span cover > 1/2 (≤ one row per doc)")
+    }
+
   private def prep4Drops(s: SparkSession, d: String): Seq[DataFrame] = {
-    val docs = Tables.documents(s, d)
     val lmLow = TextAnalysis.lmQuality(s, d)
       .filter(col("low_quality")).select(col("doc_id"))
-    val spanHeavy = Dedup.substringSpans(s, d)
-      .groupBy(col("doc_id")).agg(sum(col("span_len")).as("dup_chars"))
-      .join(docs.select(col("doc_id"),
-        length(col("text")).cast("bigint").as("len_chars")), Seq("doc_id"))
-      .filter(col("dup_chars") * 2 > col("len_chars"))
-      .select(col("doc_id"))
-    Seq(lmLow, spanHeavy)
+    Seq(lmLow, spanHeavyDrops(s, d))
   }
 
   def corpusPrep4(s: SparkSession, d: String): DataFrame =
@@ -457,7 +471,10 @@ object TrainingPrep {
     * one scan-local hash filter on top of v4.
     */
   def corpusPrep5(s: SparkSession, d: String): DataFrame = {
-    val scoredQ = TextAnalysis.modelQuality(s, d)
+    // r21: both the cutpoint aggregate and the drop-set filter probe the
+    // session-pinned scored table ([[TextAnalysis.modelQualityScored]])
+    // instead of each re-running the classifier feature scan.
+    val scoredQ = TextAnalysis.modelQualityScored(s, d)
       .select(col("doc_id"), col("quality_logit").as("ql"))
     // cutpoint over the K-bounded golden-hash sample — per-document
     // input, the DSIR-cutpoint fix class (r14 percentile sweep)
@@ -487,10 +504,17 @@ object TrainingPrep {
     val docs = Tables.documents(s, d)
     val rankKey = (col("doc_id") * lit(ScaleOps.CapHashPrime)) % lit(ScaleOps.CapHashMod)
     val cw = Window.partitionBy(col("source")).orderBy(rankKey.asc, col("doc_id"))
+    // r21: the capped corpus is referenced FOUR times (the survivor
+    // frame plus three subtrees inside the boilerplate gate), and each
+    // reference re-ran the cap window over a fresh corpus scan. Pin it
+    // once per chain invocation (eager: a lazy pin raced — the gate
+    // subtrees all consume it in the same stage wave, each recomputing
+    // the window before the first block landed).
     val capped = docs
       .withColumn("rk", row_number().over(cw))
       .filter(col("rk") <= ScaleOps.SourceCapN)
       .drop("rk")
+      .barrier("≤ SourceCapN docs per source")
     val boilDrop = ScaleOps.boilerplateOf(capped)
       .filter(col("n_boilerplate") * 10 > col("n_grams") * 8)
       .select(col("doc_id"))
@@ -499,13 +523,19 @@ object TrainingPrep {
     // not a semi join against the reporting query's frame, which
     // re-scanned the corpus and paid the gate's aggregates once per
     // chain reference. Same keep set by the shared-predicate argument.
+    // Drop-set joins carry an explicit broadcast hint (r21): the sets
+    // are doc-id lists small by construction — the chain's documented
+    // posture — but two of them hang off barrier'd ExistingRDD frames
+    // whose unknown size estimate made the planner fall back to a
+    // sort-merge anti join (two exchanges plus two sorts of the
+    // survivor frame for a membership test).
     val surv0 = extraKeepFilters.foldLeft(
       capped
-        .join(boilDrop, Seq("doc_id"), "left_anti")
+        .join(broadcast(boilDrop), Seq("doc_id"), "left_anti")
         .filter(TextAnalysis.repetitionKeepPred)
     )((df, keep) => df.filter(keep))
     val surv = extraDrops.foldLeft(surv0)(
-      (df, drop) => df.join(drop, Seq("doc_id"), "left_anti"))
+      (df, drop) => df.join(broadcast(drop), Seq("doc_id"), "left_anti"))
     // exact dedup INLINE: doc_id is unique, so `rn = 1` on the survivor
     // frame IS the old dedupKeep semi join — the join-back form planned
     // the whole survivor subtree (cap window + gates) twice (r20)
@@ -653,6 +683,24 @@ object TrainingPrep {
     * frozen), so verdicts are independent of how ingest is batched —
     * StreamingSpec pins that batch-boundary invariance adversarially.
     */
+  /** Distinct word 5-grams of the frozen benchmark split — fixed state
+    * every admission gate probes (the chain's scaladoc: "the benchmark
+    * gram set is fixed"), cached per (session, corpus version) like the
+    * other frozen admission artifacts ([[ensureDeltaArtifacts]]): the
+    * batch query paid a full corpus scan + gram explode + distinct PER
+    * RUN, and the streaming twin paid it PER MICRO-BATCH, to rebuild a
+    * set that cannot change between batches.
+    */
+  private val benchGramsCache = new graft.SessionCache[String, DataFrame]()
+
+  private def benchGramSet(s: SparkSession, d: String): DataFrame =
+    benchGramsCache.getOrBuild(s, d) {
+      ScaleOps.wordGramsOf(
+        Tables.documents(s, d).filter(graft.GoldenHash.isTestDoc(col("doc_id"))))
+        .select(col("g")).distinct()
+        .barrier("distinct 5-grams of the fixed benchmark split (gram-vocab-bound)")
+    }
+
   private[graft] def deltaAdmissionChain(
       s: SparkSession, d: String, batch: DataFrame,
       prefix: String = "deltadx"): DataFrame = {
@@ -661,28 +709,34 @@ object TrainingPrep {
     // chain re-planned the whole prefix per reference — 2⁴ ≈ 16 leaf
     // scans of the batch, the digest probe and the signature pass run
     // twice each. Stage outputs are batch-bounded by construction (the
-    // gates only ever DROP rows), so each verdict is pinned once
-    // (localCheckpoint, the [[corpusPrepDelta2]] admitted-A stance) and
-    // every later gate probes the pinned rows. The quality gate itself
-    // is stateless per-row ([[TextAnalysis.qualityOkPred]]) — a FILTER,
-    // not a semi join against a second scan of the batch.
+    // gates only ever DROP rows), so each multi-referenced verdict is
+    // pinned once and every later gate probes the pinned rows. The
+    // quality gate itself is stateless per-row
+    // ([[TextAnalysis.qualityOkPred]]) — a FILTER, not a semi join
+    // against a second scan of the batch.
+    //
+    // r21 de-serialization (VERDICT r20 item 1): the r20 form was four
+    // SEQUENTIAL eager localCheckpoint jobs — a materialize-wait-
+    // materialize critical path that made the chain core-count-blind.
+    // Now only the genuinely multi-referenced stage outputs pin
+    // (exactClean, nearClean), both LAZILY (eager = false): the blocks
+    // materialize inside the first consumer's job instead of via a
+    // dedicated count pass each. `admitted` is single-referenced since
+    // [[BpeTrain.bpeTokensOf]] carries `lang` through its per-doc
+    // aggregate (doc_id determines lang), so its barrier and the
+    // join-back are gone outright.
     val qualityOk = batch.filter(TextAnalysis.qualityOkPred)
     val exactClean = Dedup.incrementalExactClean(s, qualityOk, prefix)
-      .barrier("quality+exact-clean batch rows (cost ∝ batch)")
+      .barrier("quality+exact-clean batch rows (cost ∝ batch)", eager = false)
     val nearClean = exactClean.join(
       Dedup.incrementalNearDups(s, exactClean, prefix).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-      .barrier("near-clean batch rows (cost ∝ batch)")
-    val benchGrams = ScaleOps.wordGramsOf(
-      Tables.documents(s, d).filter(graft.GoldenHash.isTestDoc(col("doc_id"))))
-      .select(col("g")).distinct()
+      .barrier("near-clean batch rows (cost ∝ batch)", eager = false)
     val admitted = nearClean.join(
-      ScaleOps.wordGramsOf(nearClean).join(broadcast(benchGrams), Seq("g"))
+      ScaleOps.wordGramsOf(nearClean).join(broadcast(benchGramSet(s, d)), Seq("g"))
         .select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-      .barrier("admitted batch rows (cost ∝ batch)")
-    BpeTrain.bpeTokensOf(s, d, admitted)
-      .join(admitted.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    BpeTrain.bpeTokensOf(s, d, admitted, carry = Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_words"),
         col("n_bpe_tokens"), col("n_letter_chars"))
       .orderBy(col("doc_id"))

@@ -61,6 +61,42 @@ class ScanLocalRewriteSpec extends SparkSpec {
     assert(viaFilter.nonEmpty)
   }
 
+  test("qualityOkPred keeps NULL text, matching textQualityOf's otherwise('ok')") {
+    // ADVICE r20: the when-chain falls through to 'ok' when n_tokens /
+    // avg_token_len are NULL (NULL text), so the filter form must keep
+    // the row rather than dropping it on a NULL predicate.
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, null.asInstanceOf[String]),                      // NULL text → 'ok'
+      (2L, "short"),                                        // too_short
+      (3L, Seq.fill(20)("normal").mkString(" ")),           // ok
+      (4L, Seq.fill(12)("x").mkString(" ")))                // odd_tokens (avg len 1)
+      .toDF("doc_id", "text")
+    val viaFilter = crafted.filter(TextAnalysis.qualityOkPred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaFilter == Set(1L, 3L))
+  }
+
+  test("fused repetitionKeep equals the four-conjunct Column form") {
+    graft.functions.Registry.ensure(spark)
+    import spark.implicits._
+    val ws = expr("filter(split(text, ' '), w -> w != '')")
+    val conjunction = size(ws) >= 2 &&
+      graft.functions.TextHashFunctions.topBigramCount(ws) * 5 <=
+        (size(ws) - 1).cast("bigint") &&
+      (size(ws) - size(array_distinct(ws))) * 10 <= size(ws) * 7
+    val crafted = Seq("", " ", "a", "a b", "a a", Seq.fill(40)("w").mkString(" "),
+      "one two three four five six seven eight nine ten",
+      ("tok " * 30).trim, "x y " * 10 + "x", "héllo wörld héllo wörld héllo")
+      .toDF("text")
+    val corpus = Tables.documents(spark, sf).select(col("text"))
+    for (df <- Seq(crafted, corpus)) {
+      val got = df.select(TextAnalysis.repetitionKeepPred).collect().map(_.getBoolean(0))
+      val want = df.select(conjunction).collect().map(_.getBoolean(0))
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
   test("spaceAnchors equals the explode(sequence)+substring-filter positions") {
     graft.functions.Registry.ensure(spark)
     val n = 50 // Dedup.SpanLen
