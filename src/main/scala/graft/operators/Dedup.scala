@@ -551,11 +551,20 @@ object Dedup {
     val idx = batchIdx.getOrElse(
       minhashIndexOf(batch.select(col("doc_id"), col("text"))))
     val bLabels = nearDupLabels(batch.select(col("doc_id").as("id")), idx)
+    // matches is batch-bounded (one row per matched batch doc) — an
+    // explicit broadcast, or the unknown aggregate estimate falls back
+    // to a sort-merge join of two tiny frames (r21 plan audit)
     val matches = incrementalNearDupsIdx(s, idx, prefix)
-    // per batch component: minimum verified at-rest anchor over members
+    // per batch component: minimum verified at-rest anchor over members.
+    // Pinned once (r21): inh feeds BOTH the anchored lookup and the
+    // at-rest prune semi join, and unpinned the whole incremental-probe
+    // subtree (band join + candidate aggregate + gram verification) was
+    // re-planned and re-run per reference — 2× the probe per query.
     val inh = bLabels
-      .join(matches.select(col("doc_id"), col("dup_of")), Seq("doc_id"), "left")
+      .join(broadcast(matches.select(col("doc_id"), col("dup_of"))),
+        Seq("doc_id"), "left")
       .groupBy(col("label")).agg(min(col("dup_of")).as("anchor"))
+      .barrier("one row per batch component")
     // anchors ∝ batch components: prune the at-rest split table by a
     // broadcast semi join, then the lookup join is broadcast-small
     val needed = atSplit
