@@ -1144,30 +1144,37 @@ object Dedup {
     */
   private def probeCandidates(s: SparkSession, newIdx: DataFrame,
       prefix: String): DataFrame = {
-    // self-guard: if a batch id collides with an already-indexed id
-    // (re-ingest, replay), the doc must not be flagged as a duplicate
-    // of ITSELF at jaccard 1.0 — identical ids are the same document
-    // by definition, so only cross-id candidates verify (ADVICE r6)
-    val hits = fusedBandKeys(newIdx)
-      .join(s.table(s"${prefix}_bands")
-        .select(col("bkey"), col("doc_id").as("idx_doc")), Seq("bkey"))
-      .filter(col("doc_id") =!= col("idx_doc"))
-    // K codegen'd conditional minimums, NOT a row_number window and NOT
-    // a typed top-K aggregate: the window has no partial aggregation
-    // (shuffles the full bucket membership — 213 s at sf1), and a
-    // TypedImperativeAggregate rides ObjectHashAggregate, which breaks
-    // whole-stage-codegen fusion with the band join (143 s: 400M joined
-    // rows each paying a boxed eval). Plain min(when(...)) aggregates
-    // fuse into the join's codegen stage, so bucket members stream
-    // through registers and only ≤ K longs per group ever materialize.
-    hits
-      .groupBy(col("doc_id"), col("bkey"))
-      .agg(
-        min(when(pmod(col("idx_doc"), lit(ProbeCandPerBucket)) === 0, col("idx_doc"))).as("c0"),
-        (1 until ProbeCandPerBucket).map(r =>
-          min(when(pmod(col("idx_doc"), lit(ProbeCandPerBucket)) === r, col("idx_doc"))).as(s"c$r")): _*)
-      .select(col("doc_id"), explode(array(
-        (0 until ProbeCandPerBucket).map(r => col(s"c$r")): _*)).as("idx_doc"))
+    // r21: the kept member per (bucket, id-residue class) is a function
+    // of the AT-REST bucket alone, so the minima are aggregated over the
+    // bands table FIRST (one pass over its rows, bucket-local since the
+    // table is bucketed on bkey) and the probe joins the ≤ K-row-per-
+    // bucket minima frame. The r12 form joined every probe key against
+    // the FULL bucket membership and streamed it through the min(when)
+    // aggregates — linear memory but O(Σ bucket occupancy) compute per
+    // batch, which on a dup-dense corpus is quadratic in duplicate
+    // multiplicity: the sf1 rehearsal measured 512M joined rows for a
+    // 2,500-doc batch (~9 s of the probe's ~13 s; the candidate SET is
+    // 188k pairs). Per class the TWO smallest members are kept so the
+    // self-guard (a batch id colliding with an indexed id must not
+    // match ITSELF — ADVICE r6) picks the second-smallest exactly when
+    // the probe doc IS the class minimum: result-identical to the
+    // old per-(probe, bucket) min-excluding-self by the min2 algebra
+    // (min over class∖{doc} = m1 if m1 ≠ doc else m2).
+    val res = pmod(col("doc_id"), lit(ProbeCandPerBucket))
+    val members = s.table(s"${prefix}_bands")
+      .select(col("bkey"), col("doc_id"), res.as("res"))
+    val m1s = members.groupBy(col("bkey"), col("res"))
+      .agg(min(col("doc_id")).as("m1"))
+    val m2s = members.join(m1s, Seq("bkey", "res"))
+      .filter(col("doc_id") > col("m1"))
+      .groupBy(col("bkey"), col("res"))
+      .agg(min(col("doc_id")).as("m2"))
+    val mins = m1s.join(m2s, Seq("bkey", "res"), "left")
+    fusedBandKeys(newIdx)
+      .join(mins, Seq("bkey"))
+      .select(col("doc_id"),
+        when(col("m1") =!= col("doc_id"), col("m1"))
+          .otherwise(col("m2")).as("idx_doc"))
       .filter(col("idx_doc").isNotNull)
       .select(col("doc_id"), col("idx_doc")).distinct()
   }
